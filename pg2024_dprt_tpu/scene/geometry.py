@@ -1,0 +1,201 @@
+"""Scene geometry containers.
+
+Host-side (`MeshGeometry`, numpy) and device-side (`DeviceScene`, jnp) scene
+representations. `DeviceScene` is the TPU-native replacement for the
+reference's per-mesh SBT records + GAS handles (record schema at
+/root/reference/src/render/pipeline_helper.cpp:177-197, AS table at
+/root/reference/src/render/renderer.cpp:1812-1849): triangles live in flat SoA
+arrays reordered by the BVH build, and per-triangle shading attributes are
+pre-gathered so the device never chases normal/texcoord index buffers.
+
+`ProxyTable` is the global table of remote-partition proxy AABBs — the
+TPU equivalent of the reference's `aabbHandle` + `AABBInfo` per AS entry.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import BSDF_DIFFUSE
+from .bvh import FlatBVH, build_bvh
+
+
+@dataclass
+class MeshGeometry:
+    """One logical object: triangle soup + per-mesh material."""
+
+    v0: np.ndarray  # (T,3) f32
+    v1: np.ndarray
+    v2: np.ndarray
+    # Per-corner shading normals; default = geometric normal.
+    n0: Optional[np.ndarray] = None
+    n1: Optional[np.ndarray] = None
+    n2: Optional[np.ndarray] = None
+    uv0: Optional[np.ndarray] = None  # (T,2)
+    uv1: Optional[np.ndarray] = None
+    uv2: Optional[np.ndarray] = None
+    base_color: tuple = (0.8, 0.8, 0.8)
+    bsdf_type: int = BSDF_DIFFUSE
+    texture_index: int = -1
+    name: str = ""
+
+    def __post_init__(self):
+        t = self.v0.shape[0]
+        if self.n0 is None:
+            gn = np.cross(self.v1 - self.v0, self.v2 - self.v0)
+            norm = np.linalg.norm(gn, axis=-1, keepdims=True)
+            gn = gn / np.maximum(norm, 1e-12)
+            self.n0 = self.n1 = self.n2 = gn.astype(np.float32)
+        if self.uv0 is None:
+            self.uv0 = np.zeros((t, 2), np.float32)
+            self.uv1 = np.zeros((t, 2), np.float32)
+            self.uv2 = np.zeros((t, 2), np.float32)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.v0.shape[0]
+
+    def aabb(self):
+        lo = np.minimum(np.minimum(self.v0.min(0), self.v1.min(0)), self.v2.min(0))
+        hi = np.maximum(np.maximum(self.v0.max(0), self.v1.max(0)), self.v2.max(0))
+        return lo.astype(np.float32), hi.astype(np.float32)
+
+
+def concat_geometry(meshes: list) -> dict:
+    """Concatenate meshes into flat numpy SoA + per-tri mesh ids + material
+    tables. Returns a dict of host arrays."""
+    if not meshes:
+        z3 = np.zeros((0, 3), np.float32)
+        z2 = np.zeros((0, 2), np.float32)
+        return dict(
+            v0=z3, v1=z3, v2=z3, n0=z3, n1=z3, n2=z3, uv0=z2, uv1=z2, uv2=z2,
+            tri_mesh_id=np.zeros((0,), np.int32),
+            mesh_base_color=np.zeros((0, 3), np.float32),
+            mesh_bsdf_type=np.zeros((0,), np.int32),
+            mesh_texture_index=np.full((0,), -1, np.int32),
+        )
+    parts = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
+    tri_mesh_id = []
+    for mi, m in enumerate(meshes):
+        for k in parts:
+            parts[k].append(getattr(m, k))
+        tri_mesh_id.append(np.full((m.num_triangles,), mi, np.int32))
+    out = {k: np.concatenate(v, axis=0).astype(np.float32) for k, v in parts.items()}
+    out["tri_mesh_id"] = np.concatenate(tri_mesh_id)
+    out["mesh_base_color"] = np.asarray([m.base_color for m in meshes], np.float32)
+    out["mesh_bsdf_type"] = np.asarray([m.bsdf_type for m in meshes], np.int32)
+    out["mesh_texture_index"] = np.asarray([m.texture_index for m in meshes], np.int32)
+    return out
+
+
+class ProxyTable(NamedTuple):
+    """Global proxy-AABB table, replicated on every device. Row p describes
+    partition p (TPU equivalent of `AccelerationStructure::{aabbHandle,
+    AABBInfo, nodeID}`, /root/reference/src/render/renderer.cpp:1812-1842)."""
+
+    aabb_min: jnp.ndarray    # (P, 3) f32
+    aabb_max: jnp.ndarray    # (P, 3) f32
+    max_length: jnp.ndarray  # (P,)   f32  AABB diagonal, depth denormalizer
+
+    @property
+    def num_partitions(self) -> int:
+        return self.aabb_min.shape[0]
+
+
+class DeviceScene(NamedTuple):
+    """One partition's device-resident geometry + flattened BVH + materials.
+
+    Triangle arrays are reordered by the BVH build and padded to a static
+    capacity (`tri_valid` masks padding); under shard_map every device holds
+    one row of a (P, ...) stacked version of this structure."""
+
+    # BVH (threaded layout; see scene/bvh.py)
+    node_min: jnp.ndarray   # (M,3) f32
+    node_max: jnp.ndarray   # (M,3) f32
+    node_first: jnp.ndarray  # (M,) i32
+    node_count: jnp.ndarray  # (M,) i32
+    node_skip: jnp.ndarray  # (M,) i32
+    # Triangles (BVH order)
+    v0: jnp.ndarray  # (T,3)
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (T,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    tri_mesh_id: jnp.ndarray  # (T,) i32
+    tri_valid: jnp.ndarray    # (T,) bool (False = padding)
+    # Material tables (small, replicated)
+    mesh_base_color: jnp.ndarray     # (Mm,3) f32
+    mesh_bsdf_type: jnp.ndarray      # (Mm,) i32
+    mesh_texture_index: jnp.ndarray  # (Mm,) i32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.v0.shape[0]
+
+
+def device_scene_from_meshes(
+    meshes: list,
+    node_capacity: Optional[int] = None,
+    tri_capacity: Optional[int] = None,
+) -> DeviceScene:
+    """Build a single-partition DeviceScene (BVH + reordered triangles)."""
+    host = concat_geometry(meshes)
+    bvh = build_bvh(host["v0"], host["v1"], host["v2"])
+    return _pack_device_scene(host, bvh, node_capacity, tri_capacity)
+
+
+def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None) -> DeviceScene:
+    order = bvh.tri_order
+    t = order.shape[0]
+    tc = tri_capacity or max(t, 1)
+    nc = node_capacity or bvh.num_nodes
+
+    def pad_tri(a, fill=0.0):
+        a = a[order]
+        if a.shape[0] < tc:
+            pad_shape = (tc - a.shape[0],) + a.shape[1:]
+            a = np.concatenate([a, np.full(pad_shape, fill, a.dtype)], axis=0)
+        return jnp.asarray(a)
+
+    def pad_node(a, fill):
+        if a.shape[0] < nc:
+            pad_shape = (nc - a.shape[0],) + a.shape[1:]
+            a = np.concatenate([a, np.full(pad_shape, fill, a.dtype)], axis=0)
+        return jnp.asarray(a)
+
+    tri_valid = np.zeros((tc,), bool)
+    tri_valid[:t] = True
+
+    inf = np.float32(np.inf)
+    return DeviceScene(
+        node_min=pad_node(bvh.bounds_min, inf),
+        node_max=pad_node(bvh.bounds_max, -inf),
+        node_first=pad_node(bvh.first, 0),
+        node_count=pad_node(bvh.count, 0),
+        node_skip=pad_node(bvh.skip, -1),
+        v0=pad_tri(host["v0"]),
+        v1=pad_tri(host["v1"]),
+        v2=pad_tri(host["v2"]),
+        n0=pad_tri(host["n0"]),
+        n1=pad_tri(host["n1"]),
+        n2=pad_tri(host["n2"]),
+        uv0=pad_tri(host["uv0"]),
+        uv1=pad_tri(host["uv1"]),
+        uv2=pad_tri(host["uv2"]),
+        tri_mesh_id=pad_tri(host["tri_mesh_id"], 0),
+        tri_valid=jnp.asarray(tri_valid),
+        mesh_base_color=jnp.asarray(host["mesh_base_color"]),
+        mesh_bsdf_type=jnp.asarray(host["mesh_bsdf_type"]),
+        mesh_texture_index=jnp.asarray(host["mesh_texture_index"]),
+    )

@@ -1,0 +1,113 @@
+"""Geometry partitioner: shards a scene across a device mesh.
+
+The reference assigns each object to an MPI rank and gives every rank cheap
+proxies (AABB + neural nets) for remote objects
+(/root/reference/src/render/renderer.cpp:1812-1849, `isProxy`/`nodeID` tags).
+Here the partitioner emits:
+
+  * per-partition `DeviceScene`s padded to a common static capacity and
+    stacked into a (P, ...) pytree — one row per device under shard_map;
+  * a replicated global `ProxyTable` of partition AABBs;
+  * a replicated global material table (`tri_mesh_id` indexes it globally).
+
+Partition assignment is by mesh, either explicit or by spatial median of mesh
+centroids (keeps partitions spatially coherent, which is what makes proxy
+AABBs / proxy MLPs meaningful).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh import build_bvh
+from .geometry import DeviceScene, MeshGeometry, ProxyTable, _pack_device_scene, concat_geometry
+
+
+class PartitionedScene(NamedTuple):
+    stacked: DeviceScene       # every leaf has leading dim P
+    proxies: ProxyTable        # (P, ...) replicated
+    num_partitions: int
+
+
+def partition_meshes(meshes: Sequence[MeshGeometry], num_partitions: int) -> List[List[int]]:
+    """Assign mesh indices to partitions by recursive spatial median split of
+    mesh centroids. Returns a list of P lists of mesh indices."""
+    if num_partitions == 1:
+        return [list(range(len(meshes)))]
+    centroids = np.array([(m.aabb()[0] + m.aabb()[1]) * 0.5 for m in meshes])
+
+    def split(idx: np.ndarray, parts: int) -> List[List[int]]:
+        if parts == 1:
+            return [idx.tolist()]
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(0) - c.min(0))) if len(idx) > 1 else 0
+        order = idx[np.argsort(c[:, axis], kind="stable")]
+        left_parts = parts // 2
+        mid = int(round(len(order) * left_parts / parts))
+        mid = min(max(mid, 0), len(order))
+        return split(order[:mid], left_parts) + split(order[mid:], parts - left_parts)
+
+    return split(np.arange(len(meshes)), num_partitions)
+
+
+def build_partitioned_scene(
+    meshes: Sequence[MeshGeometry],
+    num_partitions: int,
+    assignment: Optional[List[List[int]]] = None,
+) -> PartitionedScene:
+    """Build the stacked per-partition scenes + proxy table."""
+    if assignment is None:
+        assignment = partition_meshes(meshes, num_partitions)
+    assert len(assignment) == num_partitions
+
+    # Global material table: tri_mesh_id indexes meshes globally.
+    global_host = concat_geometry(list(meshes))
+    mesh_tables = dict(
+        mesh_base_color=jnp.asarray(global_host["mesh_base_color"]),
+        mesh_bsdf_type=jnp.asarray(global_host["mesh_bsdf_type"]),
+        mesh_texture_index=jnp.asarray(global_host["mesh_texture_index"]),
+    )
+
+    per_part_host = []
+    for part in assignment:
+        sub = [meshes[i] for i in part]
+        host = concat_geometry(sub)
+        # remap local mesh ids -> global ids
+        if part:
+            lut = np.asarray(part, np.int32)
+            host["tri_mesh_id"] = lut[host["tri_mesh_id"]]
+        per_part_host.append(host)
+
+    bvhs = [build_bvh(h["v0"], h["v1"], h["v2"]) for h in per_part_host]
+    tri_cap = max(max((h["v0"].shape[0] for h in per_part_host), default=1), 1)
+    node_cap = max(max((b.num_nodes for b in bvhs), default=1), 1)
+
+    scenes = []
+    aabb_min, aabb_max = [], []
+    for host, bvh in zip(per_part_host, bvhs):
+        ds = _pack_device_scene(host, bvh, node_capacity=node_cap, tri_capacity=tri_cap)
+        ds = ds._replace(**mesh_tables)
+        scenes.append(ds)
+        if host["v0"].shape[0] > 0:
+            lo = np.minimum(np.minimum(host["v0"].min(0), host["v1"].min(0)), host["v2"].min(0))
+            hi = np.maximum(np.maximum(host["v0"].max(0), host["v1"].max(0)), host["v2"].max(0))
+        else:
+            lo = np.full(3, np.inf, np.float32)
+            hi = np.full(3, -np.inf, np.float32)
+        aabb_min.append(lo)
+        aabb_max.append(hi)
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
+    aabb_min = np.asarray(aabb_min, np.float32)
+    aabb_max = np.asarray(aabb_max, np.float32)
+    diag = np.linalg.norm(np.maximum(aabb_max - aabb_min, 0.0), axis=-1).astype(np.float32)
+    proxies = ProxyTable(
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        max_length=jnp.asarray(diag),
+    )
+    return PartitionedScene(stacked=stacked, proxies=proxies, num_partitions=num_partitions)

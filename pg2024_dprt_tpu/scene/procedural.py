@@ -1,0 +1,134 @@
+"""Procedural test scenes.
+
+The reference targets external assets (Moana/Bistro/San Miguel) that are not
+in the snapshot; these generators provide deterministic stand-ins for tests,
+golden images, and benchmarks (the `scanCPU`-style oracle role, SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.types import BSDF_DIFFUSE, BSDF_WATER
+from .geometry import MeshGeometry
+from .lights import LightTable
+
+
+def _quad(p00, p10, p11, p01):
+    """Two triangles for a quad given CCW corners."""
+    p00, p10, p11, p01 = (np.asarray(p, np.float32) for p in (p00, p10, p11, p01))
+    v0 = np.stack([p00, p00])
+    v1 = np.stack([p10, p11])
+    v2 = np.stack([p11, p01])
+    return v0, v1, v2
+
+
+def _box(lo, hi):
+    """12 triangles of an axis-aligned box with outward normals."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    quads = [
+        # floor (y0, normal up... geometric normal from winding)
+        ([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1]),
+        # ceiling
+        ([x0, y1, z0], [x0, y1, z1], [x1, y1, z1], [x1, y1, z0]),
+        # -z
+        ([x0, y0, z0], [x0, y1, z0], [x1, y1, z0], [x1, y0, z0]),
+        # +z
+        ([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),
+        # -x
+        ([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0]),
+        # +x
+        ([x1, y0, z0], [x1, y1, z0], [x1, y1, z1], [x1, y0, z1]),
+    ]
+    v0s, v1s, v2s = [], [], []
+    for q in quads:
+        v0, v1, v2 = _quad(*q)
+        v0s.append(v0)
+        v1s.append(v1)
+        v2s.append(v2)
+    return np.concatenate(v0s), np.concatenate(v1s), np.concatenate(v2s)
+
+
+def cornell_box(with_water_sphere: bool = False):
+    """Cornell-box-scale scene: 5 walls, 2 boxes, 1 area light.
+
+    Returns (meshes, light_table). World: x in [0,1], y in [0,1] up, z in [0,1];
+    camera looks down -z from z≈2.4."""
+    meshes = []
+
+    def wall(p00, p10, p11, p01, color, name):
+        v0, v1, v2 = _quad(p00, p10, p11, p01)
+        meshes.append(MeshGeometry(v0=v0, v1=v1, v2=v2, base_color=color, name=name))
+
+    white = (0.73, 0.73, 0.73)
+    # floor (normal +y)
+    wall([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0], white, "floor")
+    # ceiling (normal -y)
+    wall([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1], white, "ceiling")
+    # back wall z=0 (normal +z)
+    wall([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], white, "back")
+    # left wall x=0 (red, normal +x)
+    wall([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1], (0.65, 0.05, 0.05), "left")
+    # right wall x=1 (green, normal -x)
+    wall([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0], (0.12, 0.45, 0.15), "right")
+
+    # short box
+    v0, v1, v2 = _box([0.55, 0.0, 0.55], [0.85, 0.3, 0.85])
+    meshes.append(MeshGeometry(v0=v0, v1=v1, v2=v2, base_color=white, name="short_box"))
+    # tall box (water if requested, to exercise the dielectric BSDF path)
+    v0, v1, v2 = _box([0.15, 0.0, 0.15], [0.45, 0.6, 0.45])
+    meshes.append(
+        MeshGeometry(
+            v0=v0, v1=v1, v2=v2,
+            base_color=(1.0, 1.0, 1.0) if with_water_sphere else white,
+            bsdf_type=BSDF_WATER if with_water_sphere else BSDF_DIFFUSE,
+            name="tall_box",
+        )
+    )
+
+    # area light just under the ceiling
+    light_tris = np.asarray(
+        [
+            [[0.35, 0.998, 0.35], [0.65, 0.998, 0.35], [0.65, 0.998, 0.65]],
+            [[0.35, 0.998, 0.35], [0.65, 0.998, 0.65], [0.35, 0.998, 0.65]],
+        ],
+        np.float32,
+    )
+    radiance = np.asarray([[15.0, 15.0, 15.0]] * 2, np.float32)
+    lights = LightTable.from_arrays(light_tris, radiance)
+    return meshes, lights
+
+
+def random_tri_soup(n: int, seed: int = 0, extent: float = 1.0, jitter: float = 0.08):
+    """n random small triangles in [0, extent]^3 — BVH stress/benchmark scene."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(n, 3).astype(np.float32) * extent
+    e1 = (rng.rand(n, 3).astype(np.float32) - 0.5) * jitter * extent
+    e2 = (rng.rand(n, 3).astype(np.float32) - 0.5) * jitter * extent
+    return MeshGeometry(v0=base, v1=base + e1, v2=base + e2, name=f"soup{n}")
+
+
+def two_room_scene(num_rooms: int = 2, tris_per_room: int = 512, seed: int = 1):
+    """Spatially separated clusters of geometry — the canonical multi-partition
+    test (each room maps naturally to one partition). Returns (meshes, lights)."""
+    rng = np.random.RandomState(seed)
+    meshes = []
+    for r in range(num_rooms):
+        offset = np.asarray([2.5 * r, 0.0, 0.0], np.float32)
+        base = rng.rand(tris_per_room, 3).astype(np.float32) + offset
+        e1 = (rng.rand(tris_per_room, 3).astype(np.float32) - 0.5) * 0.15
+        e2 = (rng.rand(tris_per_room, 3).astype(np.float32) - 0.5) * 0.15
+        meshes.append(
+            MeshGeometry(
+                v0=base, v1=base + e1, v2=base + e2,
+                base_color=(0.7, 0.6 + 0.1 * (r % 3), 0.5),
+                name=f"room{r}",
+            )
+        )
+    light_tris = np.asarray(
+        [[[0.5, 3.0, 0.5], [1.5, 3.0, 0.5], [1.5, 3.0, 1.5]]], np.float32
+    )
+    lights = LightTable.from_arrays(light_tris, np.asarray([[40.0, 40.0, 40.0]], np.float32))
+    return meshes, lights
