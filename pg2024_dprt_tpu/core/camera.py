@@ -8,21 +8,25 @@ standard look-at pinhole camera with vertical FOV, generating one ray per
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from .math import normalize
 
 
-class Camera(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
     origin: jnp.ndarray      # (3,)
     forward: jnp.ndarray     # (3,) unit
     right: jnp.ndarray       # (3,) unit
     up: jnp.ndarray          # (3,) unit
     tan_half_fov: jnp.ndarray  # scalar
-    width: int
-    height: int
+    # static metadata (not traced): image resolution
+    width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    height: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @staticmethod
     def look_at(origin, target, up, fov_degrees: float, width: int, height: int) -> "Camera":

@@ -1,0 +1,44 @@
+"""Declarative render configuration.
+
+Replaces the reference's compile-time macro system (`MOANA/BISTRO/...`,
+`maxCount=3`, `shadowPathCount=4` hardcoded at
+/root/reference/src/render/renderer.cpp:1602-1603; `RenderRequest{width,
+height, spp, bounces}` at the API boundary) with one dataclass consumed by
+every stage.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 256
+    height: int = 256
+    spp: int = 1
+    bounces: int = 4
+    # NEE shadow rays per shading point (reference shadowPathCount=4).
+    shadow_path_count: int = 4
+    # Max proxy-AABB marching steps per ray (reference maxCount=3).
+    max_proxy_hits: int = 3
+    # Ray epsilon (reference util::Epsilon, 1e-2 for Moana / 1e-3 otherwise,
+    # /root/reference/optix/util.hpp:5-10).
+    t_epsilon: float = 1e-3
+    # Neural-proxy routing for secondary/shadow rays (bounce >= 1).
+    use_neural_proxies: bool = False
+    # Wavefront migration iterations upper bound (<= partitions in practice).
+    max_migrations: int = 8
+    # Per-destination all_to_all bucket capacity as a fraction of path capacity.
+    bucket_fraction: float = 1.0
+
+    @property
+    def frame_buffer_size(self) -> int:
+        return self.width * self.height
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "RenderConfig":
+        return RenderConfig(**json.loads(s))

@@ -1,0 +1,122 @@
+"""Single-device render driver: frame -> spp -> bounce loops.
+
+TPU port of `Renderer::launch`/`runSample`
+(/root/reference/src/render/renderer.cpp:1457-2070) for one partition. The
+multi-partition driver (parallel/distributed.py) wraps the same stages in
+shard_map; this module is both the 1-device fast path and the oracle for the
+"N-partition == 1-partition" equivalence test (SURVEY.md §4d).
+
+Per bounce (mirrors runSample, renderer.cpp:1530-1570, with worldSize == 1 so
+the migration loop degenerates):
+  1. traverse: closest hit of every live path against local geometry
+  2. shade:    env-on-miss, BSDF sample, next paths + NEE shadow paths
+  3. occlude:  shadow paths vs local geometry; unoccluded add their
+               contribution / shadow_path_count to the direct image
+               (/root/reference/optix/shadow_ray_kernel.cu:344-349)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..ops.traversal import traverse_bvh
+from ..scene.geometry import DeviceScene
+from ..scene.lights import EnvironmentMap, LightTable
+from .config import RenderConfig
+from .pathgen import generate_camera_paths
+from .shade import shade
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_sample(
+    scene: DeviceScene,
+    lights: LightTable,
+    env: EnvironmentMap,
+    camera: Camera,
+    sample_count,
+    cfg: RenderConfig,
+):
+    """One spp: returns (direct_image, env_image) as (npix, 3) accumulators."""
+    npix = cfg.frame_buffer_size
+    paths = generate_camera_paths(camera, sample_count)
+    direct = jnp.zeros((npix, 3), jnp.float32)
+    env_img = jnp.zeros((npix, 3), jnp.float32)
+
+    def bounce_body(bounce, carry):
+        paths, direct, env_img = carry
+        live = paths.is_valid
+
+        hits = traverse_bvh(
+            scene, paths.origin, paths.direction, cfg.t_epsilon, paths.tmax, live
+        )
+
+        next_paths, shadow_paths, env_add = shade(
+            scene,
+            lights,
+            env,
+            paths,
+            hits,
+            sample_count,
+            bounce,
+            cfg.shadow_path_count,
+            npix,
+        )
+        env_img = env_img + env_add
+
+        # Shadow occlusion vs local geometry. tmax is shaved slightly so the
+        # light sample point itself never registers as a blocker.
+        occl_hits = traverse_bvh(
+            scene,
+            shadow_paths.origin,
+            shadow_paths.direction,
+            cfg.t_epsilon,
+            shadow_paths.tmax * (1.0 - 1e-3),
+            shadow_paths.is_valid,
+        )
+        unoccluded = shadow_paths.is_valid & (~occl_hits.is_hit)
+        contrib = jnp.where(
+            unoccluded[:, None],
+            shadow_paths.throughput / cfg.shadow_path_count,
+            0.0,
+        )
+        direct = direct + jax.ops.segment_sum(
+            contrib, shadow_paths.pixel_index, num_segments=npix
+        )
+        return next_paths, direct, env_img
+
+    paths, direct, env_img = jax.lax.fori_loop(
+        0, cfg.bounces, bounce_body, (paths, direct, env_img)
+    )
+    return direct, env_img
+
+
+def render_image(scene, lights, env, camera, cfg: RenderConfig, base_sample: int = 0):
+    """Full frame: average over spp. Returns (height, width, 3) float32."""
+    npix = cfg.frame_buffer_size
+    direct = jnp.zeros((npix, 3), jnp.float32)
+    env_img = jnp.zeros((npix, 3), jnp.float32)
+    for s in range(cfg.spp):
+        d, e = render_sample(scene, lights, env, camera, base_sample + s, cfg)
+        direct = direct + d
+        env_img = env_img + e
+    img = (direct + env_img) / cfg.spp
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+class Renderer:
+    """Convenience object bundling scene + lights + env + camera + config
+    (the `moana::Renderer` role, /root/reference/src/render/renderer.cpp:1576)."""
+
+    def __init__(self, scene: DeviceScene, lights: LightTable, env: EnvironmentMap,
+                 camera: Camera, cfg: RenderConfig):
+        self.scene = scene
+        self.lights = lights
+        self.env = env
+        self.camera = camera
+        self.cfg = cfg
+
+    def render(self, base_sample: int = 0):
+        return render_image(self.scene, self.lights, self.env, self.camera, self.cfg, base_sample)

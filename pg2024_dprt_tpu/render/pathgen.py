@@ -1,0 +1,41 @@
+"""Camera path generation — TPU port of the PathGen pipeline
+(/root/reference/optix/path_gen_kernel.cu:46-105): one path per pixel with
+TEA-seeded sub-pixel jitter, throughput 1, tMax = +inf, currentNode = -1.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.rng import rnd2, tea
+from ..core.types import PathState
+
+
+def generate_camera_paths(camera: Camera, sample_count) -> PathState:
+    """Generate width*height camera paths for one sample (spp iteration)."""
+    w, h = camera.width, camera.height
+    n = w * h
+    pixel_index = jnp.arange(n, dtype=jnp.int32)
+    rows = pixel_index // w
+    cols = pixel_index % w
+
+    seed = tea(pixel_index.astype(jnp.uint32), jnp.uint32(sample_count))
+    _, xi1, xi2 = rnd2(seed)
+
+    origin, direction = camera.generate_rays(rows, cols, xi1, xi2)
+
+    return PathState(
+        origin=origin,
+        direction=direction,
+        tmax=jnp.full((n,), jnp.float32(3.402823466e38)),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        pixel_index=pixel_index,
+        shadow_path_id=jnp.full((n,), -1, jnp.int32),
+        visited_mask=jnp.zeros((n,), jnp.uint32),
+        current_node=jnp.full((n,), -1, jnp.int32),
+        target_node=jnp.full((n,), -1, jnp.int32),
+        is_shadow=jnp.zeros((n,), bool),
+        is_delta=jnp.zeros((n,), bool),
+        is_valid=jnp.ones((n,), bool),
+        is_hit=jnp.zeros((n,), bool),
+    )

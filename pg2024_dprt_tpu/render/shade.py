@@ -1,0 +1,213 @@
+"""Shading stage — TPU port of the reference "MainRay" kernel
+(/root/reference/optix/kernel.cu:362-466): given settled closest hits, sample
+the BSDF, emit the next bounce path, and emit `shadow_path_count` NEE shadow
+paths carrying their full unoccluded contribution in `throughput`.
+
+Everything is masked vector math over the whole wavefront; per-triangle
+attributes (smooth normals, uv, material) are gathered from the reordered
+triangle soup instead of being produced by hit programs
+(/root/reference/optix/kernel.cu:171-300).
+
+RNG note: the reference seeds BSDF/light sampling with
+tea(pixelIndex, sampleCount) only (/root/reference/optix/kernel.cu:54,75),
+which replays identical random numbers at every bounce of a sample. We fold
+the bounce index into the seed (documented, deliberate divergence — removes
+bounce-to-bounce correlation; per-primitive RNG remains bit-exact TEA/LCG).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as cmath
+from ..core.rng import rnd2, rnd3, tea
+from ..core.types import BSDF_WATER, PathState
+from ..scene.geometry import DeviceScene
+from ..scene.lights import EnvironmentMap, LightTable
+
+_F32_MAX = jnp.float32(3.402823466e38)
+
+
+class SurfaceAttributes(NamedTuple):
+    point: jax.Array      # (N,3) hit position
+    normal: jax.Array     # (N,3) shading normal, flipped toward wo
+    albedo: jax.Array     # (N,3)
+    bsdf_type: jax.Array  # (N,) i32
+    is_inside: jax.Array  # (N,) bool
+
+
+def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAttributes:
+    """Gather + interpolate hit attributes (reference __closesthit__ch,
+    /root/reference/optix/kernel.cu:171-300)."""
+    tri = jnp.maximum(hits.tri_index, 0)
+    u = hits.u[:, None]
+    v = hits.v[:, None]
+    w = 1.0 - u - v
+
+    n0 = jnp.take(scene.n0, tri, axis=0)
+    n1 = jnp.take(scene.n1, tri, axis=0)
+    n2 = jnp.take(scene.n2, tri, axis=0)
+    # barycentric convention: alpha=u weights n1, beta=v weights n2
+    # (reference kernel.cu:243-245)
+    normal = cmath.normalize(w * n0 + u * n1 + v * n2)
+
+    mesh = jnp.take(scene.tri_mesh_id, tri, axis=0)
+    albedo = jnp.take(scene.mesh_base_color, mesh, axis=0)
+    bsdf_type = jnp.take(scene.mesh_bsdf_type, mesh, axis=0)
+
+    wo = -direction
+    cos = jnp.sum(normal * wo, axis=-1)
+    is_inside = cos < 0.0
+    normal = jnp.where(is_inside[:, None], -normal, normal)
+
+    t = jnp.where(hits.is_hit, hits.t, 0.0)
+    point = origin + t[:, None] * direction
+    return SurfaceAttributes(point, normal, albedo, bsdf_type, is_inside)
+
+
+def bsdf_sample(xi1, xi2, attrs: SurfaceAttributes, wo_world):
+    """Vectorized Lambertian + Water sampling, selected per lane by material
+    (reference /root/reference/optix/bsdfs/{lambertian,water}.hpp)."""
+    # Lambertian: uniform hemisphere, weight 2 (lambertian.hpp:17-19).
+    wi_diffuse = cmath.uniform_hemisphere(xi1, xi2)
+    weight_diffuse = jnp.full_like(xi1, 2.0)
+
+    # Water: Fresnel dielectric eta 1.0/1.33 (water.hpp:12-94).
+    wo = cmath.to_local(attrs.normal, wo_world)
+    eta_i = jnp.where(attrs.is_inside, 1.33, 1.0)
+    eta_t = jnp.where(attrs.is_inside, 1.0, 1.33)
+    wi_refract, _ = cmath.refract_z(wo, eta_i, eta_t)
+    fresnel = cmath.dielectric_reflectance(jnp.abs(wo[..., 2]), eta_i, eta_t)
+    reflecting = xi1 < fresnel
+    wi_reflect = cmath.reflect_z(wo)
+    wi_water = jnp.where(reflecting[:, None], wi_reflect, wi_refract)
+    cos_wi = jnp.abs(wi_water[..., 2])
+    safe_cos = jnp.maximum(cos_wi, 1e-12)
+    # reflect: (F/cos)/F = 1/cos; refract: ((1-F)/cos)*(etaI/etaT)^2/(1-F)
+    eta_corr = (eta_i / eta_t) ** 2
+    weight_water = jnp.where(reflecting, 1.0 / safe_cos, eta_corr / safe_cos)
+    weight_water = jnp.where(cos_wi == 0.0, 0.0, weight_water)
+
+    is_water = attrs.bsdf_type == BSDF_WATER
+    wi_local = jnp.where(is_water[:, None], wi_water, wi_diffuse)
+    weight = jnp.where(is_water, weight_water, weight_diffuse)
+    is_delta = is_water
+    return wi_local, weight, is_delta
+
+
+def shade(
+    scene: DeviceScene,
+    lights: LightTable,
+    env: EnvironmentMap,
+    paths: PathState,
+    hits,
+    sample_count,
+    bounce,
+    shadow_path_count: int,
+    frame_buffer_size: int,
+):
+    """One shade pass. Returns (next_paths, shadow_paths, env_image_add).
+
+    * misses: accumulate throughput * env(direction) into the env image and
+      invalidate (kernel.cu:415-422)
+    * hits: next path with throughput *= weight * |wi_local.z| * albedo
+      (kernel.cu:424-437) and shadow_path_count NEE paths whose throughput
+      carries the full contribution Le*beta*albedo*G/areaPDF/d^2/pi
+      (kernel.cu:444-465)."""
+    n = paths.capacity
+    attrs = surface_attributes(scene, paths.origin, paths.direction, hits)
+    wo_world = -paths.direction
+
+    live = paths.is_valid & (~paths.is_shadow)
+    hit = live & hits.is_hit
+    miss = live & (~hits.is_hit)
+
+    # --- environment on miss ---
+    env_radiance = env.sample(paths.direction)
+    env_contrib = jnp.where(miss[:, None], paths.throughput * env_radiance, 0.0)
+    env_image_add = jax.ops.segment_sum(
+        env_contrib, paths.pixel_index, num_segments=frame_buffer_size
+    )
+
+    # --- BSDF sample ---
+    bounce_salt = tea(jnp.uint32(sample_count), jnp.uint32(bounce))
+    seed = tea(paths.pixel_index.astype(jnp.uint32), bounce_salt)
+    _, xi1, xi2 = rnd2(seed)
+    wi_local, weight, is_delta = bsdf_sample(xi1, xi2, attrs, wo_world)
+    wi_world = cmath.normalize(cmath.to_world(attrs.normal, wi_local))
+    cos_theta = jnp.abs(wi_local[..., 2])
+
+    next_throughput = paths.throughput * (weight * cos_theta)[:, None] * attrs.albedo
+    next_paths = PathState(
+        origin=attrs.point,
+        direction=wi_world,
+        tmax=jnp.full((n,), _F32_MAX),
+        throughput=jnp.where(hit[:, None], next_throughput, 0.0),
+        pixel_index=paths.pixel_index,
+        shadow_path_id=jnp.full((n,), -1, jnp.int32),
+        visited_mask=jnp.zeros((n,), jnp.uint32),
+        current_node=jnp.full((n,), -1, jnp.int32),
+        target_node=jnp.full((n,), -1, jnp.int32),
+        is_shadow=jnp.zeros((n,), bool),
+        is_delta=is_delta & hit,
+        is_valid=hit,
+        is_hit=jnp.zeros((n,), bool),
+    )
+
+    # --- NEE shadow paths: S per shading point ---
+    s = shadow_path_count
+    pix = jnp.repeat(paths.pixel_index, s)  # (N*S,)
+    spid = jnp.tile(jnp.arange(s, dtype=jnp.int32), (n,))
+    sseed = tea(
+        (pix * s + spid).astype(jnp.uint32),
+        bounce_salt,
+    )
+    _, sx1, sx2, sx3 = rnd3(sseed)
+
+    light_index = jnp.minimum(
+        jnp.floor(sx1 * lights.count).astype(jnp.int32), lights.count - 1
+    )
+    lp0 = jnp.take(lights.p0, light_index, axis=0)
+    lp1 = jnp.take(lights.p1, light_index, axis=0)
+    lp2 = jnp.take(lights.p2, light_index, axis=0)
+    le = jnp.take(lights.radiance, light_index, axis=0)
+    light_point, light_normal, area_pdf = cmath.uniform_sample_triangle(lp0, lp1, lp2, sx2, sx3)
+    area_pdf = area_pdf / lights.count  # lightChoicePDF (kernel.cu:98-99)
+
+    rep = lambda a: jnp.repeat(a, s, axis=0)
+    origin_s = rep(attrs.point)
+    to_light = light_point - origin_s
+    dist = jnp.linalg.norm(to_light, axis=-1)
+    wi = to_light / jnp.maximum(dist[:, None], 1e-12)
+
+    contribution = (
+        le
+        * rep(paths.throughput)
+        * rep(attrs.albedo)
+        * jnp.maximum(0.0, jnp.sum(light_normal * (-wi), axis=-1))[:, None]
+        * jnp.maximum(0.0, jnp.sum(wi * rep(attrs.normal), axis=-1))[:, None]
+        / area_pdf[:, None]
+        / jnp.maximum(dist * dist, 1e-12)[:, None]
+        / jnp.pi
+    )
+
+    shadow_valid = rep(hit & (~is_delta))
+    shadow_paths = PathState(
+        origin=origin_s,
+        direction=wi,
+        tmax=dist,
+        throughput=jnp.where(shadow_valid[:, None], contribution, 0.0),
+        pixel_index=pix,
+        shadow_path_id=spid,
+        visited_mask=jnp.zeros((n * s,), jnp.uint32),
+        current_node=jnp.full((n * s,), -1, jnp.int32),
+        target_node=jnp.full((n * s,), -1, jnp.int32),
+        is_shadow=jnp.ones((n * s,), bool),
+        is_delta=jnp.zeros((n * s,), bool),
+        is_valid=shadow_valid,
+        is_hit=jnp.zeros((n * s,), bool),
+    )
+
+    return next_paths, shadow_paths, env_image_add

@@ -1,0 +1,82 @@
+"""Single-device end-to-end wavefront renderer tests (minimum slice of
+SURVEY.md §7 stages 1-4)."""
+import numpy as np
+import jax.numpy as jnp
+
+from pg2024_dprt_tpu.core import Camera
+from pg2024_dprt_tpu.render import RenderConfig, render_image
+from pg2024_dprt_tpu.scene import cornell_box, device_scene_from_meshes
+from pg2024_dprt_tpu.scene.lights import EnvironmentMap
+
+
+def _setup(width=32, height=32, spp=1, bounces=2, env_color=(0.0, 0.0, 0.0)):
+    meshes, lights = cornell_box()
+    scene = device_scene_from_meshes(meshes)
+    env = EnvironmentMap.constant(env_color)
+    camera = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0], 40.0, width, height)
+    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces)
+    return scene, lights, env, camera, cfg
+
+
+def test_render_produces_light():
+    scene, lights, env, camera, cfg = _setup()
+    img = np.asarray(render_image(scene, lights, env, camera, cfg))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    # the lit box interior must receive direct light
+    assert img.max() > 0.01
+    # a meaningful fraction of pixels lit
+    assert (img.sum(-1) > 0).mean() > 0.3
+
+
+def test_render_deterministic():
+    scene, lights, env, camera, cfg = _setup()
+    a = np.asarray(render_image(scene, lights, env, camera, cfg))
+    b = np.asarray(render_image(scene, lights, env, camera, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_color_bleeding_sides():
+    """Red wall on the left, green on the right: indirect light on nearby
+    pixels should be tinted accordingly (classic cornell sanity)."""
+    scene, lights, env, camera, cfg = _setup(width=48, height=48, spp=4, bounces=3)
+    img = np.asarray(render_image(scene, lights, env, camera, cfg))
+    left = img[16:32, 2:8].mean(axis=(0, 1))
+    right = img[16:32, 40:46].mean(axis=(0, 1))
+    assert left[0] > left[1]  # red dominates near red wall
+    assert right[1] > right[0]  # green dominates near green wall
+
+
+def test_env_only_escape():
+    """With no direct lights' contribution... env must light escaping rays."""
+    meshes, lights = cornell_box()
+    scene = device_scene_from_meshes(meshes)
+    env = EnvironmentMap.constant((1.0, 2.0, 3.0))
+    # camera behind the box looking away -> all rays miss geometry
+    camera = Camera.look_at([0.5, 0.5, 5.0], [0.5, 0.5, 10.0], [0, 1, 0], 40.0, 16, 16)
+    cfg = RenderConfig(width=16, height=16, spp=1, bounces=1)
+    img = np.asarray(render_image(scene, lights, env, camera, cfg))
+    np.testing.assert_allclose(img, np.broadcast_to([1.0, 2.0, 3.0], img.shape), rtol=1e-5)
+
+
+def test_more_bounces_more_energy():
+    scene, lights, env, camera, cfg = _setup(bounces=1, spp=2)
+    img1 = np.asarray(render_image(scene, lights, env, camera, cfg)).sum()
+    cfg3 = RenderConfig(width=32, height=32, spp=2, bounces=3)
+    img3 = np.asarray(render_image(scene, lights, env, camera, cfg3)).sum()
+    # indirect bounces add energy (never remove it)
+    assert img3 > img1 * 1.01
+
+
+def test_exr_roundtrip(tmp_path):
+    from pg2024_dprt_tpu.utils import read_exr, write_exr
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(17, 23, 3).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img)
+    back, names = read_exr(p)
+    assert names == ["B", "G", "R"]
+    # read returns channels in file (alphabetical) order
+    np.testing.assert_allclose(back[:, :, [2, 1, 0]], img, atol=0)
