@@ -1,0 +1,240 @@
+"""Distributed wavefront render engine over a device mesh.
+
+Port of the reference's multi-rank control flow
+(/root/reference/src/render/renderer.cpp:1212-1318, 1457-1570, 2031-2059) as
+one shard_map program per sample:
+
+  * path gen on partition 0 only (renderer.cpp:1514-1527)
+  * per bounce:
+      - bounce >= 1 with neural proxies: `secondary_route` decides every
+        path's destination from local hits + vis/depth nets (renderer.cpp:1548)
+      - wavefront migration loop: distributed traversal (TraRay) -> sort by
+        target -> bucketed `lax.all_to_all` -> `psum` termination test
+        (replaces the MPI_Alltoallv / MPI_Allreduce(LAND) loop,
+        renderer.cpp:1230-1315)
+      - shade at the settled partition (fresh local re-trace, exactly like the
+        reference MainRay relaunch, optix/kernel.cu:382-413)
+      - shadows: neural proxies (shadowRayModuleBasedNN) or the exact
+        ppermute ring (oracle / non-neural mode)
+  * final image `psum` across the mesh (replaces MPI_Reduce,
+    renderer.cpp:2052)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..core.types import PathState
+from ..models.proxy import ProxyModels
+from ..ops.traversal import traverse_bvh
+from ..render.config import RenderConfig
+from ..render.pathgen import generate_camera_paths
+from ..render.proxy_stages import secondary_route, shadow_direct_light_nn
+from ..render.shade import shade
+from ..scene.geometry import DeviceScene, ProxyTable
+from .exchange import exchange_paths, ring_shadow_occlusion
+from .mesh import NODES_AXIS
+
+_F32_MAX = jnp.float32(3.402823466e38)
+
+
+def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix):
+    """Distributed traversal kernel ("TraRay") port
+    (/root/reference/optix/distributed_traversal_kernel.cu:215-339):
+    local closest hit honoring visitedMask, own bit set, nearest-unvisited
+    proxy pick -> target_node, env + kill on global miss."""
+    live = paths.is_valid & (~paths.is_shadow)
+    my_bit = ((paths.visited_mask >> my_id.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+    do_local = live & (~my_bit)
+
+    hits = traverse_bvh(scene, paths.origin, paths.direction, eps, paths.tmax, do_local)
+    new_tmax = jnp.where(hits.is_hit, hits.t, paths.tmax)
+    current = jnp.where(do_local & hits.is_hit, my_id, paths.current_node).astype(jnp.int32)
+    is_hit = paths.is_hit | (do_local & hits.is_hit)
+
+    visited = jnp.where(
+        live, paths.visited_mask | (jnp.uint32(1) << my_id.astype(jnp.uint32)), paths.visited_mask
+    )
+
+    # nearest unvisited remote proxy in (eps, tmax)
+    p = proxies.num_partitions
+    inv_dir = 1.0 / jnp.where(
+        jnp.abs(paths.direction) < 1e-12,
+        jnp.where(paths.direction >= 0, 1e-12, -1e-12),
+        paths.direction,
+    )
+    t0 = (proxies.aabb_min[None] - paths.origin[:, None, :]) * inv_dir[:, None, :]
+    t1 = (proxies.aabb_max[None] - paths.origin[:, None, :]) * inv_dir[:, None, :]
+    t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    part_ids = jnp.arange(p, dtype=jnp.uint32)[None, :]
+    unvisited = ((visited[:, None] >> part_ids) & jnp.uint32(1)) == 0
+    # a segment starting inside the box can hit remote geometry arbitrarily
+    # close, so its routing distance is ~eps (visited first)
+    cand = jnp.maximum(t_enter, eps * 1.5)
+    ok = (
+        live[:, None]
+        & unvisited
+        & (jnp.arange(p)[None, :] != my_id)
+        & (t_exit >= t_enter)
+        & (t_exit > eps)
+        & (cand < new_tmax[:, None])
+    )
+    cand = jnp.where(ok, cand, _F32_MAX)
+    best = jnp.argmin(cand, axis=-1)
+    found = jnp.take_along_axis(cand, best[:, None], axis=-1)[:, 0] < _F32_MAX
+
+    target = jnp.where(live & found, best.astype(jnp.int32), current)
+
+    # global miss: nothing local anywhere visited, no unvisited proxy left
+    env_miss = live & (~found) & (~is_hit)
+    env_radiance = env.sample(paths.direction)
+    env_add = jax.ops.segment_sum(
+        jnp.where(env_miss[:, None], paths.throughput * env_radiance, 0.0),
+        paths.pixel_index,
+        num_segments=npix,
+    )
+
+    new_paths = paths._replace(
+        tmax=jnp.where(live, new_tmax, paths.tmax),
+        current_node=current,
+        target_node=jnp.where(live, target, paths.target_node),
+        visited_mask=visited,
+        is_hit=is_hit,
+        is_valid=paths.is_valid & (~env_miss),
+    )
+    return new_paths, env_add
+
+
+def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfig):
+    """The primaryRayModule while-loop (renderer.cpp:1230-1315)."""
+    npix = cfg.frame_buffer_size
+    bucket = max(1, int(paths.capacity * cfg.bucket_fraction) // max(1, proxies.num_partitions))
+
+    def body(carry):
+        paths, env_img, _pending, it = carry
+        paths, env_add = _trace_and_route(scene, proxies, env, paths, my_id, cfg.t_epsilon, npix)
+        paths, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=bucket)
+        pending = jax.lax.psum(waiting + arrivals, NODES_AXIS)
+        return paths, env_img + env_add, pending, it + 1
+
+    def cond(carry):
+        _, _, pending, it = carry
+        return (pending > 0) & (it < cfg.max_migrations)
+
+    paths, env_img, _, _ = jax.lax.while_loop(
+        cond, body, (paths, env_img, jnp.int32(1), jnp.int32(0))
+    )
+    return paths, env_img
+
+
+def _sample_program(scene_block, proxies, models, lights, env, camera, sample_count, cfg: RenderConfig):
+    """Per-device body (inside shard_map) for one spp."""
+    scene = jax.tree.map(lambda a: a[0], scene_block)  # (1, ...) block -> local
+    my_id = jax.lax.axis_index(NODES_AXIS).astype(jnp.int32)
+    npix = cfg.frame_buffer_size
+
+    paths = generate_camera_paths(camera, sample_count)
+    paths = paths._replace(is_valid=paths.is_valid & (my_id == 0))
+
+    direct = jnp.zeros((npix, 3), jnp.float32)
+    env_img = jnp.zeros((npix, 3), jnp.float32)
+
+    for bounce in range(cfg.bounces):
+        if bounce > 0 and cfg.use_neural_proxies:
+            paths, env_add = secondary_route(
+                scene, proxies, models, env, paths, my_id,
+                cfg.max_proxy_hits, cfg.t_epsilon, npix,
+            )
+            env_img = env_img + env_add
+
+        paths, env_img = _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg)
+
+        # settle + shade locally: fresh re-trace exactly like MainRay
+        live = paths.is_valid & (~paths.is_shadow)
+        hits = traverse_bvh(
+            scene, paths.origin, paths.direction, cfg.t_epsilon,
+            jnp.full((paths.capacity,), _F32_MAX), live,
+        )
+        next_paths, shadow_paths, env_add = shade(
+            scene, lights, env, paths, hits, sample_count, bounce,
+            cfg.shadow_path_count, npix,
+        )
+        env_img = env_img + env_add
+
+        if cfg.use_neural_proxies:
+            direct = direct + shadow_direct_light_nn(
+                scene, proxies, models, shadow_paths, my_id,
+                cfg.max_proxy_hits, cfg.t_epsilon, cfg.shadow_path_count, npix,
+            )
+        else:
+            sp, occ = ring_shadow_occlusion(scene, shadow_paths, cfg.t_epsilon)
+            contrib = jnp.where(
+                (sp.is_valid & (~occ))[:, None],
+                sp.throughput / cfg.shadow_path_count,
+                0.0,
+            )
+            direct = direct + jax.ops.segment_sum(
+                contrib, sp.pixel_index, num_segments=npix
+            )
+
+        paths = next_paths
+
+    # image reduce across partitions (MPI_Reduce equivalent)
+    direct = jax.lax.psum(direct, NODES_AXIS)
+    env_img = jax.lax.psum(env_img, NODES_AXIS)
+    return direct, env_img
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sample_distributed(
+    stacked_scene: DeviceScene,
+    proxies: ProxyTable,
+    models: ProxyModels,
+    lights,
+    env,
+    camera,
+    sample_count,
+    cfg: RenderConfig,
+    mesh,
+):
+    """One spp over the mesh. `stacked_scene` leaves have leading dim P
+    (sharded over the nodes axis); everything else is replicated."""
+    fn = shard_map(
+        partial(_sample_program, cfg=cfg),
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(NODES_AXIS), stacked_scene),
+            jax.tree.map(lambda _: P(), proxies),
+            jax.tree.map(lambda _: P(), models),
+            jax.tree.map(lambda _: P(), lights),
+            jax.tree.map(lambda _: P(), env),
+            jax.tree.map(lambda _: P(), camera),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(stacked_scene, proxies, models, lights, env, camera,
+              jnp.asarray(sample_count, jnp.int32))
+
+
+def render_image_distributed(
+    partitioned, models, lights, env, camera, cfg: RenderConfig, mesh, base_sample: int = 0
+):
+    """Full frame over the mesh; returns (H, W, 3)."""
+    npix = cfg.frame_buffer_size
+    direct = jnp.zeros((npix, 3), jnp.float32)
+    env_img = jnp.zeros((npix, 3), jnp.float32)
+    for s in range(cfg.spp):
+        d, e = render_sample_distributed(
+            partitioned.stacked, partitioned.proxies, models, lights, env,
+            camera, base_sample + s, cfg, mesh,
+        )
+        direct = direct + d
+        env_img = env_img + e
+    return ((direct + env_img) / cfg.spp).reshape(cfg.height, cfg.width, 3)

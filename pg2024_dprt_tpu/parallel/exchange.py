@@ -1,0 +1,134 @@
+"""On-device path migration — the ICI replacement for the reference's
+host-staged MPI exchange.
+
+The reference compacts per destination with GPU scans, copies to the host, and
+calls `MPI_Alltoall` + `MPI_Alltoallv`
+(/root/reference/src/render/renderer.cpp:1230-1315). Here the whole round trip
+stays in HBM: one stable sort groups migrating paths by destination
+(ops/compaction.py), rows scatter into fixed-capacity per-destination buckets,
+and a single `lax.all_to_all` moves them over ICI. Variable-size sends become
+capacity+mask: paths that overflow a bucket simply stay valid locally and
+retry next wavefront iteration, so no path is ever dropped and the loop's
+`psum` termination test keeps running until the wavefront drains.
+
+`ring_shadow_occlusion` is the exact (non-neural) distributed shadow test the
+reference lacks: rotate the shadow buffer around the ring with `ppermute`,
+OR-ing in each partition's local occlusion. It doubles as the oracle for the
+neural shadow path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import PathState
+from ..ops.compaction import compact_by_key, counts_per_key, segment_offsets
+from ..ops.traversal import traverse_bvh
+from .mesh import NODES_AXIS
+
+
+def _tree_all_to_all(tree, axis_name):
+    """all_to_all over leading (P, B, ...) leaves; bools ride as uint8."""
+
+    def one(a):
+        is_bool = a.dtype == jnp.bool_
+        x = a.astype(jnp.uint8) if is_bool else a
+        y = jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0, tiled=False)
+        return y.astype(jnp.bool_) if is_bool else y
+
+    return jax.tree.map(one, tree)
+
+
+def exchange_paths(
+    paths: PathState,
+    my_id,
+    bucket_size: int = 0,
+    axis_name: str = NODES_AXIS,
+):
+    """One migration round. Returns (merged_paths, moved_now, still_waiting).
+
+    moved_now / still_waiting are local scalar counts: paths shipped this
+    round and paths that wanted to move but overflowed their bucket."""
+    n = paths.capacity
+    p = jax.lax.axis_size(axis_name)
+    b = bucket_size or -(-n // p)
+
+    target = paths.target_node
+    want_move = paths.is_valid & (target >= 0) & (target != my_id)
+
+    # group by destination: one stable sort replaces the per-rank scan family
+    perm, sorted_key, moving = compact_by_key(target, want_move)
+    sorted_paths = paths.gather(perm)
+
+    counts = counts_per_key(target, want_move, p)
+    offsets = segment_offsets(counts)
+    dest = jnp.where(moving, sorted_key, 0)
+    idx_in_seg = jnp.arange(n, dtype=jnp.int32) - jnp.take(offsets, dest)
+    send_ok = moving & (idx_in_seg < b)
+    slot = jnp.where(send_ok, dest * b + idx_in_seg, p * b)  # overflow -> pad row
+
+    def scatter(leaf):
+        buf = jnp.zeros((p * b + 1,) + leaf.shape[1:], leaf.dtype)
+        return buf.at[slot].set(leaf, mode="drop")[: p * b]
+
+    send = jax.tree.map(scatter, sorted_paths)
+    send_valid = (
+        jnp.zeros((p * b + 1,), jnp.bool_).at[slot].set(send_ok, mode="drop")[: p * b]
+    )
+    send = send._replace(is_valid=send.is_valid & send_valid)
+
+    recv = _tree_all_to_all(
+        jax.tree.map(lambda a: a.reshape((p, b) + a.shape[1:]), send), axis_name
+    )
+    recv = jax.tree.map(lambda a: a.reshape((p * b,) + a.shape[2:]), recv)
+
+    # rows that left this device become invalid locally
+    sent_orig = jnp.zeros((n,), jnp.bool_).at[perm].set(send_ok)
+    stay = paths._replace(is_valid=paths.is_valid & (~sent_orig))
+
+    # merge stay + received into the fixed-capacity buffer (valid rows first)
+    merged = jax.tree.map(lambda a, c: jnp.concatenate([a, c], axis=0), stay, recv)
+    mperm, _, _ = compact_by_key(jnp.zeros((n + p * b,), jnp.int32), merged.is_valid)
+    merged = jax.tree.map(lambda a: jnp.take(a, mperm[:n], axis=0), merged)
+
+    moved_now = jnp.sum(send_ok.astype(jnp.int32))
+    still_waiting = jnp.sum((want_move & ~sent_orig).astype(jnp.int32))
+    arrivals = jnp.sum(recv.is_valid.astype(jnp.int32))
+    return merged, moved_now, still_waiting, arrivals
+
+
+def ring_shadow_occlusion(
+    scene,
+    shadow_paths: PathState,
+    eps: float,
+    axis_name: str = NODES_AXIS,
+):
+    """Exact distributed occlusion: rotate (rays, flags) around the ring;
+    every partition ORs in its local test. After P-1 hops each buffer has been
+    tested everywhere; contributions are added wherever the buffer ends up
+    (the direct-light image is psum-reduced anyway).
+
+    Returns (resident_shadow_paths, occluded_flags)."""
+    p = jax.lax.axis_size(axis_name)
+
+    def local_test(sp):
+        hit = traverse_bvh(
+            scene, sp.origin, sp.direction, eps, sp.tmax * (1.0 - 1e-3), sp.is_valid
+        )
+        return hit.is_hit & sp.is_valid
+
+    occ = local_test(shadow_paths)
+    sp = shadow_paths
+    perm = [(i, (i + 1) % p) for i in range(p)]
+    bool_fields = {i for i, a in enumerate(sp) if a.dtype == jnp.bool_}
+    for _ in range(p - 1):
+        packed = jax.tree.map(
+            lambda a: a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a, (sp, occ)
+        )
+        sp_u8, occ_u8 = jax.lax.ppermute(packed, axis_name, perm)
+        sp = type(sp)(*[
+            a.astype(jnp.bool_) if i in bool_fields else a
+            for i, a in enumerate(sp_u8)
+        ])
+        occ = occ_u8.astype(jnp.bool_) | local_test(sp)
+    return sp, occ

@@ -1,0 +1,291 @@
+"""Neural-proxy stages: AABB marching, query featurization, and prediction
+consumption for secondary and shadow rays.
+
+Ports (TPU-vectorized, fully masked):
+  * proxy marching loop  — /root/reference/optix/secondary_ray_kernel.cu:230-363
+                           and /root/reference/optix/shadow_ray_kernel.cu:205-350
+  * secondary routing    — `Target_Node_Update`
+                           (/root/reference/src/cuda/frame_buffer_update.cu:222-324)
+  * shadow visibility    — `Frame_Buffer_Update` / `Depth_Buffer_Update`
+                           (/root/reference/src/cuda/frame_buffer_update.cu:31-215)
+
+Marching semantics (mirrors the OptiX AABB custom-primitive behavior the
+reference relies on): a hit inside interval (t_lo, t_cap) is the AABB entry
+point when the segment start is outside the box, else the exit point with
+`is_inside` set; inside-hits of an already-recorded box advance the march
+without emitting a query (the reference's (hitAABBID, instanceID) dedup,
+secondary_ray_kernel.cu:310-316).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as cmath
+from ..core.types import NNQuery, PathState
+from ..models.proxy import ProxyModels, apply_grouped
+from ..ops.traversal import traverse_bvh
+from ..scene.geometry import DeviceScene, ProxyTable
+
+_F32_MAX = jnp.float32(3.402823466e38)
+
+
+def march_proxies(
+    proxies: ProxyTable,
+    origin: jnp.ndarray,     # (N,3)
+    direction: jnp.ndarray,  # (N,3)
+    t_cap: jnp.ndarray,      # (N,) current local-hit distance (upper bound)
+    active: jnp.ndarray,     # (N,) bool
+    my_node,                 # scalar i32 — own partition is never a proxy
+    max_hits: int,
+    eps: float,
+) -> NNQuery:
+    """March up to `max_hits` proxy-AABB hits per ray. Returns a flattened
+    NNQuery with Q = N * max_hits rows (row n*max_hits+k = ray n's k-th hit).
+    Also usable to detect 'no proxy hit at all' via per-ray any(valid)."""
+    n = origin.shape[0]
+    p = proxies.num_partitions
+
+    inv_dir = 1.0 / jnp.where(
+        jnp.abs(direction) < 1e-12,
+        jnp.where(direction >= 0, 1e-12, -1e-12),
+        direction,
+    )
+
+    # (N, P) slab tests once; marching only moves the interval.
+    t0 = (proxies.aabb_min[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
+    t1 = (proxies.aabb_max[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
+    t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, P)
+    t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    box_ok = (t_exit >= t_enter) & (jnp.arange(p)[None, :] != my_node) & active[:, None]
+
+    box_span = jnp.maximum(proxies.aabb_max - proxies.aabb_min, 1e-12)  # (P,3)
+
+    t_lo = jnp.zeros((n,), jnp.float32)
+    seen = jnp.zeros((n,), jnp.uint32)  # bitmask of recorded boxes (dedup)
+    slot = jnp.zeros((n,), jnp.int32)   # next output slot per ray
+
+    out_feat = jnp.zeros((n, max_hits, 5), jnp.float32)
+    out_aabb = jnp.full((n, max_hits), -1, jnp.int32)
+    out_inside = jnp.zeros((n, max_hits), bool)
+    out_valid = jnp.zeros((n, max_hits), bool)
+    out_t = jnp.zeros((n, max_hits), jnp.float32)
+    out_seq = jnp.zeros((n, max_hits), jnp.int32)
+
+    live = active
+    for _ in range(max_hits):
+        lo = t_lo[:, None] + eps
+        inside = t_enter <= lo  # segment start inside this box
+        cand = jnp.where(inside, t_exit, t_enter)
+        ok = box_ok & live[:, None] & (cand > lo) & (cand < t_cap[:, None])
+        cand_masked = jnp.where(ok, cand, _F32_MAX)
+        best = jnp.argmin(cand_masked, axis=-1)  # (N,)
+        best_t = jnp.take_along_axis(cand_masked, best[:, None], axis=-1)[:, 0]
+        found = best_t < _F32_MAX
+        best_inside = jnp.take_along_axis(inside, best[:, None], axis=-1)[:, 0] & found
+
+        dup = best_inside & ((seen >> best.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
+        record = found & (~dup)
+
+        point = origin + best_t[:, None] * direction
+        bmin = jnp.take(proxies.aabb_min, best, axis=0)
+        span = jnp.take(box_span, best, axis=0)
+        local = (point - bmin) / span
+        feat_dir = jnp.where(best_inside[:, None], -direction, direction)
+        phi, theta = cmath.spherical_for_train(cmath.normalize(feat_dir))
+        feats = jnp.concatenate(
+            [local, (phi / (2.0 * jnp.pi))[:, None], (theta / jnp.pi)[:, None]],
+            axis=-1,
+        )
+
+        write = record
+        k = jnp.where(write, slot, 0)
+        row = jnp.arange(n)
+        out_feat = out_feat.at[row, k].set(
+            jnp.where(write[:, None], feats, out_feat[row, k])
+        )
+        out_aabb = out_aabb.at[row, k].set(jnp.where(write, best.astype(jnp.int32), out_aabb[row, k]))
+        out_inside = out_inside.at[row, k].set(jnp.where(write, best_inside, out_inside[row, k]))
+        out_valid = out_valid.at[row, k].set(out_valid[row, k] | write)
+        out_t = out_t.at[row, k].set(jnp.where(write, best_t, out_t[row, k]))
+        out_seq = out_seq.at[row, k].set(jnp.where(write, slot, out_seq[row, k]))
+
+        seen = jnp.where(record, seen | (jnp.uint32(1) << best.astype(jnp.uint32)), seen)
+        slot = jnp.where(record, slot + 1, slot)
+        t_lo = jnp.where(found, best_t, t_lo)
+        live = live & found & (slot < max_hits)
+
+    def flat(a):
+        return a.reshape((n * max_hits,) + a.shape[2:])
+
+    ml = jnp.take(proxies.max_length, jnp.maximum(flat(out_aabb), 0), axis=0)
+    return NNQuery(
+        features=flat(out_feat),
+        aabb_id=flat(out_aabb),
+        pixel_index=jnp.zeros((n * max_hits,), jnp.int32),  # filled by caller
+        shadow_path_id=jnp.zeros((n * max_hits,), jnp.int32),
+        hit_sequence=flat(out_seq),
+        is_inside=flat(out_inside),
+        is_valid=flat(out_valid),
+        path_index=jnp.repeat(jnp.arange(n, dtype=jnp.int32), max_hits),
+        aabb_t=flat(out_t),
+        max_length=ml,
+        # no instancing: world == object space, so the reference's
+        # tMax/|originLocal-pointLocal| ratio is identically 1
+        t_ratio=jnp.ones((n * max_hits,), jnp.float32),
+        normalized_t=flat(out_t) / jnp.maximum(ml, 1e-12),
+    )
+
+
+def secondary_route(
+    scene: DeviceScene,
+    proxies: ProxyTable,
+    models: ProxyModels,
+    env,
+    paths: PathState,
+    my_id,
+    max_hits: int,
+    eps: float,
+    frame_buffer_size: int,
+):
+    """`secondaryRayModuleBasedNN` port (/root/reference/src/render/
+    renderer.cpp:1407-1452): local closest hit + proxy march + vis/depth nets
+    -> per-path routing decision (target_node / tmax / is_hit). Returns
+    (updated paths, env_image_add)."""
+    n = paths.capacity
+    live = paths.is_valid & (~paths.is_shadow)
+
+    hits = traverse_bvh(scene, paths.origin, paths.direction, eps, paths.tmax, live)
+    local_hit = live & hits.is_hit
+    local_t = jnp.where(local_hit, hits.t, paths.tmax)
+
+    q = march_proxies(
+        proxies, paths.origin, paths.direction, local_t, live, my_id, max_hits, eps
+    )
+
+    vis = apply_grouped(
+        models.vis_params, models.vis_cfg, q.features,
+        q.aabb_id, q.is_valid, models.num_objects,
+    )
+    depth = apply_grouped(
+        models.depth_params, models.depth_cfg, q.features,
+        q.aabb_id, q.is_valid, models.num_objects,
+    )
+
+    # tMaxFloatTypeKernel (frame_buffer_update.cu:222-257)
+    pred_hit = q.is_valid & (vis > 0.5)
+    pred_len = q.t_ratio * q.max_length * depth
+    pred_t = jnp.where(
+        q.is_inside,
+        jnp.where(pred_len > q.aabb_t, 0.0, q.aabb_t - pred_len),
+        q.aabb_t + pred_len,
+    )
+    pred_t = jnp.where(pred_hit & (pred_t > jnp.finfo(jnp.float32).eps), pred_t, _F32_MAX)
+
+    # targetNodeKernelFloatType (frame_buffer_update.cu:259-324)
+    pred_t2 = pred_t.reshape(n, max_hits)
+    node2 = q.aabb_id.reshape(n, max_hits)
+    best_k = jnp.argmin(pred_t2, axis=-1)
+    best_pred_t = jnp.take_along_axis(pred_t2, best_k[:, None], axis=-1)[:, 0]
+    best_pred_node = jnp.take_along_axis(node2, best_k[:, None], axis=-1)[:, 0]
+
+    use_pred = live & (best_pred_t < local_t)
+    settled_node = jnp.where(
+        use_pred, best_pred_node, jnp.where(local_hit, my_id, -1)
+    )
+    new_t = jnp.where(use_pred, best_pred_t, local_t)
+
+    has_node = settled_node >= 0
+    # env fallback: no local hit, no proxy hit at all -> environment + kill
+    # (secondary_ray_kernel.cu:355-362)
+    any_query = q.is_valid.reshape(n, max_hits).any(axis=-1)
+    env_miss = live & (~local_hit) & (~any_query) & (~has_node)
+    env_radiance = env.sample(paths.direction)
+    env_add = jax.ops.segment_sum(
+        jnp.where(env_miss[:, None], paths.throughput * env_radiance, 0.0),
+        paths.pixel_index,
+        num_segments=frame_buffer_size,
+    )
+
+    # no-route quirk (frame_buffer_update.cu:292-296): stay local with tmax=0;
+    # the shade-stage re-trace then resolves env for the remaining misses.
+    no_route = live & (~has_node) & (~env_miss)
+
+    new_paths = paths._replace(
+        tmax=jnp.where(live, jnp.where(has_node, new_t, 0.0), paths.tmax),
+        current_node=jnp.where(has_node, settled_node, jnp.where(no_route, my_id, paths.current_node)).astype(jnp.int32),
+        target_node=jnp.where(has_node, settled_node, jnp.where(no_route, my_id, paths.target_node)).astype(jnp.int32),
+        is_hit=jnp.where(live, has_node, paths.is_hit),
+        is_valid=paths.is_valid & (~env_miss),
+        # all partitions marked visited: routing is fully decided here, the
+        # migration loop only transports (secondary_ray_kernel.cu:192)
+        visited_mask=jnp.where(live, jnp.uint32(0xFFFFFFFF), paths.visited_mask),
+    )
+    return new_paths, env_add
+
+
+def shadow_direct_light_nn(
+    scene: DeviceScene,
+    proxies: ProxyTable,
+    models: ProxyModels,
+    shadow_paths: PathState,
+    my_id,
+    max_hits: int,
+    eps: float,
+    shadow_path_count: int,
+    frame_buffer_size: int,
+):
+    """`shadowRayModuleBasedNN` port (/root/reference/src/render/
+    renderer.cpp:1349-1404): local occlusion kill, proxy march, vis nets (+
+    depth nets for inside-hits), max-occlusion blend, direct-light image add.
+    Returns the (npix, 3) direct-light increment."""
+    valid = shadow_paths.is_valid
+
+    occl = traverse_bvh(
+        scene,
+        shadow_paths.origin,
+        shadow_paths.direction,
+        eps,
+        shadow_paths.tmax * (1.0 - 1e-3),
+        valid,
+    )
+    survives = valid & (~occl.is_hit)
+
+    q = march_proxies(
+        proxies,
+        shadow_paths.origin,
+        shadow_paths.direction,
+        shadow_paths.tmax * (1.0 - 1e-3),
+        survives,
+        my_id,
+        max_hits,
+        eps,
+    )
+
+    vis = apply_grouped(
+        models.vis_params, models.vis_cfg, q.features,
+        q.aabb_id, q.is_valid, models.num_objects,
+    )
+    # depth nets only consulted for inside-hits (renderer.cpp:1381-1391)
+    depth = apply_grouped(
+        models.depth_params, models.depth_cfg, q.features,
+        q.aabb_id, q.is_valid & q.is_inside, models.num_objects,
+    )
+
+    # shadowOcclusionFloatTypeKernel + predDepthUpdateKernel
+    # (frame_buffer_update.cu:31-72, 172-192)
+    occluded_q = q.is_valid & (vis > 0.5) & (
+        (~q.is_inside) | (depth <= q.normalized_t)
+    )
+    n = shadow_paths.capacity
+    max_occ = occluded_q.reshape(n, max_hits).any(axis=-1).astype(jnp.float32)
+
+    # contributionKernelFloatType (frame_buffer_update.cu:95-127)
+    contrib = jnp.where(
+        survives[:, None],
+        shadow_paths.throughput * (1.0 - max_occ)[:, None] / shadow_path_count,
+        0.0,
+    )
+    return jax.ops.segment_sum(
+        contrib, shadow_paths.pixel_index, num_segments=frame_buffer_size
+    )

@@ -3,11 +3,14 @@ paths (shard_map / all_to_all / psum) execute without TPU hardware
 (SURVEY.md §4c)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402  (import after env setup)
 
+# the environment's sitecustomize force-registers the TPU platform and
+# overrides JAX_PLATFORMS; override it back before any backend is initialized
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

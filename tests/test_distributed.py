@@ -1,0 +1,143 @@
+"""Distributed layer tests on a virtual 8-device CPU mesh (SURVEY.md §4c/§4d).
+
+The headline invariant: with exact (non-neural) distributed shadows and the
+wavefront migration loop, an N-partition render must match the 1-device
+render of the same scene up to float reassociation (§4d)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import pytest
+
+from pg2024_dprt_tpu.core import Camera
+from pg2024_dprt_tpu.models import random_proxy_models
+from pg2024_dprt_tpu.parallel import (
+    NODES_AXIS,
+    make_mesh,
+    render_image_distributed,
+)
+from pg2024_dprt_tpu.parallel.exchange import exchange_paths
+from pg2024_dprt_tpu.core.types import PathState
+from pg2024_dprt_tpu.render import RenderConfig, render_image
+from pg2024_dprt_tpu.scene import (
+    build_partitioned_scene,
+    cornell_box,
+    device_scene_from_meshes,
+)
+from pg2024_dprt_tpu.scene.lights import EnvironmentMap
+
+
+def _cornell_setup(width=24, height=24, spp=1, bounces=2, parts=4):
+    meshes, lights = cornell_box()
+    part = build_partitioned_scene(meshes, parts)
+    env = EnvironmentMap.constant((0.2, 0.3, 0.4))
+    camera = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0], 40.0, width, height)
+    cfg = RenderConfig(width=width, height=height, spp=spp, bounces=bounces)
+    return meshes, lights, part, env, camera, cfg
+
+
+def test_exchange_paths_roundtrip():
+    """Every path addressed to partition d must arrive at partition d."""
+    mesh = make_mesh(4)
+    n = 64
+
+    def prog(my_id_arr):
+        my_id = jax.lax.axis_index(NODES_AXIS).astype(jnp.int32)
+        paths = PathState.empty(n)
+        # device k creates 8 valid paths targeted at (k+1)%4, payload = k
+        idx = jnp.arange(n)
+        valid = idx < 8
+        paths = paths._replace(
+            is_valid=valid,
+            target_node=jnp.where(valid, (my_id + 1) % 4, -1),
+            pixel_index=jnp.where(valid, my_id * 1000 + idx, 0).astype(jnp.int32),
+            throughput=jnp.where(valid[:, None], jnp.full((n, 3), my_id, jnp.float32), 0.0),
+        )
+        merged, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=16)
+        got = jnp.sum(merged.is_valid.astype(jnp.int32))
+        # all arrived payloads must come from my left neighbor
+        src = jnp.where(merged.is_valid, merged.pixel_index // 1000, -1)
+        ok_src = jnp.all(jnp.where(merged.is_valid, src == (my_id + 3) % 4, True))
+        return (
+            jnp.stack([got, moved, waiting, arrivals]),
+            ok_src.astype(jnp.int32)[None],
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            prog, mesh=mesh,
+            in_specs=(P(NODES_AXIS),), out_specs=(P(NODES_AXIS), P(NODES_AXIS)),
+            check_vma=False,
+        )
+    )
+    stats, ok = fn(jnp.zeros((4,), jnp.int32))
+    stats = np.asarray(stats).reshape(4, 4)
+    assert (stats[:, 0] == 8).all()   # each device ends with 8 valid paths
+    assert (stats[:, 1] == 8).all()   # 8 moved out
+    assert (stats[:, 2] == 0).all()   # no overflow
+    assert (stats[:, 3] == 8).all()   # 8 arrived
+    assert np.asarray(ok).all()
+
+
+def test_exchange_overflow_retains_paths():
+    """Paths overflowing a bucket stay valid locally (never dropped)."""
+    mesh = make_mesh(2)
+    n = 32
+
+    def prog(_):
+        my_id = jax.lax.axis_index(NODES_AXIS).astype(jnp.int32)
+        paths = PathState.empty(n)
+        idx = jnp.arange(n)
+        valid = idx < 10
+        paths = paths._replace(
+            is_valid=valid,
+            target_node=jnp.where(valid, 1 - my_id, -1),
+        )
+        merged, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=4)
+        return jnp.stack([
+            jnp.sum(merged.is_valid.astype(jnp.int32)), moved, waiting, arrivals
+        ])
+
+    fn = jax.jit(
+        jax.shard_map(prog, mesh=mesh, in_specs=(P(NODES_AXIS),),
+                      out_specs=P(NODES_AXIS), check_vma=False)
+    )
+    stats = np.asarray(fn(jnp.zeros((2,), jnp.int32))).reshape(2, 4)
+    # 4 moved, 6 kept waiting, 4 arrived -> 10 valid still on each device
+    assert (stats[:, 0] == 10).all()
+    assert (stats[:, 1] == 4).all()
+    assert (stats[:, 2] == 6).all()
+    assert (stats[:, 3] == 4).all()
+
+
+@pytest.mark.parametrize("parts", [1, 2, 4])
+def test_distributed_matches_single_device(parts):
+    """§4d: N-partition render == 1-device render (exact mode, no proxies)."""
+    meshes, lights, part, env, camera, cfg = _cornell_setup(parts=parts)
+    mesh = make_mesh(parts)
+    models = random_proxy_models(jax.random.PRNGKey(0), parts)
+
+    single_scene = device_scene_from_meshes(meshes)
+    want = np.asarray(render_image(single_scene, lights, env, camera, cfg))
+
+    got = np.asarray(
+        render_image_distributed(part, models, lights, env, camera, cfg, mesh)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_distributed_neural_mode_runs():
+    """Neural-proxy mode executes end-to-end with untrained nets: the image is
+    finite, non-negative, and bounce-0 direct lighting (which never goes
+    through the nets' routing for primary visibility) is present."""
+    meshes, lights, part, env, camera, cfg = _cornell_setup(parts=2, bounces=2)
+    cfg = RenderConfig(
+        width=cfg.width, height=cfg.height, spp=1, bounces=2, use_neural_proxies=True
+    )
+    mesh = make_mesh(2)
+    models = random_proxy_models(jax.random.PRNGKey(1), 2)
+    img = np.asarray(render_image_distributed(part, models, lights, env, camera, cfg, mesh))
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.max() > 0.0
