@@ -1,0 +1,87 @@
+"""Dataset preparation — ports of the reference loaders
+(/root/reference/trainingcode/datasets.py).
+
+The reference reads origin/direction EXR pairs; here datasets come either from
+`train.datagen` (in-process ray casting) or from EXR pairs written by
+`export_exr_pair` (same channel layout as the reference: origin = 3 feature
+channels, direction = [phi, theta, label]).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.exr import read_exr, write_exr
+
+
+def balance_vis(features: np.ndarray, depth_labels: np.ndarray, ratio: float = 1.5, seed: int = 0):
+    """Visibility dataset: binary hit labels, misses subsampled to
+    ~ratio x hit count (loadNormalizedDatasetsBalanceVIS, datasets.py:149-193).
+    Returns (features, vis_labels in {0,1})."""
+    miss = depth_labels == 1.0
+    hit_idx = np.where(~miss)[0]
+    miss_idx = np.where(miss)[0]
+    rng = np.random.RandomState(seed)
+    keep = rng.permutation(miss_idx.shape[0])[: int(hit_idx.shape[0] * ratio)]
+    miss_idx = miss_idx[keep]
+    idx = np.concatenate([miss_idx, hit_idx])
+    f = features[idx]
+    vis = np.ones(idx.shape[0], np.float32)
+    vis[: miss_idx.shape[0]] = 0.0  # miss -> 0, hit -> 1 (datasets.py:190-192)
+    return f, vis
+
+
+def depth_only(features: np.ndarray, depth_labels: np.ndarray):
+    """Depth dataset: drop all misses (loadNormalizedDatasetsDepth,
+    datasets.py:195-227)."""
+    hit = depth_labels != 1.0
+    return features[hit], depth_labels[hit].astype(np.float32)
+
+
+def split_train_test(features, labels, train_ratio: float = 0.8, seed: int = 0):
+    """Shuffled 80/20 split (getDatasets, datasets.py:270-285)."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(features.shape[0])
+    features, labels = features[perm], labels[perm]
+    k = int(features.shape[0] * train_ratio)
+    return features[:k], labels[:k], features[k:], labels[k:]
+
+
+def shuffle(features, labels, seed: int = 0):
+    """Per-epoch reshuffle (shuffleDatasets, datasets.py:287-292)."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(features.shape[0])
+    return features[perm], labels[perm]
+
+
+def export_exr_pair(origin_path: str, direction_path: str, features: np.ndarray,
+                    depth_labels: np.ndarray, width: int = 1024):
+    """Write the reference's EXR dataset layout: origin EXR carries features
+    0..2, direction EXR carries [feature3, feature4, label]."""
+    n = features.shape[0]
+    h = -(-n // width)
+    pad = h * width - n
+
+    def img(cols):
+        a = np.concatenate([cols, np.ones((pad, 3), np.float32)], axis=0)
+        return a.reshape(h, width, 3)
+
+    write_exr(origin_path, img(features[:, 0:3]))
+    dir_cols = np.stack(
+        [features[:, 3], features[:, 4], depth_labels.astype(np.float32)], axis=-1
+    )
+    write_exr(direction_path, img(dir_cols))
+
+
+def load_exr_pair(origin_path: str, direction_path: str):
+    """Read an origin/direction EXR pair back into (features, depth_labels)."""
+    o, names_o = read_exr(origin_path)
+    d, names_d = read_exr(direction_path)
+
+    def rgb(img, names):
+        order = [names.index(c) for c in ("R", "G", "B")]
+        return img[:, :, order].reshape(-1, 3)
+
+    o = rgb(o, names_o)
+    d = rgb(d, names_d)
+    features = np.concatenate([o, d[:, 0:2]], axis=-1).astype(np.float32)
+    return features, d[:, 2].astype(np.float32)
