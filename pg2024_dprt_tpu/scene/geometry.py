@@ -134,6 +134,16 @@ class DeviceScene(NamedTuple):
     mesh_base_color: jnp.ndarray     # (Mm,3) f32
     mesh_bsdf_type: jnp.ndarray      # (Mm,) i32
     mesh_texture_index: jnp.ndarray  # (Mm,) i32
+    # Cluster decomposition for the TPU tracer (scene/clusters.py):
+    # cluster-major triangle copies laid out densely (K*C rows) so the
+    # dispatch tracer intersects contiguous tiles with zero gathers.
+    cl_aabb_min: jnp.ndarray  # (K,3) f32
+    cl_aabb_max: jnp.ndarray  # (K,3) f32
+    cl_count: jnp.ndarray     # (K,) i32 valid tris per cluster
+    cl_v0: jnp.ndarray        # (K*C,3) f32
+    cl_v1: jnp.ndarray
+    cl_v2: jnp.ndarray
+    cl_tri_map: jnp.ndarray   # (K*C,) i32 -> canonical tri index (-1 pad)
 
     @property
     def num_nodes(self) -> int:
@@ -143,19 +153,33 @@ class DeviceScene(NamedTuple):
     def num_triangles(self) -> int:
         return self.v0.shape[0]
 
+    @property
+    def num_clusters(self) -> int:
+        return self.cl_aabb_min.shape[0]
+
+    @property
+    def tris_per_cluster(self) -> int:
+        return self.cl_v0.shape[0] // self.cl_aabb_min.shape[0]
+
 
 def device_scene_from_meshes(
     meshes: list,
     node_capacity: Optional[int] = None,
     tri_capacity: Optional[int] = None,
+    tris_per_cluster: int = 128,
+    cluster_capacity: Optional[int] = None,
 ) -> DeviceScene:
     """Build a single-partition DeviceScene (BVH + reordered triangles)."""
     host = concat_geometry(meshes)
     bvh = build_bvh(host["v0"], host["v1"], host["v2"])
-    return _pack_device_scene(host, bvh, node_capacity, tri_capacity)
+    return _pack_device_scene(
+        host, bvh, node_capacity, tri_capacity,
+        tris_per_cluster=tris_per_cluster, cluster_capacity=cluster_capacity,
+    )
 
 
-def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None) -> DeviceScene:
+def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None,
+                       tris_per_cluster: int = 128, cluster_capacity=None) -> DeviceScene:
     order = bvh.tri_order
     t = order.shape[0]
     tc = tri_capacity or max(t, 1)
@@ -177,7 +201,36 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     tri_valid = np.zeros((tc,), bool)
     tri_valid[:t] = True
 
+    # cluster decomposition (cluster-major padded copies for the TPU tracer)
+    from .clusters import build_clusters
+
+    clusters = build_clusters(bvh, max_tris=tris_per_cluster)
+    kc = cluster_capacity or max(clusters.aabb_min.shape[0], 1)
+    c = clusters.tris_per_cluster
+    k0 = clusters.aabb_min.shape[0]
+    assert k0 <= kc, f"cluster count {k0} exceeds capacity {kc}"
+
     inf = np.float32(np.inf)
+    cl_min = np.full((kc, 3), inf, np.float32)
+    cl_max = np.full((kc, 3), -inf, np.float32)
+    cl_cnt = np.zeros((kc,), np.int32)
+    cl_min[:k0] = clusters.aabb_min
+    cl_max[:k0] = clusters.aabb_max
+    cl_cnt[:k0] = clusters.count
+    tri_map = np.full((kc * c,), -1, np.int32)
+    tri_map[: k0 * c] = clusters.tri_map
+
+    # cluster-major vertex copies (tri_map indexes BVH-order triangles)
+    ordered = {k: host[k][order] for k in ("v0", "v1", "v2")}
+    safe = np.maximum(tri_map, 0)
+
+    def cl_verts(key):
+        if ordered[key].shape[0] == 0:
+            return jnp.zeros((kc * c, 3), jnp.float32)
+        a = ordered[key][safe]
+        a[tri_map < 0] = 0.0
+        return jnp.asarray(a.astype(np.float32))
+
     return DeviceScene(
         node_min=pad_node(bvh.bounds_min, inf),
         node_max=pad_node(bvh.bounds_max, -inf),
@@ -198,4 +251,11 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         mesh_base_color=jnp.asarray(host["mesh_base_color"]),
         mesh_bsdf_type=jnp.asarray(host["mesh_bsdf_type"]),
         mesh_texture_index=jnp.asarray(host["mesh_texture_index"]),
+        cl_aabb_min=jnp.asarray(cl_min),
+        cl_aabb_max=jnp.asarray(cl_max),
+        cl_count=jnp.asarray(cl_cnt),
+        cl_v0=cl_verts("v0"),
+        cl_v1=cl_verts("v1"),
+        cl_v2=cl_verts("v2"),
+        cl_tri_map=jnp.asarray(tri_map),
     )

@@ -86,10 +86,19 @@ def build_partitioned_scene(
     tri_cap = max(max((h["v0"].shape[0] for h in per_part_host), default=1), 1)
     node_cap = max(max((b.num_nodes for b in bvhs), default=1), 1)
 
+    from .clusters import build_clusters
+
+    cluster_cap = max(
+        max((build_clusters(b).aabb_min.shape[0] for b in bvhs), default=1), 1
+    )
+
     scenes = []
     aabb_min, aabb_max = [], []
     for host, bvh in zip(per_part_host, bvhs):
-        ds = _pack_device_scene(host, bvh, node_capacity=node_cap, tri_capacity=tri_cap)
+        ds = _pack_device_scene(
+            host, bvh, node_capacity=node_cap, tri_capacity=tri_cap,
+            cluster_capacity=cluster_cap,
+        )
         ds = ds._replace(**mesh_tables)
         scenes.append(ds)
         if host["v0"].shape[0] > 0:
