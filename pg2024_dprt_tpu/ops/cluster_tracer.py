@@ -141,33 +141,21 @@ def _chunk_trace(scene: DeviceScene, o, d, t_min, t_max, active,
     all_valid = ((g_ray >= 0) & g_live[:, None]).reshape(groups, gb, br)
 
     # hoisted tri tiles via ONE one-hot MXU matmul (few-index row gathers
-    # lower to serial slice loops on this backend; one-hot matmuls do not).
-    # tmap rides along as f32 (ids < 2^24 are exact).
-    tri_table = jnp.concatenate(
-        [
-            scene.cl_v0.reshape(k, c * 3),
-            scene.cl_v1.reshape(k, c * 3),
-            scene.cl_v2.reshape(k, c * 3),
-            scene.cl_tri_map.reshape(k, c).astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (K, 10*C)
+    # lower to serial slice loops on this backend; one-hot matmuls do not)
     onehot = (g_cluster[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    all_tiles = jnp.dot(onehot, tri_table, preferred_element_type=jnp.float32)
+    all_tiles = jnp.dot(onehot, scene.cl_tri_table, preferred_element_type=jnp.float32)
     all_tiles = all_tiles.reshape(groups, gb, 10 * c)
 
     def group(xs):
         bo, bd, btmin, btmax, bvalid, tile = xs
-        bt0 = tile[:, 0 * c * 3 : 1 * c * 3].reshape(gb, c, 3)
-        bt1 = tile[:, 1 * c * 3 : 2 * c * 3].reshape(gb, c, 3)
-        bt2 = tile[:, 2 * c * 3 : 3 * c * 3].reshape(gb, c, 3)
-        btm = jnp.round(tile[:, 9 * c :]).astype(jnp.int32)  # (gb, C)
+        comp = lambda j: tile[:, j * c : (j + 1) * c]      # (gb, C)
+        btm = jnp.round(comp(9)).astype(jnp.int32)          # (gb, C)
 
         # component-wise Moller-Trumbore: (gb, br, C) arrays, minor dim = C
         rc = lambda a, ax: a[:, :, ax][:, :, None]
-        tc = lambda a, ax: a[:, :, ax][:, None, :]
-        e1x, e1y, e1z = (tc(bt1, i) - tc(bt0, i) for i in range(3))
-        e2x, e2y, e2z = (tc(bt2, i) - tc(bt0, i) for i in range(3))
+        tc_ = lambda j: comp(j)[:, None, :]                 # (gb, 1, C)
+        e1x, e1y, e1z = (tc_(3 + i) - tc_(i) for i in range(3))
+        e2x, e2y, e2z = (tc_(6 + i) - tc_(i) for i in range(3))
         dx, dy, dz = (rc(bd, i) for i in range(3))
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
@@ -175,9 +163,9 @@ def _chunk_trace(scene: DeviceScene, o, d, t_min, t_max, active,
         det = e1x * px + e1y * py + e1z * pz
         ok = jnp.abs(det) > 1e-12
         inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        tx = rc(bo, 0) - tc(bt0, 0)
-        ty = rc(bo, 1) - tc(bt0, 1)
-        tz = rc(bo, 2) - tc(bt0, 2)
+        tx = rc(bo, 0) - tc_(0)
+        ty = rc(bo, 1) - tc_(1)
+        tz = rc(bo, 2) - tc_(2)
         u = (tx * px + ty * py + tz * pz) * inv_det
         qx = ty * e1z - tz * e1y
         qy = tz * e1x - tx * e1z

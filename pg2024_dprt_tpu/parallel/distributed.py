@@ -30,7 +30,7 @@ from jax import shard_map
 
 from ..core.types import PathState
 from ..models.proxy import ProxyModels
-from ..ops.traversal import traverse_bvh
+from ..ops.trace_api import trace_closest
 from ..render.config import RenderConfig
 from ..render.pathgen import generate_camera_paths
 from ..render.proxy_stages import secondary_route, shadow_direct_light_nn
@@ -42,7 +42,7 @@ from .mesh import NODES_AXIS
 _F32_MAX = jnp.float32(3.402823466e38)
 
 
-def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix):
+def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"):
     """Distributed traversal kernel ("TraRay") port
     (/root/reference/optix/distributed_traversal_kernel.cu:215-339):
     local closest hit honoring visitedMask, own bit set, nearest-unvisited
@@ -51,7 +51,7 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix):
     my_bit = ((paths.visited_mask >> my_id.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
     do_local = live & (~my_bit)
 
-    hits = traverse_bvh(scene, paths.origin, paths.direction, eps, paths.tmax, do_local)
+    hits = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, do_local, tracer=tracer)
     new_tmax = jnp.where(hits.is_hit, hits.t, paths.tmax)
     current = jnp.where(do_local & hits.is_hit, my_id, paths.current_node).astype(jnp.int32)
     is_hit = paths.is_hit | (do_local & hits.is_hit)
@@ -117,7 +117,7 @@ def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfi
 
     def body(carry):
         paths, env_img, _pending, it = carry
-        paths, env_add = _trace_and_route(scene, proxies, env, paths, my_id, cfg.t_epsilon, npix)
+        paths, env_add = _trace_and_route(scene, proxies, env, paths, my_id, cfg.t_epsilon, npix, cfg.tracer)
         paths, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=bucket)
         pending = jax.lax.psum(waiting + arrivals, NODES_AXIS)
         return paths, env_img + env_add, pending, it + 1
@@ -148,7 +148,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
         if bounce > 0 and cfg.use_neural_proxies:
             paths, env_add = secondary_route(
                 scene, proxies, models, env, paths, my_id,
-                cfg.max_proxy_hits, cfg.t_epsilon, npix,
+                cfg.max_proxy_hits, cfg.t_epsilon, npix, tracer=cfg.tracer,
             )
             env_img = env_img + env_add
 
@@ -156,9 +156,9 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
 
         # settle + shade locally: fresh re-trace exactly like MainRay
         live = paths.is_valid & (~paths.is_shadow)
-        hits = traverse_bvh(
+        hits = trace_closest(
             scene, paths.origin, paths.direction, cfg.t_epsilon,
-            jnp.full((paths.capacity,), _F32_MAX), live,
+            jnp.full((paths.capacity,), _F32_MAX), live, tracer=cfg.tracer,
         )
         next_paths, shadow_paths, env_add = shade(
             scene, lights, env, paths, hits, sample_count, bounce,
@@ -170,9 +170,10 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
             direct = direct + shadow_direct_light_nn(
                 scene, proxies, models, shadow_paths, my_id,
                 cfg.max_proxy_hits, cfg.t_epsilon, cfg.shadow_path_count, npix,
+                tracer=cfg.tracer,
             )
         else:
-            sp, occ = ring_shadow_occlusion(scene, shadow_paths, cfg.t_epsilon)
+            sp, occ = ring_shadow_occlusion(scene, shadow_paths, cfg.t_epsilon, tracer=cfg.tracer)
             contrib = jnp.where(
                 (sp.is_valid & (~occ))[:, None],
                 sp.throughput / cfg.shadow_path_count,

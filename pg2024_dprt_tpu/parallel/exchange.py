@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.types import PathState
 from ..ops.compaction import compact_by_key, counts_per_key, segment_offsets
-from ..ops.traversal import traverse_bvh
+from ..ops.trace_api import trace_occlusion
 from .mesh import NODES_AXIS
 
 
@@ -102,6 +102,7 @@ def ring_shadow_occlusion(
     shadow_paths: PathState,
     eps: float,
     axis_name: str = NODES_AXIS,
+    tracer: str = "auto",
 ):
     """Exact distributed occlusion: rotate (rays, flags) around the ring;
     every partition ORs in its local test. After P-1 hops each buffer has been
@@ -112,10 +113,11 @@ def ring_shadow_occlusion(
     p = jax.lax.axis_size(axis_name)
 
     def local_test(sp):
-        hit = traverse_bvh(
-            scene, sp.origin, sp.direction, eps, sp.tmax * (1.0 - 1e-3), sp.is_valid
+        occ = trace_occlusion(
+            scene, sp.origin, sp.direction, eps, sp.tmax * (1.0 - 1e-3), sp.is_valid,
+            tracer=tracer,
         )
-        return hit.is_hit & sp.is_valid
+        return occ & sp.is_valid
 
     occ = local_test(shadow_paths)
     sp = shadow_paths

@@ -29,6 +29,9 @@ class RenderConfig:
     use_neural_proxies: bool = False
     # Wavefront migration iterations upper bound (<= partitions in practice).
     max_migrations: int = 8
+    # Traversal backend: "auto" | "stackless" | "cluster" | "pallas"
+    # (ops/trace_api.py; auto = pallas on accelerators, stackless on CPU).
+    tracer: str = "auto"
     # Per-destination all_to_all bucket capacity as a fraction of path capacity.
     bucket_fraction: float = 1.0
 

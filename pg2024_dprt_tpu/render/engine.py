@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import Camera
-from ..ops.traversal import traverse_bvh
+from ..ops.trace_api import trace_closest, trace_occlusion
 from ..scene.geometry import DeviceScene
 from ..scene.lights import EnvironmentMap, LightTable
 from .config import RenderConfig
@@ -49,8 +49,9 @@ def render_sample(
         paths, direct, env_img = carry
         live = paths.is_valid
 
-        hits = traverse_bvh(
-            scene, paths.origin, paths.direction, cfg.t_epsilon, paths.tmax, live
+        hits = trace_closest(
+            scene, paths.origin, paths.direction, cfg.t_epsilon, paths.tmax, live,
+            tracer=cfg.tracer,
         )
 
         next_paths, shadow_paths, env_add = shade(
@@ -68,15 +69,16 @@ def render_sample(
 
         # Shadow occlusion vs local geometry. tmax is shaved slightly so the
         # light sample point itself never registers as a blocker.
-        occl_hits = traverse_bvh(
+        occluded = trace_occlusion(
             scene,
             shadow_paths.origin,
             shadow_paths.direction,
             cfg.t_epsilon,
             shadow_paths.tmax * (1.0 - 1e-3),
             shadow_paths.is_valid,
+            tracer=cfg.tracer,
         )
-        unoccluded = shadow_paths.is_valid & (~occl_hits.is_hit)
+        unoccluded = shadow_paths.is_valid & (~occluded)
         contrib = jnp.where(
             unoccluded[:, None],
             shadow_paths.throughput / cfg.shadow_path_count,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..core import math as cmath
 from ..core.types import NNQuery, PathState
 from ..models.proxy import ProxyModels, apply_grouped
-from ..ops.traversal import traverse_bvh
+from ..ops.trace_api import trace_closest, trace_occlusion
 from ..scene.geometry import DeviceScene, ProxyTable
 
 _F32_MAX = jnp.float32(3.402823466e38)
@@ -147,6 +147,7 @@ def secondary_route(
     max_hits: int,
     eps: float,
     frame_buffer_size: int,
+    tracer: str = "auto",
 ):
     """`secondaryRayModuleBasedNN` port (/root/reference/src/render/
     renderer.cpp:1407-1452): local closest hit + proxy march + vis/depth nets
@@ -155,7 +156,7 @@ def secondary_route(
     n = paths.capacity
     live = paths.is_valid & (~paths.is_shadow)
 
-    hits = traverse_bvh(scene, paths.origin, paths.direction, eps, paths.tmax, live)
+    hits = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, live, tracer=tracer)
     local_hit = live & hits.is_hit
     local_t = jnp.where(local_hit, hits.t, paths.tmax)
 
@@ -234,6 +235,7 @@ def shadow_direct_light_nn(
     eps: float,
     shadow_path_count: int,
     frame_buffer_size: int,
+    tracer: str = "auto",
 ):
     """`shadowRayModuleBasedNN` port (/root/reference/src/render/
     renderer.cpp:1349-1404): local occlusion kill, proxy march, vis nets (+
@@ -241,15 +243,16 @@ def shadow_direct_light_nn(
     Returns the (npix, 3) direct-light increment."""
     valid = shadow_paths.is_valid
 
-    occl = traverse_bvh(
+    occluded_local = trace_occlusion(
         scene,
         shadow_paths.origin,
         shadow_paths.direction,
         eps,
         shadow_paths.tmax * (1.0 - 1e-3),
         valid,
+        tracer=tracer,
     )
-    survives = valid & (~occl.is_hit)
+    survives = valid & (~occluded_local)
 
     q = march_proxies(
         proxies,

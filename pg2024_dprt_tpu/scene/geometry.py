@@ -135,15 +135,15 @@ class DeviceScene(NamedTuple):
     mesh_bsdf_type: jnp.ndarray      # (Mm,) i32
     mesh_texture_index: jnp.ndarray  # (Mm,) i32
     # Cluster decomposition for the TPU tracer (scene/clusters.py):
-    # cluster-major triangle copies laid out densely (K*C rows) so the
-    # dispatch tracer intersects contiguous tiles with zero gathers.
-    cl_aabb_min: jnp.ndarray  # (K,3) f32
-    cl_aabb_max: jnp.ndarray  # (K,3) f32
-    cl_count: jnp.ndarray     # (K,) i32 valid tris per cluster
-    cl_v0: jnp.ndarray        # (K*C,3) f32
-    cl_v1: jnp.ndarray
-    cl_v2: jnp.ndarray
-    cl_tri_map: jnp.ndarray   # (K*C,) i32 -> canonical tri index (-1 pad)
+    # cluster-major triangle data packed component-planar so tracers stream
+    # contiguous (C,)-wide tiles with zero gathers. Row k of cl_tri_table is
+    # [v0x(C) v0y v0z v1x v1y v1z v2x v2y v2z tmap(C)] (tmap as f32; canonical
+    # triangle ids < 2^24 are exact).
+    cl_aabb_min: jnp.ndarray   # (K,3) f32
+    cl_aabb_max: jnp.ndarray   # (K,3) f32
+    cl_count: jnp.ndarray      # (K,) i32 valid tris per cluster
+    cl_tri_table: jnp.ndarray  # (K, 10*C) f32
+    cl_tri_map: jnp.ndarray    # (K*C,) i32 -> canonical tri index (-1 pad)
 
     @property
     def num_nodes(self) -> int:
@@ -159,7 +159,7 @@ class DeviceScene(NamedTuple):
 
     @property
     def tris_per_cluster(self) -> int:
-        return self.cl_v0.shape[0] // self.cl_aabb_min.shape[0]
+        return self.cl_tri_table.shape[1] // 10
 
 
 def device_scene_from_meshes(
@@ -220,16 +220,18 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     tri_map = np.full((kc * c,), -1, np.int32)
     tri_map[: k0 * c] = clusters.tri_map
 
-    # cluster-major vertex copies (tri_map indexes BVH-order triangles)
+    # component-planar cluster-major tri table (see DeviceScene docstring)
     ordered = {k: host[k][order] for k in ("v0", "v1", "v2")}
     safe = np.maximum(tri_map, 0)
-
-    def cl_verts(key):
-        if ordered[key].shape[0] == 0:
-            return jnp.zeros((kc * c, 3), jnp.float32)
-        a = ordered[key][safe]
-        a[tri_map < 0] = 0.0
-        return jnp.asarray(a.astype(np.float32))
+    table = np.zeros((kc, 10, c), np.float32)
+    if order.shape[0] > 0:
+        for vi, key in enumerate(("v0", "v1", "v2")):
+            a = ordered[key][safe]         # (kc*c, 3)
+            a[tri_map < 0] = 0.0
+            table[:, vi * 3 : vi * 3 + 3, :] = (
+                a.reshape(kc, c, 3).transpose(0, 2, 1)
+            )
+    table[:, 9, :] = tri_map.reshape(kc, c).astype(np.float32)
 
     return DeviceScene(
         node_min=pad_node(bvh.bounds_min, inf),
@@ -254,8 +256,6 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_aabb_min=jnp.asarray(cl_min),
         cl_aabb_max=jnp.asarray(cl_max),
         cl_count=jnp.asarray(cl_cnt),
-        cl_v0=cl_verts("v0"),
-        cl_v1=cl_verts("v1"),
-        cl_v2=cl_verts("v2"),
+        cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
     )

@@ -1,0 +1,61 @@
+"""Pallas megakernel tracer vs brute-force oracle (runs in interpret mode on
+CPU via pallas's CPU lowering)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pg2024_dprt_tpu.ops.pallas_tracer import trace_pallas
+from pg2024_dprt_tpu.ops.traversal import intersect_brute_force
+from pg2024_dprt_tpu.scene import cornell_box, device_scene_from_meshes, random_tri_soup
+
+
+def _check(scene, o, d, tmax, act, **kw):
+    got, dropped = trace_pallas(scene, o, d, 1e-3, tmax, act, **kw)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+    hit = np.asarray(want.is_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(want.t)[hit], rtol=1e-4, atol=1e-5
+    )
+    assert (np.asarray(got.tri_index)[hit] == np.asarray(want.tri_index)[hit]).mean() > 0.99
+
+
+def test_pallas_tracer_soup():
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=20)], tris_per_cluster=64)
+    n = 2048
+    rng = np.random.RandomState(21)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
+           tile_rays=256, region=64)
+
+
+def test_pallas_tracer_cornell_camera():
+    """Coherent camera-like rays (the production case)."""
+    meshes, _ = cornell_box()
+    scene = device_scene_from_meshes(meshes, tris_per_cluster=16)
+    from pg2024_dprt_tpu.core import Camera
+
+    cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0], 40.0, 32, 32)
+    pix = jnp.arange(1024, dtype=jnp.int32)
+    o, d = cam.generate_rays(pix // 32, pix % 32, jnp.zeros(1024), jnp.zeros(1024))
+    _check(scene, o, d, jnp.full((1024,), 1e30, jnp.float32), jnp.ones((1024,), bool),
+           tile_rays=256, region=32)
+
+
+def test_pallas_tracer_respects_active_and_tmax():
+    scene = device_scene_from_meshes([random_tri_soup(300, seed=22)], tris_per_cluster=64)
+    n = 512
+    rng = np.random.RandomState(23)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    act = jnp.asarray(rng.rand(n) > 0.5)
+    got, _ = trace_pallas(scene, o, d, 1e-3, jnp.full((n,), 1e30, jnp.float32), act,
+                          tile_rays=256, region=64)
+    assert not np.asarray(got.is_hit)[~np.asarray(act)].any()
+
+    want = intersect_brute_force(scene, o, d, 1e-3, jnp.full((n,), 1e30), act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
