@@ -40,9 +40,20 @@ class FlatBVH(NamedTuple):
         return self.bounds_min.shape[0]
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, max_leaf: int = MAX_LEAF) -> FlatBVH:
-    """Build from triangle vertex arrays (T,3). Returns flattened arrays."""
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, max_leaf: int = MAX_LEAF,
+              use_native: bool = True) -> FlatBVH:
+    """Build from triangle vertex arrays (T,3). Returns flattened arrays.
+
+    Large scenes route through the C++ builder (native/bvh_builder.cpp via
+    scene/native_bvh.py); this python implementation is the portable
+    fallback and the oracle the native build is tested against."""
     t = v0.shape[0]
+    if use_native and t >= 4096:
+        from .native_bvh import build_bvh_native
+
+        native = build_bvh_native(v0, v1, v2, max_leaf)
+        if native is not None:
+            return native
     if t == 0:
         # Degenerate empty BVH: single empty leaf whose AABB never hits.
         inf = np.float32(np.inf)

@@ -144,6 +144,9 @@ class DeviceScene(NamedTuple):
     cl_count: jnp.ndarray      # (K,) i32 valid tris per cluster
     cl_tri_table: jnp.ndarray  # (K, 10*C) f32
     cl_tri_map: jnp.ndarray    # (K*C,) i32 -> canonical tri index (-1 pad)
+    # Albedo texture atlas (NT, R, R, 4); rows indexed by mesh_texture_index
+    # (scene/textures.py). Empty (0, ...) when the scene is untextured.
+    albedo_textures: jnp.ndarray = None
 
     @property
     def num_nodes(self) -> int:
@@ -168,6 +171,7 @@ def device_scene_from_meshes(
     tri_capacity: Optional[int] = None,
     tris_per_cluster: int = 128,
     cluster_capacity: Optional[int] = None,
+    textures: Optional[list] = None,
 ) -> DeviceScene:
     """Build a single-partition DeviceScene (BVH + reordered triangles)."""
     host = concat_geometry(meshes)
@@ -175,11 +179,15 @@ def device_scene_from_meshes(
     return _pack_device_scene(
         host, bvh, node_capacity, tri_capacity,
         tris_per_cluster=tris_per_cluster, cluster_capacity=cluster_capacity,
+        textures=textures,
     )
 
 
 def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None,
-                       tris_per_cluster: int = 128, cluster_capacity=None) -> DeviceScene:
+                       tris_per_cluster: int = 128, cluster_capacity=None,
+                       textures=None) -> DeviceScene:
+    from .textures import build_atlas
+    atlas = jnp.asarray(build_atlas(textures or []))
     order = bvh.tri_order
     t = order.shape[0]
     tc = tri_capacity or max(t, 1)
@@ -258,4 +266,5 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_count=jnp.asarray(cl_cnt),
         cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
+        albedo_textures=atlas,
     )

@@ -58,6 +58,7 @@ def build_partitioned_scene(
     meshes: Sequence[MeshGeometry],
     num_partitions: int,
     assignment: Optional[List[List[int]]] = None,
+    textures: Optional[list] = None,
 ) -> PartitionedScene:
     """Build the stacked per-partition scenes + proxy table."""
     if assignment is None:
@@ -97,7 +98,7 @@ def build_partitioned_scene(
     for host, bvh in zip(per_part_host, bvhs):
         ds = _pack_device_scene(
             host, bvh, node_capacity=node_cap, tri_capacity=tri_cap,
-            cluster_capacity=cluster_cap,
+            cluster_capacity=cluster_cap, textures=textures,
         )
         ds = ds._replace(**mesh_tables)
         scenes.append(ds)

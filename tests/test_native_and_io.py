@@ -1,0 +1,117 @@
+"""Native BVH builder vs python oracle; OBJ loader; texture atlas."""
+import numpy as np
+import jax.numpy as jnp
+
+from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
+from pg2024_dprt_tpu.scene.bvh import build_bvh
+from pg2024_dprt_tpu.scene.native_bvh import available, build_bvh_native
+from pg2024_dprt_tpu.ops.traversal import intersect_brute_force, traverse_bvh
+
+
+def test_native_builder_valid_and_equivalent():
+    assert available(), "native BVH builder failed to compile"
+    mesh = random_tri_soup(5000, seed=30)
+    native = build_bvh_native(mesh.v0, mesh.v1, mesh.v2, 4)
+    assert native is not None
+    # structural invariants
+    assert sorted(native.tri_order.tolist()) == list(range(5000))
+    covered = np.zeros(5000, bool)
+    m = native.num_nodes
+    for i in range(m):
+        if native.count[i] > 0:
+            lo = native.first[i]
+            covered[lo : lo + native.count[i]] = True
+        else:
+            assert i + 1 < m and i < native.first[i] < m
+        assert native.skip[i] == -1 or i < native.skip[i] <= m - 1
+    assert covered.all()
+
+    # traversal through the native BVH matches brute force
+    scene = device_scene_from_meshes([mesh])  # uses native path (>=4096 tris)
+    rng = np.random.RandomState(31)
+    n = 512
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.ones((n,), bool)
+    got = traverse_bvh(scene, o, d, 1e-3, tmax, act)
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+    hit = np.asarray(want.is_hit)
+    np.testing.assert_allclose(np.asarray(got.t)[hit], np.asarray(want.t)[hit], rtol=1e-4)
+
+
+def test_obj_loader(tmp_path):
+    from pg2024_dprt_tpu.scene.obj import load_obj
+
+    mtl = tmp_path / "scene.mtl"
+    mtl.write_text("newmtl red\nKd 1.0 0.1 0.1\nnewmtl tex\nKd 0.5 0.5 0.5\nmap_Kd wood.png\n")
+    obj = tmp_path / "scene.obj"
+    obj.write_text(
+        "mtllib scene.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vn 0 0 1\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "o quad\nusemtl red\n"
+        "f 1/1/1 2/2/1 3/3/1 4/4/1\n"   # quad -> 2 tris
+        "o tri\nusemtl tex\n"
+        "f -4//-1 -3//-1 -2//-1\n"        # negative indices
+    )
+    meshes, textures = load_obj(str(obj))
+    assert len(meshes) == 2
+    quad = next(m for m in meshes if m.name.startswith("quad"))
+    tri = next(m for m in meshes if m.name.startswith("tri"))
+    assert quad.num_triangles == 2
+    assert tri.num_triangles == 1
+    assert quad.base_color == (1.0, 0.1, 0.1)
+    assert quad.texture_index == -1
+    assert tri.texture_index == 0
+    assert textures == ["wood.png"]
+    np.testing.assert_allclose(quad.n0[0], [0, 0, 1])
+    np.testing.assert_allclose(quad.uv1[0], [1, 0])
+
+
+def test_texture_atlas_sampling():
+    from pg2024_dprt_tpu.scene.textures import build_atlas, checkerboard, sample_atlas
+
+    tex = checkerboard(res=64, tiles=2)  # 2x2 checker
+    atlas = jnp.asarray(build_atlas([tex], res=64))
+    # sample centers of the four quadrants (v flipped on write-in: top-left
+    # of image = high v)
+    u = jnp.asarray([0.25, 0.75, 0.25, 0.75])
+    v = jnp.asarray([0.75, 0.75, 0.25, 0.25])
+    rgba = np.asarray(sample_atlas(atlas, jnp.zeros(4, jnp.int32), u, v))
+    assert rgba.shape == (4, 4)
+    assert np.allclose(rgba[:, 3], 1.0)
+    # checker: diagonal quadrants match, adjacent differ
+    assert np.allclose(rgba[0, :3], rgba[3, :3], atol=1e-5)
+    assert not np.allclose(rgba[0, :3], rgba[1, :3], atol=1e-2)
+
+
+def test_textured_render():
+    """Checkerboard floor shows spatial albedo variation in the image."""
+    from pg2024_dprt_tpu.core import Camera
+    from pg2024_dprt_tpu.render import RenderConfig, render_image
+    from pg2024_dprt_tpu.scene import MeshGeometry, cornell_box
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap
+    from pg2024_dprt_tpu.scene.textures import checkerboard
+
+    meshes, lights = cornell_box()
+    floor = meshes[0]
+    uv = np.asarray([[0, 0], [0, 1], [1, 1], [0, 0], [1, 1], [1, 0]], np.float32)
+    meshes[0] = MeshGeometry(
+        v0=floor.v0, v1=floor.v1, v2=floor.v2,
+        uv0=uv[0::3], uv1=uv[1::3], uv2=uv[2::3],
+        base_color=(1, 1, 1), texture_index=0, name="floor",
+    )
+    scene = device_scene_from_meshes(meshes, textures=[checkerboard(tiles=4)])
+    env = EnvironmentMap.constant((0, 0, 0))
+    camera = Camera.look_at([0.5, 0.9, 2.2], [0.5, 0.2, 0.0], [0, 1, 0], 45.0, 32, 32)
+    cfg = RenderConfig(width=32, height=32, spp=2, bounces=1)
+    img = np.asarray(render_image(scene, lights, env, camera, cfg))
+    floor_rows = img[20:]
+    lit = floor_rows[floor_rows.sum(-1) > 0.01]
+    assert lit.shape[0] > 20
+    # checker contrast: variance across lit floor pixels is large
+    assert lit.max() > 2.5 * max(lit.min(), 1e-3) or lit.std() > 0.05
