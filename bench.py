@@ -29,15 +29,28 @@ def main():
     n = 65536
     side = 256
 
-    scene = device_scene_from_meshes([random_tri_soup(n_tris, seed=0)])
+    scene = device_scene_from_meshes(
+        [random_tri_soup(n_tris, seed=0)], tris_per_cluster=512
+    )
     cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, side, side)
-    pix = jnp.arange(n, dtype=jnp.int32)
+    # tiled pixel order: 16x16 blocks -> spatially coherent ray tiles
+    bs = 16
+    ids = np.arange(n)
+    by, bx = ids // (side * bs), ids % (side * bs)
+    blk, inner = bx // (bs * bs), bx % (bs * bs)
+    rows = by * bs + inner // bs
+    cols = blk * bs + inner % bs
+    pix = jnp.asarray((rows * side + cols).astype(np.int32))
     origin, direction = cam.generate_rays(pix // side, pix % side, jnp.zeros(n), jnp.zeros(n))
     tmax = jnp.full((n,), 3.4e38, jnp.float32)
     active = jnp.ones((n,), bool)
 
+    from pg2024_dprt_tpu.ops.pallas_tracer import trace_pallas
+
     fn = jax.jit(
-        lambda scene, o, d, tm, act: trace_closest(scene, o, d, 1e-3, tm, act)
+        lambda scene, o, d, tm, act: trace_pallas(
+            scene, o, d, 1e-3, tm, act, tile_rays=256, region=32, pairs_per_step=8
+        )[0]
     )
 
     hits = fn(scene, origin, direction, tmax, active)

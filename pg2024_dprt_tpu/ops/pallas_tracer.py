@@ -43,43 +43,51 @@ PAIRS_PER_STEP = 4  # PP
 
 
 def _kernel(cl_ref, fl_ref,                              # scalar prefetch
-            ox, oy, oz, dx, dy, dz, tmin, tmax,          # ray inputs
+            rays,                                         # (TM, 8) packed
             *rest, c: int, region: int, pp: int):
     tris = rest[:pp]
-    out_t, out_tri, out_u, out_v = rest[pp : pp + 4]
+    out = rest[pp]                                        # (TM, 4): t,tri,u,v
 
     p = pl.program_id(0)
     steps_per_tile = region // pp
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    tmin, tmax = rays[:, 6:7], rays[:, 7:8]
 
     @pl.when(p % steps_per_tile == 0)
     def _():
-        out_t[:] = tmax[:]
-        out_tri[:] = jnp.full_like(out_tri[:], -1.0)
-        out_u[:] = jnp.zeros_like(out_u[:])
-        out_v[:] = jnp.zeros_like(out_v[:])
+        out[:, 0:1] = tmax
+        out[:, 1:2] = jnp.full_like(tmax, -1.0)
+        out[:, 2:4] = jnp.zeros_like(rays[:, 0:2])
 
+    tm = rays.shape[0]
     for j in range(pp):
         @pl.when(fl_ref[p * pp + j] == 1)
         def _(tri=tris[j]):
-            comp = lambda q: tri[0, :, q * c : (q + 1) * c]  # (1, C)
-            e1x = comp(3) - comp(0)
-            e1y = comp(4) - comp(1)
-            e1z = comp(5) - comp(2)
-            e2x = comp(6) - comp(0)
-            e2y = comp(7) - comp(1)
-            e2z = comp(8) - comp(2)
+            # CRITICAL (this backend): materialize every operand at (TM, C)
+            # ONCE — Mosaic re-evaluates lazy (TM,1)x(1,C) broadcasts per op,
+            # which measured ~1000x slower than explicit broadcast_to.
+            B = lambda a: jnp.broadcast_to(a, (tm, c))
+            comp = lambda q: B(tri[0, :, q * c : (q + 1) * c])  # (TM, C)
+            t0x, t0y, t0z = comp(0), comp(1), comp(2)
+            e1x = comp(3) - t0x
+            e1y = comp(4) - t0y
+            e1z = comp(5) - t0z
+            e2x = comp(6) - t0x
+            e2y = comp(7) - t0y
+            e2z = comp(8) - t0z
             tmap = comp(9)
 
-            rdx, rdy, rdz = dx[:], dy[:], dz[:]          # (TM, 1)
+            rdx, rdy, rdz = B(dx), B(dy), B(dz)
             px = rdy * e2z - rdz * e2y                    # (TM, C)
             py = rdz * e2x - rdx * e2z
             pz = rdx * e2y - rdy * e2x
             det = e1x * px + e1y * py + e1z * pz
             ok = jnp.abs(det) > 1e-12
             inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tx = ox[:] - comp(0)
-            ty = oy[:] - comp(1)
-            tz = oz[:] - comp(2)
+            tx = B(ox) - t0x
+            ty = B(oy) - t0y
+            tz = B(oz) - t0z
             u = (tx * px + ty * py + tz * pz) * inv_det
             qx = ty * e1z - tz * e1y
             qy = tz * e1x - tx * e1z
@@ -93,28 +101,27 @@ def _kernel(cl_ref, fl_ref,                              # scalar prefetch
                 & (u >= 0.0)
                 & (v >= 0.0)
                 & (u + v <= 1.0)
-                & (t > tmin[:])
-                & (t < out_t[:])
+                & (t > B(tmin))
+                & (t < B(out[:, 0:1]))
             )
             t_masked = jnp.where(tri_ok, t, 3.402823466e38)
             best = jnp.min(t_masked, axis=1, keepdims=True)   # (TM, 1)
-            improved = best < out_t[:]
+            improved = best < out[:, 0:1]
 
-            # one-hot winner without argmin (min + lowest-lane tie break)
+            # one-hot winner without argmin (min + lowest-lane tie break);
+            # all comparisons on explicitly materialized (TM, C) operands
             lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
-            at_min = (t_masked == best) & tri_ok
+            at_min = (t_masked == B(best)) & tri_ok
             win_lane = jnp.min(
                 jnp.where(at_min, lane, t_masked.shape[1]), axis=1, keepdims=True
             )
-            sel = at_min & (lane == win_lane)
+            sel = at_min & (lane == jnp.broadcast_to(win_lane, lane.shape))
             pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=1, keepdims=True)
 
-            out_t[:] = jnp.where(improved, best, out_t[:])
-            out_tri[:] = jnp.where(
-                improved, pick(jnp.broadcast_to(tmap, t.shape)), out_tri[:]
-            )
-            out_u[:] = jnp.where(improved, pick(u), out_u[:])
-            out_v[:] = jnp.where(improved, pick(v), out_v[:])
+            out[:, 0:1] = jnp.where(improved, best, out[:, 0:1])
+            out[:, 1:2] = jnp.where(improved, pick(tmap), out[:, 1:2])
+            out[:, 2:3] = jnp.where(improved, pick(u), out[:, 2:3])
+            out[:, 3:4] = jnp.where(improved, pick(v), out[:, 3:4])
 
 
 def _interval_cull(scene: DeviceScene, o, d, t_max, active, tiles: int, tile_rays: int):
@@ -216,7 +223,7 @@ def trace_pallas(
     tile_rays: int = TILE_RAYS,
     region: int = REGION,
     pairs_per_step: int = PAIRS_PER_STEP,
-    sort_rays: bool = True,
+    sort_rays: bool = False,
     interpret: bool = None,
 ):
     """Closest-hit trace. Returns (HitRecord, dropped_pair_count)."""
@@ -255,15 +262,15 @@ def trace_pallas(
     possible = _interval_cull(scene, o, d, tmax_p, act, tiles, tm)
     pair_cluster, pair_flags, dropped = _prep_pairs(possible, tiles, region)
 
-    col = lambda a: a.reshape(mp, 1)
-    ray_cols = [col(o[:, 0]), col(o[:, 1]), col(o[:, 2]),
-                col(d[:, 0]), col(d[:, 1]), col(d[:, 2]),
-                col(jnp.where(act, tmin_p, _F32_MAX)),
-                col(jnp.where(act, tmax_p, 0.0))]
+    rays_packed = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         jnp.where(act, tmin_p, _F32_MAX), jnp.where(act, tmax_p, 0.0)],
+        axis=-1,
+    )  # (mp, 8)
 
     steps_per_tile = region // pp
     ray_spec = pl.BlockSpec(
-        (tm, 1), lambda p, cl_ref, fl_ref: (p // steps_per_tile, 0),
+        (tm, 8), lambda p, cl_ref, fl_ref: (p // steps_per_tile, 0),
         memory_space=pltpu.VMEM,
     )
     tri_specs = [
@@ -275,38 +282,38 @@ def trace_pallas(
         for j in range(pp)
     ]
     out_spec = pl.BlockSpec(
-        (tm, 1), lambda p, cl_ref, fl_ref: (p // steps_per_tile, 0),
+        (tm, 4), lambda p, cl_ref, fl_ref: (p // steps_per_tile, 0),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles * steps_per_tile,),
-        in_specs=[ray_spec] * 8 + tri_specs,
-        out_specs=[out_spec] * 4,
+        in_specs=[ray_spec] + tri_specs,
+        out_specs=[out_spec],
     )
 
-    out_shapes = [jax.ShapeDtypeStruct((mp, 1), jnp.float32) for _ in range(4)]
+    out_shapes = [jax.ShapeDtypeStruct((mp, 4), jnp.float32)]
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
     tri_tbl = scene.cl_tri_table.reshape(scene.num_clusters, 1, 10 * c)
-    out_t, out_tri, out_u, out_v = pl.pallas_call(
+    (packed_out,) = pl.pallas_call(
         partial(_kernel, c=c, region=region, pp=pp),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(pair_cluster, pair_flags, *ray_cols, *([tri_tbl] * pp))
+    )(pair_cluster, pair_flags, rays_packed, *([tri_tbl] * pp))
 
-    t = out_t[:n, 0]
-    tri = jnp.round(out_tri[:n, 0]).astype(jnp.int32)
+    t = packed_out[:n, 0]
+    tri = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
     is_hit = (tri >= 0) & active[:n]
     hits = HitRecord(
         t=jnp.where(is_hit, t, _F32_MAX),
         tri_index=jnp.where(is_hit, tri, -1),
-        u=out_u[:n, 0],
-        v=out_v[:n, 0],
+        u=packed_out[:n, 2],
+        v=packed_out[:n, 3],
         is_hit=is_hit,
     )
 

@@ -23,8 +23,9 @@ def main():
     ppt = int(sys.argv[3]) if len(sys.argv) > 3 else 96
     tm = int(sys.argv[4]) if len(sys.argv) > 4 else 512
     pp = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    tpc = int(sys.argv[6]) if len(sys.argv) > 6 else 128
 
-    scene = device_scene_from_meshes([random_tri_soup(n_tris, seed=0)])
+    scene = device_scene_from_meshes([random_tri_soup(n_tris, seed=0)], tris_per_cluster=tpc)
     print(f"scene: {n_tris} tris, {scene.num_clusters} clusters")
 
     tmv = tm
@@ -36,7 +37,14 @@ def main():
 
     side = int(np.sqrt(n))
     cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, side, side)
-    pix = jnp.arange(n, dtype=jnp.int32)
+    # tiled pixel order: 16x16 blocks (coherent ray tiles)
+    bs = 16
+    ids = np.arange(n)
+    by, bx = (ids // (side * bs)), (ids % (side * bs))
+    blk, inner = bx // (bs * bs), bx % (bs * bs)
+    row = by * bs + inner // bs
+    colp = blk * bs + inner % bs
+    pix = jnp.asarray((row * side + colp).astype(np.int32))
     co, cd = cam.generate_rays(pix // side, pix % side, jnp.zeros(n), jnp.zeros(n))
 
     rng = np.random.RandomState(1)
