@@ -11,11 +11,27 @@ from ..core.rng import rnd2, tea
 from ..core.types import PathState
 
 
-def generate_camera_paths(camera: Camera, sample_count) -> PathState:
+def tiled_pixel_order(width: int, height: int, block: int = 16) -> jnp.ndarray:
+    """Pixel ids in block-major (block x block) order. Ray buffers ordered
+    this way give the tile tracer spatially coherent tiles; accumulation is
+    unaffected because paths carry their pixel_index."""
+    import numpy as np
+
+    if width % block or height % block:
+        return jnp.arange(width * height, dtype=jnp.int32)
+    ids = np.arange(width * height)
+    by, bx = ids // (width * block), ids % (width * block)
+    blk, inner = bx // (block * block), bx % (block * block)
+    rows = by * block + inner // block
+    cols = blk * block + inner % block
+    return jnp.asarray((rows * width + cols).astype(np.int32))
+
+
+def generate_camera_paths(camera: Camera, sample_count, tile_block: int = 16) -> PathState:
     """Generate width*height camera paths for one sample (spp iteration)."""
     w, h = camera.width, camera.height
     n = w * h
-    pixel_index = jnp.arange(n, dtype=jnp.int32)
+    pixel_index = tiled_pixel_order(w, h, tile_block)
     rows = pixel_index // w
     cols = pixel_index % w
 
