@@ -42,27 +42,34 @@ REGION = 32         # pair slots per tile (S), multiple of PP; slot 0 = init
 PAIRS_PER_STEP = 4  # PP
 
 
-def _kernel(cl_ref, fl_ref,                              # scalar prefetch
+def _kernel(tile_ref, cl_ref, fl_ref, en_ref,            # scalar prefetch
             rays,                                         # (TM, 8) packed
-            *rest, c: int, region: int, pp: int):
+            *rest, c: int, pp: int):
     tris = rest[:pp]
     out = rest[pp]                                        # (TM, 4): t,tri,u,v
 
     p = pl.program_id(0)
-    steps_per_tile = region // pp
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     tmin, tmax = rays[:, 6:7], rays[:, 7:8]
 
-    @pl.when(p % steps_per_tile == 0)
+    # flags bit 0 on a region's first slot initializes the tile's outputs
+    @pl.when((fl_ref[p * pp] & 1) == 1)
     def _():
         out[:, 0:1] = tmax
         out[:, 1:2] = jnp.full_like(tmax, -1.0)
         out[:, 2:4] = jnp.zeros_like(rays[:, 0:2])
 
     tm = rays.shape[0]
+    # early termination: pairs are front-to-back per tile, so once every
+    # ray's running best t is below a pair's conservative enter distance the
+    # rest of the tile's pairs cannot improve anything
+    # compare in monotone float-bit integer domain (scalar bitcasts don't
+    # lower in Mosaic; vector bitcast + element extract does)
+    worst_vec = jnp.max(out[:, 0:1], axis=0, keepdims=True)        # (1,1) f32
+    worst_bits = jax.lax.bitcast_convert_type(worst_vec, jnp.int32)[0, 0]
     for j in range(pp):
-        @pl.when(fl_ref[p * pp + j] == 1)
+        @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (en_ref[p * pp + j] < worst_bits))
         def _(tri=tris[j]):
             # CRITICAL (this backend): materialize every operand at (TM, C)
             # ONCE — Mosaic re-evaluates lazy (TM,1)x(1,C) broadcasts per op,
@@ -157,37 +164,78 @@ def _interval_cull(scene: DeviceScene, o, d, t_max, active, tiles: int, tile_ray
         enter_lo = jnp.maximum(enter_lo, lo_all)
         exit_hi = jnp.minimum(exit_hi, hi_all)
 
-    return (
+    possible = (
         act_any[:, None]
         & (scene.cl_count[None, :] > 0)
         & (enter_lo <= exit_hi)
         & (exit_hi > 0.0)
         & (enter_lo < tmax_hi[:, None])
     )
+    return possible, enter_lo
 
 
-def _prep_pairs(possible, tiles: int, region: int):
-    """Per-tile fixed regions: slot tile*S is the init slot; pairs fill
-    slots tile*S+1 .. tile*S+S-1 (overflow dropped & counted)."""
+def _prep_pairs(possible, enter_lo, tiles: int, budget: int, pp: int):
+    """Global-pool pair list: each tile owns a contiguous, pp-aligned region
+    sized to its actual candidate count (>= pp so every tile has an init
+    slot). Tiles whose region does not fit the static budget are reported in
+    `tile_fit` (their outputs are overwritten with 'miss' by the caller).
+
+    Returns (pair_tile, pair_cluster, pair_flags, tile_fit, dropped)."""
     k = possible.shape[1]
-    rank = jnp.cumsum(possible.astype(jnp.int32), axis=1) - 1     # (T, K)
-    keep = possible & (rank < region - 1)
-    tile_idx = jnp.broadcast_to(
-        jnp.arange(tiles, dtype=jnp.int32)[:, None], (tiles, k)
+    counts = jnp.sum(possible.astype(jnp.int32), axis=1)          # (T,)
+    region = pp * jnp.maximum(-(-counts // pp), 1)                # per tile
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(region)[:-1]]
     )
-    slot = jnp.where(keep, tile_idx * region + 1 + rank, tiles * region)
+    tile_fit = offsets + pp <= budget                              # init fits
+
+    # front-to-back ordering within each tile: rank clusters by conservative
+    # enter distance so the kernel's early-termination check can skip the
+    # tail once every ray in the tile has a closer hit
+    enter_key = jnp.where(possible, enter_lo, _F32_MAX)
+    order = jnp.argsort(enter_key, axis=1)
+    rank = jnp.argsort(order, axis=1)                              # rank of each cluster
+    slot = jnp.where(possible, offsets[:, None] + rank, budget)
+    slot = jnp.minimum(slot, budget)                               # clamp
 
     cl_idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (tiles, k))
     pair_cluster = (
-        jnp.zeros((tiles * region + 1,), jnp.int32)
+        jnp.zeros((budget + 1,), jnp.int32)
         .at[slot.reshape(-1)].set(cl_idx.reshape(-1), mode="drop")[:-1]
     )
     pair_flags = (
-        jnp.zeros((tiles * region + 1,), jnp.int32)
-        .at[slot.reshape(-1)].set(1, mode="drop")[:-1]
+        jnp.zeros((budget + 1,), jnp.int32)
+        .at[slot.reshape(-1)].set(2, mode="drop")[:-1]
     )
-    dropped = jnp.sum((possible & (~keep)).astype(jnp.int32))
-    return pair_cluster, pair_flags, dropped
+    # conservative enter per pair as monotone int bits (floats >= 0)
+    enter_clamped = jnp.maximum(enter_lo, 0.0)
+    pair_enter = (
+        jnp.zeros((budget + 1,), jnp.int32)
+        .at[slot.reshape(-1)]
+        .set(
+            jax.lax.bitcast_convert_type(enter_clamped, jnp.uint32)
+            .astype(jnp.int32)
+            .reshape(-1),
+            mode="drop",
+        )[:-1]
+    )
+    # init bit on each fitting tile's first slot
+    init_slot = jnp.where(tile_fit, offsets, budget)
+    pair_flags = (
+        jnp.concatenate([pair_flags, jnp.zeros((1,), jnp.int32)])
+        .at[init_slot].add(1, mode="drop")[:-1]
+    )
+
+    # slot -> tile id via compare-sum over region ends (searchsorted is slow)
+    ends = offsets + region
+    pair_tile = jnp.sum(
+        (ends[None, :] <= jnp.arange(budget, dtype=jnp.int32)[:, None]).astype(jnp.int32),
+        axis=-1,
+    )
+    pair_tile = jnp.minimum(pair_tile, tiles - 1).astype(jnp.int32)
+
+    dropped = jnp.sum((possible & (slot >= budget)).astype(jnp.int32))
+    return pair_tile, pair_cluster, pair_flags, pair_enter, tile_fit, dropped
 
 
 def _morton_key(scene: DeviceScene, o, d):
@@ -221,13 +269,12 @@ def trace_pallas(
     scene: DeviceScene,
     origin, direction, t_min, t_max, active,
     tile_rays: int = TILE_RAYS,
-    region: int = REGION,
+    region: int = REGION,          # AVERAGE pair budget per tile (global pool)
     pairs_per_step: int = PAIRS_PER_STEP,
     sort_rays: bool = False,
     interpret: bool = None,
 ):
     """Closest-hit trace. Returns (HitRecord, dropped_pair_count)."""
-    assert region % pairs_per_step == 0
     n = origin.shape[0]
     tm = tile_rays
     pad = (-n) % tm
@@ -259,36 +306,52 @@ def trace_pallas(
     tiles = mp // tm
     c = scene.tris_per_cluster
 
-    possible = _interval_cull(scene, o, d, tmax_p, act, tiles, tm)
-    pair_cluster, pair_flags, dropped = _prep_pairs(possible, tiles, region)
+    budget = -(-(tiles * region) // pp) * pp
+    steps = budget // pp
+
+    possible, enter_lo = _interval_cull(scene, o, d, tmax_p, act, tiles, tm)
+    pair_tile, pair_cluster, pair_flags, pair_enter, tile_fit, dropped = _prep_pairs(
+        possible, enter_lo, tiles, budget, pp
+    )
+
+    # cap each ray's bound at its scene-AABB exit: no hit can lie beyond it,
+    # and it keeps escaping rays from pinning the early-termination horizon
+    # at +inf for their whole tile
+    s_valid = scene.cl_count > 0
+    s_lo = jnp.min(jnp.where(s_valid[:, None], scene.cl_aabb_min, _F32_MAX), axis=0)
+    s_hi = jnp.max(jnp.where(s_valid[:, None], scene.cl_aabb_max, -_F32_MAX), axis=0)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    tt0 = (s_lo[None] - o) * inv_d
+    tt1 = (s_hi[None] - o) * inv_d
+    scene_exit = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
+    tmax_eff = jnp.minimum(tmax_p, jnp.maximum(scene_exit, 0.0) * 1.001 + 1e-4)
 
     rays_packed = jnp.stack(
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         jnp.where(act, tmin_p, _F32_MAX), jnp.where(act, tmax_p, 0.0)],
+         jnp.where(act, tmin_p, _F32_MAX), jnp.where(act, tmax_eff, 0.0)],
         axis=-1,
     )  # (mp, 8)
 
-    steps_per_tile = region // pp
     ray_spec = pl.BlockSpec(
-        (tm, 8), lambda p, cl_ref, fl_ref: (p // steps_per_tile, 0),
+        (tm, 8), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
         memory_space=pltpu.VMEM,
     )
     tri_specs = [
         pl.BlockSpec(
             (1, 1, 10 * c),
-            partial(lambda p, cl_ref, fl_ref, j=0: (cl_ref[p * pp + j], 0, 0), j=j),
+            partial(lambda p, tile_ref, cl_ref, fl_ref, en_ref, j=0: (cl_ref[p * pp + j], 0, 0), j=j),
             memory_space=pltpu.VMEM,
         )
         for j in range(pp)
     ]
     out_spec = pl.BlockSpec(
-        (tm, 4), lambda p, cl_ref, fl_ref: (p // steps_per_tile, 0),
+        (tm, 4), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tiles * steps_per_tile,),
+        num_scalar_prefetch=4,
+        grid=(steps,),
         in_specs=[ray_spec] + tri_specs,
         out_specs=[out_spec],
     )
@@ -300,11 +363,15 @@ def trace_pallas(
 
     tri_tbl = scene.cl_tri_table.reshape(scene.num_clusters, 1, 10 * c)
     (packed_out,) = pl.pallas_call(
-        partial(_kernel, c=c, region=region, pp=pp),
+        partial(_kernel, c=c, pp=pp),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(pair_cluster, pair_flags, rays_packed, *([tri_tbl] * pp))
+    )(pair_tile, pair_cluster, pair_flags, pair_enter, rays_packed, *([tri_tbl] * pp))
+
+    # tiles that didn't fit the pool were never initialized -> force miss
+    ray_fit = jnp.repeat(tile_fit, tm)
+    packed_out = jnp.where(ray_fit[:, None], packed_out, jnp.asarray([0.0, -1.0, 0.0, 0.0]))
 
     t = packed_out[:n, 0]
     tri = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
