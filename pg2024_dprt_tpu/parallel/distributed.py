@@ -30,7 +30,7 @@ from jax import shard_map
 
 from ..core.types import PathState
 from ..models.proxy import ProxyModels
-from ..ops.trace_api import trace_closest
+from ..ops.trace_api import trace_closest_cutout as trace_closest
 from ..render.config import RenderConfig
 from ..render.pathgen import generate_camera_paths
 from ..render.proxy_stages import secondary_route, shadow_direct_light_nn

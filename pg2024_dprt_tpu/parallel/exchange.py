@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.types import PathState
 from ..ops.compaction import compact_by_key, counts_per_key, segment_offsets
-from ..ops.trace_api import trace_occlusion
+from ..ops.trace_api import trace_occlusion_cutout as trace_occlusion
 from .mesh import NODES_AXIS
 
 

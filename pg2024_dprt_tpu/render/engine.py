@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import Camera
-from ..ops.trace_api import trace_closest, trace_occlusion
+from ..ops.trace_api import trace_closest_cutout as trace_closest, trace_occlusion_cutout as trace_occlusion
 from ..scene.geometry import DeviceScene
 from ..scene.lights import EnvironmentMap, LightTable
 from .config import RenderConfig

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..core import math as cmath
 from ..core.types import NNQuery, PathState
 from ..models.proxy import ProxyModels, apply_grouped
-from ..ops.trace_api import trace_closest, trace_occlusion
+from ..ops.trace_api import trace_closest_cutout as trace_closest, trace_occlusion_cutout as trace_occlusion
 from ..scene.geometry import DeviceScene, ProxyTable
 
 _F32_MAX = jnp.float32(3.402823466e38)

@@ -115,3 +115,43 @@ def test_textured_render():
     assert lit.shape[0] > 20
     # checker contrast: variance across lit floor pixels is large
     assert lit.max() > 2.5 * max(lit.min(), 1e-3) or lit.std() > 0.05
+
+
+def test_alpha_cutout():
+    """A fully transparent wall (alpha < 0.05) must not block rays or
+    shadows (reference anyhit semantics, optix/kernel.cu:311-359)."""
+    import jax.numpy as jnp
+    from pg2024_dprt_tpu.ops.trace_api import trace_closest_cutout, trace_occlusion_cutout
+    from pg2024_dprt_tpu.scene import MeshGeometry
+    from pg2024_dprt_tpu.scene.procedural import _quad
+
+    # wall at z=0.5 (transparent texture), floor at z=0 (opaque)
+    v0w, v1w, v2w = _quad([0, 0, 0.5], [1, 0, 0.5], [1, 1, 0.5], [0, 1, 0.5])
+    v0f, v1f, v2f = _quad([0, 0, 0.0], [1, 0, 0.0], [1, 1, 0.0], [0, 1, 0.0])
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 0], [1, 1], [0, 1]], np.float32)
+    wall = MeshGeometry(v0=v0w, v1=v1w, v2=v2w, uv0=uv[0::3], uv1=uv[1::3],
+                        uv2=uv[2::3], texture_index=0, name="wall")
+    floor = MeshGeometry(v0=v0f, v1=v1f, v2=v2f, name="floor")
+
+    transparent = np.zeros((8, 8, 4), np.float32)
+    transparent[..., :3] = 0.5  # rgb set, alpha 0 -> cutout
+    scene = device_scene_from_meshes([wall, floor], textures=[transparent])
+
+    n = 64
+    rng = np.random.RandomState(40)
+    o = np.stack([rng.rand(n), rng.rand(n), np.full(n, 2.0)], -1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    hits = trace_closest_cutout(
+        scene, jnp.asarray(o), jnp.asarray(d), 1e-3,
+        jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
+    )
+    # every ray passes through the transparent wall and hits the floor at t=2
+    assert np.asarray(hits.is_hit).all()
+    np.testing.assert_allclose(np.asarray(hits.t), 2.0, atol=1e-3)
+
+    occ = trace_occlusion_cutout(
+        scene, jnp.asarray(o), jnp.asarray(d), 1e-3,
+        jnp.full((n,), 1.2, jnp.float32), jnp.ones((n,), bool),
+    )
+    # within t<1.2 only the transparent wall exists -> unoccluded
+    assert not np.asarray(occ).any()
