@@ -49,7 +49,7 @@ def main():
 
     fn = jax.jit(
         lambda scene, o, d, tm, act: trace_pallas(
-            scene, o, d, 1e-3, tm, act, tile_rays=256, region=32, pairs_per_step=8
+            scene, o, d, 1e-3, tm, act, tile_rays=256, region=24, pairs_per_step=4
         )[0]
     )
 

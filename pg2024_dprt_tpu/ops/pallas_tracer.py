@@ -42,6 +42,71 @@ REGION = 32         # pair slots per tile (S), multiple of PP; slot 0 = init
 PAIRS_PER_STEP = 4  # PP
 
 
+def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
+                 rays, rays_mm,                           # (TM, 8) x2
+                 *rest, c: int, pp: int):
+    """MXU triangle test: rays_mm (TM,8)=[o,1,d,0] @ woop row (8,7C) yields
+    per-triangle unit-space ray [o' d' tmap]; epilogue is ~1/4 the VPU work
+    of Moller-Trumbore."""
+    wtabs = rest[:pp]
+    out = rest[pp]                                        # (TM, 4): t,tri,u,v
+
+    p = pl.program_id(0)
+    tmin, tmax = rays[:, 6:7], rays[:, 7:8]
+
+    @pl.when((fl_ref[p * pp] & 1) == 1)
+    def _():
+        out[:, 0:1] = tmax
+        out[:, 1:2] = jnp.full_like(tmax, -1.0)
+        out[:, 2:4] = jnp.zeros_like(rays[:, 0:2])
+
+    tm = rays.shape[0]
+    worst_vec = jnp.max(out[:, 0:1], axis=0, keepdims=True)
+    worst_bits = jax.lax.bitcast_convert_type(worst_vec, jnp.int32)[0, 0]
+    B = lambda a: jnp.broadcast_to(a, (tm, c))
+    for j in range(pp):
+        @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (en_ref[p * pp + j] < worst_bits))
+        def _(wtab=wtabs[j]):
+            mm = jnp.dot(
+                rays_mm[:], wtab[0], preferred_element_type=jnp.float32
+            )  # (TM, 7C)
+            blk = lambda q: mm[:, q * c : (q + 1) * c]
+            opz, dpz = blk(2), blk(5)
+            dz_ok = jnp.abs(dpz) > 1e-12
+            inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, 1.0), 0.0)
+            t = -opz * inv_dz
+            u = blk(0) + t * blk(3)
+            v = blk(1) + t * blk(4)
+            tmap = blk(6)
+            # small barycentric tolerance: unit-space edges of adjacent
+            # triangles must not open seams (double-hits are resolved by the
+            # closest-hit min, holes are not recoverable)
+            eps = 1e-5
+            tri_ok = (
+                dz_ok
+                & (tmap >= 0.0)
+                & (u >= -eps)
+                & (v >= -eps)
+                & (u + v <= 1.0 + eps)
+                & (t > B(tmin))
+                & (t < B(out[:, 0:1]))
+            )
+            t_masked = jnp.where(tri_ok, t, 3.402823466e38)
+            best = jnp.min(t_masked, axis=1, keepdims=True)
+            improved = best < out[:, 0:1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+            at_min = (t_masked == B(best)) & tri_ok
+            win_lane = jnp.min(
+                jnp.where(at_min, lane, t_masked.shape[1]), axis=1, keepdims=True
+            )
+            sel = at_min & (lane == jnp.broadcast_to(win_lane, lane.shape))
+            pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=1, keepdims=True)
+            out[:, 0:1] = jnp.where(improved, best, out[:, 0:1])
+            out[:, 1:2] = jnp.where(improved, pick(tmap), out[:, 1:2])
+            out[:, 2:3] = jnp.where(improved, pick(u), out[:, 2:3])
+            out[:, 3:4] = jnp.where(improved, pick(v), out[:, 3:4])
+
+
 def _kernel(tile_ref, cl_ref, fl_ref, en_ref,            # scalar prefetch
             rays,                                         # (TM, 8) packed
             *rest, c: int, pp: int):
@@ -263,7 +328,7 @@ def _morton_key(scene: DeviceScene, o, d):
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "region", "pairs_per_step", "sort_rays", "interpret"),
+    static_argnames=("tile_rays", "region", "pairs_per_step", "sort_rays", "woop", "interpret"),
 )
 def trace_pallas(
     scene: DeviceScene,
@@ -272,6 +337,7 @@ def trace_pallas(
     region: int = REGION,          # AVERAGE pair budget per tile (global pool)
     pairs_per_step: int = PAIRS_PER_STEP,
     sort_rays: bool = False,
+    woop: bool = True,             # MXU unit-triangle test (False = VPU MT)
     interpret: bool = None,
 ):
     """Closest-hit trace. Returns (HitRecord, dropped_pair_count)."""
@@ -336,9 +402,11 @@ def trace_pallas(
         (tm, 8), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
         memory_space=pltpu.VMEM,
     )
+    tri_width = 8 * 7 * c if woop else 10 * c
+    tri_block = (1, 8, 7 * c) if woop else (1, 1, 10 * c)
     tri_specs = [
         pl.BlockSpec(
-            (1, 1, 10 * c),
+            tri_block,
             partial(lambda p, tile_ref, cl_ref, fl_ref, en_ref, j=0: (cl_ref[p * pp + j], 0, 0), j=j),
             memory_space=pltpu.VMEM,
         )
@@ -352,7 +420,7 @@ def trace_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(steps,),
-        in_specs=[ray_spec] + tri_specs,
+        in_specs=([ray_spec, ray_spec] if woop else [ray_spec]) + tri_specs,
         out_specs=[out_spec],
     )
 
@@ -361,13 +429,28 @@ def trace_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    tri_tbl = scene.cl_tri_table.reshape(scene.num_clusters, 1, 10 * c)
-    (packed_out,) = pl.pallas_call(
-        partial(_kernel, c=c, pp=pp),
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(pair_tile, pair_cluster, pair_flags, pair_enter, rays_packed, *([tri_tbl] * pp))
+    if woop:
+        rays_mm = jnp.stack(
+            [o[:, 0], o[:, 1], o[:, 2], jnp.ones((mp,), jnp.float32),
+             d[:, 0], d[:, 1], d[:, 2], jnp.zeros((mp,), jnp.float32)],
+            axis=-1,
+        )
+        wtab = scene.cl_woop_table.reshape(scene.num_clusters, 8, 7 * c)
+        (packed_out,) = pl.pallas_call(
+            partial(_woop_kernel, c=c, pp=pp),
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(pair_tile, pair_cluster, pair_flags, pair_enter,
+          rays_packed, rays_mm, *([wtab] * pp))
+    else:
+        tri_tbl = scene.cl_tri_table.reshape(scene.num_clusters, 1, 10 * c)
+        (packed_out,) = pl.pallas_call(
+            partial(_kernel, c=c, pp=pp),
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(pair_tile, pair_cluster, pair_flags, pair_enter, rays_packed, *([tri_tbl] * pp))
 
     # tiles that didn't fit the pool were never initialized -> force miss
     ray_fit = jnp.repeat(tile_fit, tm)

@@ -144,6 +144,12 @@ class DeviceScene(NamedTuple):
     cl_count: jnp.ndarray      # (K,) i32 valid tris per cluster
     cl_tri_table: jnp.ndarray  # (K, 10*C) f32
     cl_tri_map: jnp.ndarray    # (K*C,) i32 -> canonical tri index (-1 pad)
+    # Woop-transform table for the MXU triangle test (ops/pallas_tracer.py):
+    # row k reshapes to (8, 7*C); rays_aug (TM,8)=[o,1,d,0] @ it yields
+    # [o'x o'y o'z d'x d'y d'z tmap] blocks of C lanes each, where
+    # (o', d') are the ray transformed into each triangle's unit space
+    # (t = -o'z/d'z, u = o'x + t d'x, v = o'y + t d'y).
+    cl_woop_table: jnp.ndarray = None  # (K, 8*7*C) f32
     # Albedo texture atlas (NT, R, R, 4); rows indexed by mesh_texture_index
     # (scene/textures.py). Empty (0, ...) when the scene is untextured.
     albedo_textures: jnp.ndarray = None
@@ -241,6 +247,34 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
             )
     table[:, 9, :] = tri_map.reshape(kc, c).astype(np.float32)
 
+    # Woop transform table: per tri, M = [e1 e2 n]^-1 (n = e1 x e2),
+    # b = -M v0; degenerate tris keep zero rows and tmap already marks pads.
+    woop = np.zeros((kc, 8, 7, c), np.float32)
+    woop[:, 3, 6, :] = tri_map.reshape(kc, c).astype(np.float32)  # tmap via '1' row
+    if order.shape[0] > 0:
+        va = ordered["v0"][safe].reshape(kc, c, 3)
+        vb = ordered["v1"][safe].reshape(kc, c, 3)
+        vc_ = ordered["v2"][safe].reshape(kc, c, 3)
+        e1 = vb - va
+        e2 = vc_ - va
+        nrm = np.cross(e1, e2)
+        t_mat = np.stack([e1, e2, nrm], axis=-1)  # (kc, c, 3, 3) columns e1,e2,n
+        det = np.linalg.det(t_mat)
+        good = (np.abs(det) > 1e-20) & (tri_map.reshape(kc, c) >= 0)
+        t_safe = np.where(good[..., None, None], t_mat, np.eye(3, dtype=np.float32))
+        m = np.linalg.inv(t_safe).astype(np.float32)          # (kc, c, 3, 3)
+        b = -np.einsum("kcij,kcj->kci", m, va).astype(np.float32)
+        m = np.where(good[..., None, None], m, 0.0)
+        b = np.where(good[..., None], b, 0.0)
+        # o' comps (blocks 0..2): rows 0..2 = M[oc,:], row 3 = b[oc]
+        for oc in range(3):
+            woop[:, 0:3, oc, :] = m[:, :, oc, :].transpose(0, 2, 1)
+            woop[:, 3, oc, :] = b[:, :, oc]
+            # d' comps (blocks 3..5): rows 4..6 = M[oc,:]
+            woop[:, 4:7, 3 + oc, :] = m[:, :, oc, :].transpose(0, 2, 1)
+        # invalidate tmap of degenerate tris
+        woop[:, 3, 6, :] = np.where(good, woop[:, 3, 6, :], -1.0)
+
     return DeviceScene(
         node_min=pad_node(bvh.bounds_min, inf),
         node_max=pad_node(bvh.bounds_max, -inf),
@@ -266,5 +300,6 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_count=jnp.asarray(cl_cnt),
         cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
+        cl_woop_table=jnp.asarray(woop.reshape(kc, 8 * 7 * c)),
         albedo_textures=atlas,
     )
