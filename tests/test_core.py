@@ -132,3 +132,35 @@ def test_camera_center_ray():
         jnp.asarray([0.5]), jnp.asarray([0.5]),
     )
     assert float(d2[0, 1]) > 0 and float(d2[0, 0]) < 0
+
+
+def test_png_and_memory_utils(tmp_path):
+    from pg2024_dprt_tpu.utils.png import tonemap, write_png
+    from pg2024_dprt_tpu.utils.memory import buffer_bytes, memory_report
+    from pg2024_dprt_tpu.core.types import PathState
+
+    img = np.random.RandomState(0).rand(9, 7, 3).astype(np.float32) * 4
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in data
+    assert tonemap(img).dtype == np.uint8
+
+    paths = PathState.empty(128)
+    assert buffer_bytes(paths) > 128 * 40
+    rep = memory_report(paths=paths)
+    assert "paths" in rep and "total" in rep
+
+
+def test_multigeo_mlp_variant():
+    """MultiGeoNeuralVisNetwork analogue: 6-feature input (instance id),
+    reference trainingcode/module.py:531-582."""
+    import jax
+    from pg2024_dprt_tpu.models.mlp import MLPConfig, apply_mlp, init_mlp
+
+    cfg = MLPConfig(width=128, depth=2, in_features=6, final_activation="sigmoid")
+    params = init_mlp(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(1).rand(32, 6).astype(np.float32))
+    y = np.asarray(apply_mlp(params, x, cfg))
+    assert y.shape == (32,)
+    assert (y >= 0).all() and (y <= 1).all()  # sigmoid head
