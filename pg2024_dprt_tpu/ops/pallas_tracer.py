@@ -107,6 +107,52 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
             out[:, 3:4] = jnp.where(improved, pick(v), out[:, 3:4])
 
 
+def _occl_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
+                 rays, rays_mm,
+                 *rest, c: int, pp: int):
+    """Any-hit (occlusion) variant: no winner attribution; a tile's pairs
+    stop contributing once every ray is occluded (horizon = any unoccluded,
+    tracked via the out column itself)."""
+    wtabs = rest[:pp]
+    out = rest[pp]                                        # (TM, 1): occluded
+
+    p = pl.program_id(0)
+    tmin, tmax = rays[:, 6:7], rays[:, 7:8]
+
+    @pl.when((fl_ref[p * pp] & 1) == 1)
+    def _():
+        out[:] = jnp.zeros_like(out[:])
+
+    tm = rays.shape[0]
+    # skip when every ray is already occluded (min over 1-occ == 0)
+    any_open = jnp.max(jnp.where(out[:] > 0.5, 0.0, 1.0))
+    B = lambda a: jnp.broadcast_to(a, (tm, c))
+    for j in range(pp):
+        @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (any_open > 0.5))
+        def _(wtab=wtabs[j]):
+            mm = jnp.dot(rays_mm[:], wtab[0], preferred_element_type=jnp.float32)
+            blk = lambda q: mm[:, q * c : (q + 1) * c]
+            opz, dpz = blk(2), blk(5)
+            dz_ok = jnp.abs(dpz) > 1e-12
+            inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, 1.0), 0.0)
+            t = -opz * inv_dz
+            u = blk(0) + t * blk(3)
+            v = blk(1) + t * blk(4)
+            tmap = blk(6)
+            eps = 1e-5
+            tri_ok = (
+                dz_ok
+                & (tmap >= 0.0)
+                & (u >= -eps)
+                & (v >= -eps)
+                & (u + v <= 1.0 + eps)
+                & (t > B(tmin))
+                & (t < B(tmax))
+            )
+            hit = jnp.max(jnp.where(tri_ok, 1.0, 0.0), axis=1, keepdims=True)
+            out[:] = jnp.maximum(out[:], hit)
+
+
 def _kernel(tile_ref, cl_ref, fl_ref, en_ref,            # scalar prefetch
             rays,                                         # (TM, 8) packed
             *rest, c: int, pp: int):
@@ -328,7 +374,7 @@ def _morton_key(scene: DeviceScene, o, d):
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "region", "pairs_per_step", "sort_rays", "woop", "interpret"),
+    static_argnames=("tile_rays", "region", "pairs_per_step", "sort_rays", "woop", "any_hit", "interpret"),
 )
 def trace_pallas(
     scene: DeviceScene,
@@ -338,9 +384,11 @@ def trace_pallas(
     pairs_per_step: int = PAIRS_PER_STEP,
     sort_rays: bool = False,
     woop: bool = True,             # MXU unit-triangle test (False = VPU MT)
+    any_hit: bool = False,         # occlusion-only kernel (returns bool mask)
     interpret: bool = None,
 ):
-    """Closest-hit trace. Returns (HitRecord, dropped_pair_count)."""
+    """Closest-hit trace. Returns (HitRecord, dropped_pair_count), or
+    (occluded_mask, dropped) when any_hit=True."""
     n = origin.shape[0]
     tm = tile_rays
     pad = (-n) % tm
@@ -412,8 +460,9 @@ def trace_pallas(
         )
         for j in range(pp)
     ]
+    out_cols = 1 if any_hit else 4
     out_spec = pl.BlockSpec(
-        (tm, 4), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
+        (tm, out_cols), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -424,20 +473,21 @@ def trace_pallas(
         out_specs=[out_spec],
     )
 
-    out_shapes = [jax.ShapeDtypeStruct((mp, 4), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)]
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if woop:
+    if any_hit or woop:
         rays_mm = jnp.stack(
             [o[:, 0], o[:, 1], o[:, 2], jnp.ones((mp,), jnp.float32),
              d[:, 0], d[:, 1], d[:, 2], jnp.zeros((mp,), jnp.float32)],
             axis=-1,
         )
         wtab = scene.cl_woop_table.reshape(scene.num_clusters, 8, 7 * c)
+        kern = _occl_kernel if any_hit else _woop_kernel
         (packed_out,) = pl.pallas_call(
-            partial(_woop_kernel, c=c, pp=pp),
+            partial(kern, c=c, pp=pp),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
@@ -454,7 +504,15 @@ def trace_pallas(
 
     # tiles that didn't fit the pool were never initialized -> force miss
     ray_fit = jnp.repeat(tile_fit, tm)
-    packed_out = jnp.where(ray_fit[:, None], packed_out, jnp.asarray([0.0, -1.0, 0.0, 0.0]))
+    miss_row = jnp.zeros((out_cols,)) if any_hit else jnp.asarray([0.0, -1.0, 0.0, 0.0])
+    packed_out = jnp.where(ray_fit[:, None], packed_out, miss_row)
+
+    if any_hit:
+        occ = (packed_out[:n, 0] > 0.5) & active[:n]
+        if sort_rays:
+            inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+            occ = jnp.take(occ, inv_perm, axis=0)
+        return occ, dropped
 
     t = packed_out[:n, 0]
     tri = jnp.round(packed_out[:n, 1]).astype(jnp.int32)

@@ -40,8 +40,8 @@ def trace_occlusion(scene, origin, direction, t_min, t_max, active, tracer: str 
         return traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit
     if tracer == "cluster":
         return occlusion_clusters(scene, origin, direction, t_min, t_max, active)
-    hits, _ = trace_pallas(scene, origin, direction, t_min, t_max, active)
-    return hits.is_hit
+    occ, _ = trace_pallas(scene, origin, direction, t_min, t_max, active, any_hit=True)
+    return occ
 
 
 def _hit_alpha(scene, hits):

@@ -59,3 +59,20 @@ def test_pallas_tracer_respects_active_and_tmax():
 
     want = intersect_brute_force(scene, o, d, 1e-3, jnp.full((n,), 1e30), act)
     np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+
+
+def test_pallas_any_hit_occlusion():
+    scene = device_scene_from_meshes([random_tri_soup(500, seed=24)], tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(25)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.asarray(rng.rand(n) > 0.3)
+
+    occ, dropped = trace_pallas(scene, o, d, 1e-3, tmax, act,
+                                tile_rays=256, region=64, any_hit=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
