@@ -42,15 +42,106 @@ def random_proxy_models(key, num_objects: int,
     return ProxyModels(vis, depth, num_objects, vis_cfg, depth_cfg)
 
 
-def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
-                  obj_id: jnp.ndarray, valid: jnp.ndarray,
-                  num_objects: int, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Evaluate per-object MLPs: features (Q, F), obj_id (Q,) in [0, O).
-
-    Returns (Q,) predictions (0 where invalid)."""
+def apply_grouped_reference(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
+                            obj_id: jnp.ndarray, valid: jnp.ndarray,
+                            num_objects: int, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Oracle implementation: O masked full-batch passes (O x FLOPs)."""
     out = jnp.zeros(features.shape[:-1], jnp.float32)
     for o in range(num_objects):
         params_o = jax.tree.map(lambda a: a[o], stacked_params)
         pred = apply_mlp(params_o, features, cfg, compute_dtype=compute_dtype)
         out = jnp.where((obj_id == o) & valid, pred, out)
     return out
+
+
+def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
+                  obj_id: jnp.ndarray, valid: jnp.ndarray,
+                  num_objects: int, compute_dtype=jnp.bfloat16,
+                  block: int = 1024) -> jnp.ndarray:
+    """Production grouped inference: MoE-style dispatch.
+
+    One sort groups queries by object into block-aligned segments (budget
+    Q + O*block is static and always sufficient — nothing is dropped), then
+    every layer is ONE batched matmul over (num_blocks, block, width) with
+    per-block weights selected by one-hot MXU gathers. Replaces the
+    reference's per-object TorchScript loop
+    (/root/reference/src/render/renderer.cpp:879-922) without its O(objects)
+    serialization."""
+    q = features.shape[0]
+    o_count = num_objects
+    bq = min(block, max(q, 8))
+
+    key = jnp.where(valid, obj_id.astype(jnp.int32), o_count)
+    idx = jnp.arange(q, dtype=jnp.int32)
+    sorted_key, perm = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+
+    counts = jnp.sum(
+        jax.nn.one_hot(key, o_count + 1, dtype=jnp.int32), axis=0
+    )[:o_count]
+    region = bq * -(-counts // bq)                       # per-object, aligned
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(region)[:-1]])
+    budget = q + o_count * bq - (q % bq if q % bq else 0)
+    budget = bq * -(-budget // bq)
+    nb = budget // bq
+
+    # slot of each sorted query: object segment start + rank within object
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    srt_obj = jnp.minimum(sorted_key, o_count - 1)
+    rank = jnp.arange(q, dtype=jnp.int32) - jnp.take(seg_start, srt_obj)
+    slot = jnp.where(sorted_key < o_count, jnp.take(offsets, srt_obj) + rank, budget)
+
+    x = (
+        jnp.zeros((budget + 1, features.shape[1]), features.dtype)
+        .at[slot].set(jnp.take(features, perm, axis=0), mode="drop")[:budget]
+    )
+    x = x.reshape(nb, bq, features.shape[1])
+
+    ends = offsets + region
+    block_obj = jnp.sum(
+        (ends[None, :] <= (jnp.arange(nb, dtype=jnp.int32) * bq)[:, None]).astype(jnp.int32),
+        axis=-1,
+    )
+    block_obj = jnp.minimum(block_obj, o_count - 1)
+    onehot = jax.nn.one_hot(block_obj, o_count, dtype=jnp.float32)  # (NB, O)
+
+    def pick_w(name):
+        w = stacked_params[name]                          # (O, in, out) or (O, out)
+        flat = w.reshape(o_count, -1)
+        g = jnp.dot(onehot, flat, preferred_element_type=jnp.float32)
+        return g.reshape((nb,) + w.shape[1:])
+
+    def dot(h, wname, bname):
+        w = pick_w(wname).astype(compute_dtype)
+        b = pick_w(bname)
+        y = jnp.einsum(
+            "nqi,nio->nqo", h.astype(compute_dtype), w,
+            preferred_element_type=jnp.float32,
+        )
+        return y + b[:, None, :]
+
+    from .mlp import LEAKY_SLOPE
+
+    leaky = lambda v: jnp.where(v >= 0, v, LEAKY_SLOPE * v)
+
+    origin = x[..., : cfg.in_features - 2]
+    direction = x[..., cfg.in_features - 2 :]
+    h_o = leaky(dot(origin, "enc_o_w0", "enc_o_b0"))
+    h_o = leaky(dot(h_o, "enc_o_w1", "enc_o_b1"))
+    h_d = leaky(dot(direction, "enc_d_w0", "enc_d_b0"))
+    h_d = leaky(dot(h_d, "enc_d_w1", "enc_d_b1"))
+    h = jnp.concatenate([h_o, h_d], axis=-1)
+    for i in range(cfg.depth):
+        h = leaky(h + dot(h, f"res_w{i}", f"res_b{i}"))
+    h = leaky(dot(h, "head_w0", "head_b0"))
+    pred = dot(h, "head_w1", "head_b1")[..., 0]           # (NB, BQ)
+
+    if cfg.final_activation == "leaky_relu":
+        pred = leaky(pred)
+    elif cfg.final_activation == "sigmoid":
+        pred = jax.nn.sigmoid(pred)
+
+    # unscatter: sorted query i lives at slot[i]
+    pred_flat = jnp.concatenate([pred.reshape(-1), jnp.zeros((1,), pred.dtype)])
+    pred_sorted = jnp.take(pred_flat, slot)
+    out = jnp.zeros((q,), jnp.float32).at[perm].set(pred_sorted.astype(jnp.float32))
+    return jnp.where(valid, out, 0.0)

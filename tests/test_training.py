@@ -91,3 +91,30 @@ def test_exr_dataset_roundtrip(tmp_path):
     f2, l2 = load_exr_pair(op, dp)
     np.testing.assert_allclose(f2[:1000], feats, atol=0)
     np.testing.assert_allclose(l2[:1000], labels, atol=0)
+
+
+def test_grouped_inference_matches_reference():
+    """MoE-dispatch grouped MLP == per-object masked loop (all valid rows)."""
+    import jax
+    from pg2024_dprt_tpu.models.proxy import (
+        apply_grouped, apply_grouped_reference, random_proxy_models,
+    )
+
+    o = 5
+    models = random_proxy_models(jax.random.PRNGKey(3), o, MLPConfig(width=64, depth=2),
+                                 MLPConfig(width=64, depth=2))
+    rng = np.random.RandomState(4)
+    q = 3000
+    feats = jnp.asarray(rng.rand(q, 5).astype(np.float32))
+    obj = jnp.asarray(rng.randint(0, o, q).astype(np.int32))
+    valid = jnp.asarray(rng.rand(q) > 0.3)
+
+    want = np.asarray(apply_grouped_reference(
+        models.vis_params, models.vis_cfg, feats, obj, valid, o,
+        compute_dtype=jnp.float32))
+    got = np.asarray(apply_grouped(
+        models.vis_params, models.vis_cfg, feats, obj, valid, o,
+        compute_dtype=jnp.float32, block=256))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # invalid rows are zero
+    assert (got[~np.asarray(valid)] == 0).all()
