@@ -155,3 +155,29 @@ def test_alpha_cutout():
     )
     # within t<1.2 only the transparent wall exists -> unoccluded
     assert not np.asarray(occ).any()
+
+
+def test_visibility_grid():
+    """Legacy grid proxy (#19): rays that hit the object must be predicted
+    visible; overall prediction should beat chance against real traces."""
+    import jax
+    from pg2024_dprt_tpu.scene import MeshGeometry
+    from pg2024_dprt_tpu.scene.procedural import _box
+    from pg2024_dprt_tpu.scene.visibility_grid import build_visibility_grid, query_visibility
+    from pg2024_dprt_tpu.train.datagen import _sample_entry_rays
+
+    v0, v1, v2 = _box([0.35, 0.35, 0.35], [0.65, 0.65, 0.65])
+    scene = device_scene_from_meshes([MeshGeometry(v0=v0, v1=v1, v2=v2)])
+    lo, hi = jnp.zeros(3), jnp.ones(3)
+    vg = build_visibility_grid(scene, lo, hi, samples=150_000, seed=5)
+
+    o, d = _sample_entry_rays(jax.random.PRNGKey(99), lo, hi, 4096)
+    hits = traverse_bvh(scene, o, d, 1e-4, jnp.full((4096,), 1e30, jnp.float32),
+                        jnp.ones((4096,), bool))
+    pred = query_visibility(vg, o, d, jnp.zeros((4096,)))
+    h = np.asarray(hits.is_hit)
+    p = np.asarray(pred)
+    # conservative direction: nearly all true hits predicted visible
+    assert p[h].mean() > 0.97
+    # and it actually culls: a good chunk of misses predicted invisible
+    assert (~p[~h]).mean() > 0.3

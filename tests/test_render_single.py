@@ -80,3 +80,20 @@ def test_exr_roundtrip(tmp_path):
     assert names == ["B", "G", "R"]
     # read returns channels in file (alphabetical) order
     np.testing.assert_allclose(back[:, :, [2, 1, 0]], img, atol=0)
+
+
+def test_golden_cornell():
+    """Regression lock: deterministic TEA-seeded cornell render must match
+    the committed golden EXR (CPU; fp tolerance for compiler drift)."""
+    import os
+    from pg2024_dprt_tpu.utils import read_exr
+
+    scene, lights, env, camera, cfg = _setup(width=32, height=32, spp=2, bounces=3,
+                                             env_color=(0.2, 0.3, 0.4))
+    img = np.asarray(render_image(scene, lights, env, camera, cfg))
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "cornell_32x32_spp2_b3.exr")
+    golden, names = read_exr(golden_path)
+    order = [names.index(c) for c in ("R", "G", "B")]
+    golden = golden[:, :, order]
+    np.testing.assert_allclose(img, golden, rtol=1e-3, atol=1e-4)
