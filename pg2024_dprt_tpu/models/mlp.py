@@ -115,3 +115,19 @@ def stack_params(params_list) -> Dict[str, jnp.ndarray]:
     """Stack per-object param dicts along a new leading axis (the grouped
     inference engine's weight layout)."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *params_list)
+
+
+def to_bf16(params: Dict) -> Dict:
+    """Half-precision deployment weights — the reference's fp16 TorchScript
+    export (/root/reference/trainingcode/utils/exportHalfModule.py,
+    Float2Half.py). Inference already computes in bf16 on the MXU; this
+    additionally halves weight memory."""
+    return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+
+def half_vs_full_error(params: Dict, x, cfg: MLPConfig = PROD_VIS) -> float:
+    """fp32-vs-bf16 prediction MSE (the exportHalfModule comparison,
+    exportHalfModule.py:80-88)."""
+    full = apply_mlp(params, x, cfg, compute_dtype=jnp.float32)
+    half = apply_mlp(to_bf16(params), x, cfg, compute_dtype=jnp.bfloat16)
+    return float(jnp.mean((full - half) ** 2))

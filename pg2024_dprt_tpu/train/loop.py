@@ -158,3 +158,19 @@ def load_checkpoint(path: str):
         path = path + ".npz"
     data = np.load(path)
     return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+def save_checkpoint_orbax(path: str, params):
+    """Orbax pytree checkpoint (production alternative to npz)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=like)

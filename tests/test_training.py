@@ -118,3 +118,29 @@ def test_grouped_inference_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     # invalid rows are zero
     assert (got[~np.asarray(valid)] == 0).all()
+
+
+def test_bf16_export_parity():
+    import jax
+    from pg2024_dprt_tpu.models.mlp import half_vs_full_error, init_mlp, to_bf16
+
+    cfg = MLPConfig(width=128, depth=2)
+    params = init_mlp(jax.random.PRNGKey(7), cfg)
+    x = jnp.asarray(np.random.RandomState(8).rand(512, 5).astype(np.float32))
+    err = half_vs_full_error(params, x, cfg)
+    assert err < 1e-3
+    assert all(a.dtype == jnp.bfloat16 for a in to_bf16(params).values())
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    from pg2024_dprt_tpu.models.mlp import init_mlp
+    from pg2024_dprt_tpu.train.loop import load_checkpoint_orbax, save_checkpoint_orbax
+
+    cfg = MLPConfig(width=64, depth=2)
+    params = init_mlp(jax.random.PRNGKey(9), cfg)
+    p = str(tmp_path / "ck")
+    save_checkpoint_orbax(p, params)
+    back = load_checkpoint_orbax(p, like=params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(params[k]))
