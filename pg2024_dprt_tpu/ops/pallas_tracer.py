@@ -67,17 +67,17 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
     for j in range(pp):
         @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (en_ref[p * pp + j] < worst_bits))
         def _(wtab=wtabs[j]):
-            mm = jnp.dot(
-                rays_mm[:], wtab[0], preferred_element_type=jnp.float32
-            )  # (TM, 7C)
-            blk = lambda q: mm[:, q * c : (q + 1) * c]
-            opz, dpz = blk(2), blk(5)
+            w = wtab[0]                                    # (4, 4C)
+            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32)
+            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32)
+            blk = lambda m, q: m[:, q * c : (q + 1) * c]
+            opz, dpz = blk(mo, 2), blk(md, 2)
             dz_ok = jnp.abs(dpz) > 1e-12
             inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, 1.0), 0.0)
             t = -opz * inv_dz
-            u = blk(0) + t * blk(3)
-            v = blk(1) + t * blk(4)
-            tmap = blk(6)
+            u = blk(mo, 0) + t * blk(md, 0)
+            v = blk(mo, 1) + t * blk(md, 1)
+            tmap = blk(mo, 3)
             # small barycentric tolerance: unit-space edges of adjacent
             # triangles must not open seams (double-hits are resolved by the
             # closest-hit min, holes are not recoverable)
@@ -130,15 +130,17 @@ def _occl_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
     for j in range(pp):
         @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (any_open > 0.5))
         def _(wtab=wtabs[j]):
-            mm = jnp.dot(rays_mm[:], wtab[0], preferred_element_type=jnp.float32)
-            blk = lambda q: mm[:, q * c : (q + 1) * c]
-            opz, dpz = blk(2), blk(5)
+            w = wtab[0]                                    # (4, 4C)
+            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32)
+            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32)
+            blk = lambda m, q: m[:, q * c : (q + 1) * c]
+            opz, dpz = blk(mo, 2), blk(md, 2)
             dz_ok = jnp.abs(dpz) > 1e-12
             inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, 1.0), 0.0)
             t = -opz * inv_dz
-            u = blk(0) + t * blk(3)
-            v = blk(1) + t * blk(4)
-            tmap = blk(6)
+            u = blk(mo, 0) + t * blk(md, 0)
+            v = blk(mo, 1) + t * blk(md, 1)
+            tmap = blk(mo, 3)
             eps = 1e-5
             tri_ok = (
                 dz_ok
@@ -450,8 +452,7 @@ def trace_pallas(
         (tm, 8), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
         memory_space=pltpu.VMEM,
     )
-    tri_width = 8 * 7 * c if woop else 10 * c
-    tri_block = (1, 8, 7 * c) if woop else (1, 1, 10 * c)
+    tri_block = (1, 4, 4 * c) if (woop or any_hit) else (1, 1, 10 * c)
     tri_specs = [
         pl.BlockSpec(
             tri_block,
@@ -484,7 +485,7 @@ def trace_pallas(
              d[:, 0], d[:, 1], d[:, 2], jnp.zeros((mp,), jnp.float32)],
             axis=-1,
         )
-        wtab = scene.cl_woop_table.reshape(scene.num_clusters, 8, 7 * c)
+        wtab = scene.cl_woop_table.reshape(scene.num_clusters, 4, 4 * c)
         kern = _occl_kernel if any_hit else _woop_kernel
         (packed_out,) = pl.pallas_call(
             partial(kern, c=c, pp=pp),

@@ -145,11 +145,10 @@ class DeviceScene(NamedTuple):
     cl_tri_table: jnp.ndarray  # (K, 10*C) f32
     cl_tri_map: jnp.ndarray    # (K*C,) i32 -> canonical tri index (-1 pad)
     # Woop-transform table for the MXU triangle test (ops/pallas_tracer.py):
-    # row k reshapes to (8, 7*C); rays_aug (TM,8)=[o,1,d,0] @ it yields
-    # [o'x o'y o'z d'x d'y d'z tmap] blocks of C lanes each, where
-    # (o', d') are the ray transformed into each triangle's unit space
+    # row k reshapes to (4, 4*C); [o,1] @ it -> [o'x o'y o'z tmap] and
+    # [d,0] @ it -> [d'x d'y d'z 0], the ray in each triangle's unit space
     # (t = -o'z/d'z, u = o'x + t d'x, v = o'y + t d'y).
-    cl_woop_table: jnp.ndarray = None  # (K, 8*7*C) f32
+    cl_woop_table: jnp.ndarray = None  # (K, 4*4*C) f32
     # Albedo texture atlas (NT, R, R, 4); rows indexed by mesh_texture_index
     # (scene/textures.py). Empty (0, ...) when the scene is untextured.
     albedo_textures: jnp.ndarray = None
@@ -248,9 +247,12 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     table[:, 9, :] = tri_map.reshape(kc, c).astype(np.float32)
 
     # Woop transform table: per tri, M = [e1 e2 n]^-1 (n = e1 x e2),
-    # b = -M v0; degenerate tris keep zero rows and tmap already marks pads.
-    woop = np.zeros((kc, 8, 7, c), np.float32)
-    woop[:, 3, 6, :] = tri_map.reshape(kc, c).astype(np.float32)  # tmap via '1' row
+    # b = -M v0; degenerate tris keep zero rows and tmap = -1.
+    # Compact (4, 4C) layout: blocks 0..2 hold [M row | b] per unit-space
+    # component, block 3 holds tmap on the '1' row. One table serves both
+    # o' = [o,1] @ W and d' = [d,0] @ W (the b row multiplies 0 for d').
+    woop = np.zeros((kc, 4, 4, c), np.float32)
+    woop[:, 3, 3, :] = tri_map.reshape(kc, c).astype(np.float32)
     if order.shape[0] > 0:
         va = ordered["v0"][safe].reshape(kc, c, 3)
         vb = ordered["v1"][safe].reshape(kc, c, 3)
@@ -266,14 +268,10 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         b = -np.einsum("kcij,kcj->kci", m, va).astype(np.float32)
         m = np.where(good[..., None, None], m, 0.0)
         b = np.where(good[..., None], b, 0.0)
-        # o' comps (blocks 0..2): rows 0..2 = M[oc,:], row 3 = b[oc]
         for oc in range(3):
             woop[:, 0:3, oc, :] = m[:, :, oc, :].transpose(0, 2, 1)
             woop[:, 3, oc, :] = b[:, :, oc]
-            # d' comps (blocks 3..5): rows 4..6 = M[oc,:]
-            woop[:, 4:7, 3 + oc, :] = m[:, :, oc, :].transpose(0, 2, 1)
-        # invalidate tmap of degenerate tris
-        woop[:, 3, 6, :] = np.where(good, woop[:, 3, 6, :], -1.0)
+        woop[:, 3, 3, :] = np.where(good, woop[:, 3, 3, :], -1.0)
 
     return DeviceScene(
         node_min=pad_node(bvh.bounds_min, inf),
@@ -300,6 +298,6 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_count=jnp.asarray(cl_cnt),
         cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
-        cl_woop_table=jnp.asarray(woop.reshape(kc, 8 * 7 * c)),
+        cl_woop_table=jnp.asarray(woop.reshape(kc, 4 * 4 * c)),
         albedo_textures=atlas,
     )
