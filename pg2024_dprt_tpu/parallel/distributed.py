@@ -76,9 +76,13 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
     # a segment starting inside the box can hit remote geometry arbitrarily
     # close, so its routing distance is ~eps (visited first)
     cand = jnp.maximum(t_enter, eps * 1.5)
+    # empty partitions carry inverted-infinity AABBs whose slab test looks
+    # like an infinite box — exclude them explicitly
+    nonempty = (proxies.max_length > 0.0)[None, :]
     ok = (
         live[:, None]
         & unvisited
+        & nonempty
         & (jnp.arange(p)[None, :] != my_id)
         & (t_exit >= t_enter)
         & (t_exit > eps)

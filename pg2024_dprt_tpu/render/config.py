@@ -27,8 +27,9 @@ class RenderConfig:
     t_epsilon: float = 1e-3
     # Neural-proxy routing for secondary/shadow rays (bounce >= 1).
     use_neural_proxies: bool = False
-    # Wavefront migration iterations upper bound (<= partitions in practice).
-    max_migrations: int = 8
+    # Wavefront migration iterations safety bound (the psum termination test
+    # exits earlier; worst case ~2x partitions for arrive-then-reroute chains).
+    max_migrations: int = 32
     # Traversal backend: "auto" | "stackless" | "cluster" | "pallas"
     # (ops/trace_api.py; auto = pallas on accelerators, stackless on CPU).
     tracer: str = "auto"

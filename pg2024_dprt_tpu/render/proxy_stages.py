@@ -57,7 +57,13 @@ def march_proxies(
     t1 = (proxies.aabb_max[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
     t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, P)
     t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    box_ok = (t_exit >= t_enter) & (jnp.arange(p)[None, :] != my_node) & active[:, None]
+    box_ok = (
+        (t_exit >= t_enter)
+        & (jnp.arange(p)[None, :] != my_node)
+        & active[:, None]
+        # exclude empty partitions (inverted-infinity AABBs)
+        & (proxies.max_length > 0.0)[None, :]
+    )
 
     box_span = jnp.maximum(proxies.aabb_max - proxies.aabb_min, 1e-12)  # (P,3)
 

@@ -111,9 +111,10 @@ def test_exchange_overflow_retains_paths():
     assert (stats[:, 3] == 4).all()
 
 
-@pytest.mark.parametrize("parts", [1, 2, 4])
+@pytest.mark.parametrize("parts", [1, 2, 4, 8])
 def test_distributed_matches_single_device(parts):
-    """§4d: N-partition render == 1-device render (exact mode, no proxies)."""
+    """§4d: N-partition render == 1-device render (exact mode, no proxies).
+    parts=8 over 7 meshes also exercises an empty partition."""
     meshes, lights, part, env, camera, cfg = _cornell_setup(parts=parts)
     mesh = make_mesh(parts)
     models = random_proxy_models(jax.random.PRNGKey(0), parts)

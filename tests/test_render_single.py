@@ -131,3 +131,18 @@ def test_env_rotation_offset():
     r0 = np.asarray(e0.sample(d))[0]
     r180 = np.asarray(e180.sample(d))[0]
     assert not np.allclose(r0, r180)
+
+
+def test_frame_sequence_with_animation(tmp_path):
+    """Frame loop + light/camera animation (LIGHT_MOVE/CAMERA_MOVE parity)."""
+    from pg2024_dprt_tpu.render.frames import render_frames
+
+    scene, lights, env, camera, cfg = _setup(width=16, height=16, spp=1, bounces=1)
+    imgs = render_frames(
+        scene, lights, env, camera, cfg, num_frames=2, out_dir=str(tmp_path),
+        light_velocity=(0.05, 0.0, 0.0), camera_velocity=(0.02, 0.0, 0.0),
+    )
+    assert len(imgs) == 2
+    assert (tmp_path / "frame0.exr").exists() and (tmp_path / "frame1.exr").exists()
+    # motion changes the image
+    assert np.abs(imgs[0] - imgs[1]).max() > 1e-5
