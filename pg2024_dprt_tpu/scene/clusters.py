@@ -31,10 +31,13 @@ class ClusterTable(NamedTuple):
     tris_per_cluster: int  # C
 
 
-def build_clusters(bvh: FlatBVH, max_tris: int = 128, max_clusters: int = 1024) -> ClusterTable:
+def build_clusters(bvh: FlatBVH, max_tris: int = 128, max_clusters: int = 0) -> ClusterTable:
     """Cut the flattened BVH into clusters. Returns a table padded so every
     cluster owns exactly `max_tris` slots in the cluster-major layout."""
     c = max_tris
+    if max_clusters <= 0:
+        # always enough to satisfy the max_tris bound (plus split slack)
+        max_clusters = max(1024, 4 * (bvh.tri_order.shape[0] // max(c, 1) + 1))
 
     if bvh.tri_order.shape[0] == 0:
         inf = np.float32(np.inf)
@@ -85,6 +88,12 @@ def build_clusters(bvh: FlatBVH, max_tris: int = 128, max_clusters: int = 1024) 
 
     cut.sort(key=lambda i: lo[i])
     k = len(cut)
+    oversized = max(int(hi[i] - lo[i]) for i in cut)
+    if oversized > c:
+        raise ValueError(
+            f"cluster cut failed: largest cluster {oversized} > max_tris {c} "
+            f"(raise max_clusters)"
+        )
 
     aabb_min = bvh.bounds_min[cut]
     aabb_max = bvh.bounds_max[cut]
