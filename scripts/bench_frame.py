@@ -41,11 +41,13 @@ def main():
     print(f"compile+first: {time.time()-t0:.0f}s")
 
     iters = 5
-    t0 = time.time()
-    for i in range(iters):
-        out = fn(scene, i + 1)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt = float("inf")
+    for b in range(4):
+        t0 = time.time()
+        for i in range(iters):
+            out = fn(scene, b * iters + i + 1)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.time() - t0) / iters)
     rays = size * size * bounces * (1 + cfg.shadow_path_count)
     print(f"frame {size}x{size} 1spp {bounces} bounces: {dt*1e3:.1f} ms "
           f"({rays/dt/1e6:.2f} Mrays/s incl shadows)")

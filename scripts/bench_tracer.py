@@ -60,13 +60,15 @@ def main():
         h, dropped = fn(scene, o, d, tm, act)
         jax.block_until_ready(h)
         print(f"{name}: first(+compile) {time.time()-t0:.0f}s hits {int(h.is_hit.sum())} dropped {int(dropped)}")
-        t0 = time.time()
         iters = 10
-        for i in range(iters):
-            h, _ = fn(scene, o + 1e-6 * i, d, tm, act)
-        jax.block_until_ready(h)
-        dt = (time.time() - t0) / iters
-        print(f"{name}: {n/dt/1e6:.2f} Mrays/s  ({dt*1e3:.1f} ms)")
+        best = float("inf")
+        for b in range(5):
+            t0 = time.time()
+            for i in range(iters):
+                h, _ = fn(scene, o + 1e-6 * (b * iters + i), d, tm, act)
+            jax.block_until_ready(h)
+            best = min(best, (time.time() - t0) / iters)
+        print(f"{name}: {n/best/1e6:.2f} Mrays/s  ({best*1e3:.1f} ms, best of 5 batches)")
 
 
 if __name__ == "__main__":
