@@ -68,8 +68,12 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
         @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (en_ref[p * pp + j] < worst_bits))
         def _(wtab=wtabs[j]):
             w = wtab[0]                                    # (4, 4C)
-            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32)
-            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32)
+            # HIGHEST precision: the default fast-bf16 MXU path displaces hit
+            # points by ~1e-3, which shows up as iso-t ring artifacts
+            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             blk = lambda m, q: m[:, q * c : (q + 1) * c]
             opz, dpz = blk(mo, 2), blk(md, 2)
             dz_ok = jnp.abs(dpz) > 1e-12
@@ -131,8 +135,12 @@ def _occl_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
         @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (any_open > 0.5))
         def _(wtab=wtabs[j]):
             w = wtab[0]                                    # (4, 4C)
-            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32)
-            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32)
+            # HIGHEST precision: the default fast-bf16 MXU path displaces hit
+            # points by ~1e-3, which shows up as iso-t ring artifacts
+            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             blk = lambda m, q: m[:, q * c : (q + 1) * c]
             opz, dpz = blk(mo, 2), blk(md, 2)
             dz_ok = jnp.abs(dpz) > 1e-12
