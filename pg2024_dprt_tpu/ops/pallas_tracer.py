@@ -52,6 +52,8 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
     out = rest[pp]                                        # (TM, 4): t,tri,u,v
 
     p = pl.program_id(0)
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     tmin, tmax = rays[:, 6:7], rays[:, 7:8]
 
     @pl.when((fl_ref[p * pp] & 1) == 1)
@@ -68,8 +70,9 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
         @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (en_ref[p * pp + j] < worst_bits))
         def _(wtab=wtabs[j]):
             w = wtab[0]                                    # (4, 4C)
-            # HIGHEST precision: the default fast-bf16 MXU path displaces hit
-            # points by ~1e-3, which shows up as iso-t ring artifacts
+            # HIGHEST matmul precision is required: grazing hits divide two
+            # tiny z-components (t = -o'z/d'z), so bf16-grade transforms lose
+            # ~40% of hits on shallow geometry and ring-band the rest
             mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
             md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32,
@@ -82,9 +85,8 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
             u = blk(mo, 0) + t * blk(md, 0)
             v = blk(mo, 1) + t * blk(md, 1)
             tmap = blk(mo, 3)
-            # small barycentric tolerance: unit-space edges of adjacent
-            # triangles must not open seams (double-hits are resolved by the
-            # closest-hit min, holes are not recoverable)
+            # small tolerance so unit-space edges of adjacent triangles do
+            # not open seams (double-hits resolve via the closest-t min)
             eps = 1e-5
             tri_ok = (
                 dz_ok
@@ -112,15 +114,16 @@ def _woop_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
 
 
 def _occl_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
-                 rays, rays_mm,
+                 rays,                                    # (TM, 8) packed
                  *rest, c: int, pp: int):
-    """Any-hit (occlusion) variant: no winner attribution; a tile's pairs
-    stop contributing once every ray is occluded (horizon = any unoccluded,
-    tracked via the out column itself)."""
-    wtabs = rest[:pp]
+    """Any-hit (occlusion) variant of the MT kernel: no winner attribution;
+    a tile's pairs stop contributing once every ray is occluded."""
+    tris = rest[:pp]
     out = rest[pp]                                        # (TM, 1): occluded
 
     p = pl.program_id(0)
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
     tmin, tmax = rays[:, 6:7], rays[:, 7:8]
 
     @pl.when((fl_ref[p * pp] & 1) == 1)
@@ -128,34 +131,43 @@ def _occl_kernel(tile_ref, cl_ref, fl_ref, en_ref,       # scalar prefetch
         out[:] = jnp.zeros_like(out[:])
 
     tm = rays.shape[0]
-    # skip when every ray is already occluded (min over 1-occ == 0)
+    # skip once every ray is already occluded
     any_open = jnp.max(jnp.where(out[:] > 0.5, 0.0, 1.0))
-    B = lambda a: jnp.broadcast_to(a, (tm, c))
     for j in range(pp):
         @pl.when(((fl_ref[p * pp + j] & 2) == 2) & (any_open > 0.5))
-        def _(wtab=wtabs[j]):
-            w = wtab[0]                                    # (4, 4C)
-            # HIGHEST precision: the default fast-bf16 MXU path displaces hit
-            # points by ~1e-3, which shows up as iso-t ring artifacts
-            mo = jnp.dot(rays_mm[:, 0:4], w, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            md = jnp.dot(rays_mm[:, 4:8], w, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            blk = lambda m, q: m[:, q * c : (q + 1) * c]
-            opz, dpz = blk(mo, 2), blk(md, 2)
-            dz_ok = jnp.abs(dpz) > 1e-12
-            inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, 1.0), 0.0)
-            t = -opz * inv_dz
-            u = blk(mo, 0) + t * blk(md, 0)
-            v = blk(mo, 1) + t * blk(md, 1)
-            tmap = blk(mo, 3)
-            eps = 1e-5
+        def _(tri=tris[j]):
+            B = lambda a: jnp.broadcast_to(a, (tm, c))
+            comp = lambda q: B(tri[0, :, q * c : (q + 1) * c])
+            t0x, t0y, t0z = comp(0), comp(1), comp(2)
+            e1x = comp(3) - t0x
+            e1y = comp(4) - t0y
+            e1z = comp(5) - t0z
+            e2x = comp(6) - t0x
+            e2y = comp(7) - t0y
+            e2z = comp(8) - t0z
+            tmap = comp(9)
+            rdx, rdy, rdz = B(dx), B(dy), B(dz)
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tx = B(ox) - t0x
+            ty = B(oy) - t0y
+            tz = B(oz) - t0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             tri_ok = (
-                dz_ok
+                ok
                 & (tmap >= 0.0)
-                & (u >= -eps)
-                & (v >= -eps)
-                & (u + v <= 1.0 + eps)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
                 & (t > B(tmin))
                 & (t < B(tmax))
             )
@@ -393,12 +405,16 @@ def trace_pallas(
     region: int = REGION,          # AVERAGE pair budget per tile (global pool)
     pairs_per_step: int = PAIRS_PER_STEP,
     sort_rays: bool = False,
-    woop: bool = True,             # MXU unit-triangle test (False = VPU MT)
+    woop: bool = False,            # True = MXU unit-triangle test at HIGHEST
+                                   # precision (slower than the exact VPU MT
+                                   # path on this backend; kept for study)
     any_hit: bool = False,         # occlusion-only kernel (returns bool mask)
     interpret: bool = None,
 ):
     """Closest-hit trace. Returns (HitRecord, dropped_pair_count), or
     (occluded_mask, dropped) when any_hit=True."""
+    if any_hit:
+        woop = False  # the occlusion kernel is MT-based
     n = origin.shape[0]
     tm = tile_rays
     pad = (-n) % tm
@@ -460,7 +476,7 @@ def trace_pallas(
         (tm, 8), lambda p, tile_ref, cl_ref, fl_ref, en_ref: (tile_ref[p * pp], 0),
         memory_space=pltpu.VMEM,
     )
-    tri_block = (1, 4, 4 * c) if (woop or any_hit) else (1, 1, 10 * c)
+    tri_block = (1, 4, 4 * c) if woop else (1, 1, 10 * c)
     tri_specs = [
         pl.BlockSpec(
             tri_block,
@@ -487,16 +503,15 @@ def trace_pallas(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if any_hit or woop:
+    if woop:
         rays_mm = jnp.stack(
             [o[:, 0], o[:, 1], o[:, 2], jnp.ones((mp,), jnp.float32),
              d[:, 0], d[:, 1], d[:, 2], jnp.zeros((mp,), jnp.float32)],
             axis=-1,
         )
         wtab = scene.cl_woop_table.reshape(scene.num_clusters, 4, 4 * c)
-        kern = _occl_kernel if any_hit else _woop_kernel
         (packed_out,) = pl.pallas_call(
-            partial(kern, c=c, pp=pp),
+            partial(_woop_kernel, c=c, pp=pp),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
@@ -504,8 +519,9 @@ def trace_pallas(
           rays_packed, rays_mm, *([wtab] * pp))
     else:
         tri_tbl = scene.cl_tri_table.reshape(scene.num_clusters, 1, 10 * c)
+        kern = _occl_kernel if any_hit else _kernel
         (packed_out,) = pl.pallas_call(
-            partial(_kernel, c=c, pp=pp),
+            partial(kern, c=c, pp=pp),
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
