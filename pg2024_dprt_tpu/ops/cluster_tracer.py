@@ -17,13 +17,14 @@ shapes and no per-step gathers:
              distributions (every ray in one cluster) just produce more
              blocks of that cluster — nothing overflows a per-cluster
              capacity.
-  3. INTERSECT: scan over groups of blocks; each group Moller-Trumbores its
-             BR rays against the cluster's C contiguous cluster-major
-             triangles — dense (GB, BR, C) elementwise work — and folds
-             closest hits into a carried per-ray best via monotone
-             float-bit min-scatter.
+  3. INTERSECT: an unrolled sequence of block groups, each Moller-Trumboring
+             its BR rays against the cluster's C contiguous cluster-major
+             triangles — dense (GB, BR, C) elementwise work — followed by one
+             final min-scatter closest-hit reduction.
 
-Matches ops/traversal.py (the oracle) on hit distances up to fp
+NOTE: this XLA formulation is kept as a mid-generation tracer (and the
+dispatch pattern documentation); production tracing uses the single-kernel
+ops/pallas_tracer.py, which subsumes it. Matches ops/traversal.py (the oracle) on hit distances up to fp
 reassociation; returns canonical triangle indices via `cl_tri_map` so shading
 is tracer-agnostic.
 """

@@ -1,27 +1,34 @@
 """Pallas TPU megakernel tracer — the production `optixTrace` replacement.
 
 Pipeline:
-  0. Rays are sorted by direction octant + origin Morton code so tiles of TM
-     consecutive rays are spatially coherent (results unsorted at the end).
-     Coherence is what makes tile-level culling effective — the wavefront
-     reorder the reference gets from per-destination compaction
-     (/root/reference/src/cuda/cuda_compaction.cu) happens here instead.
+  0. (optional) rays sort by direction octant + origin Morton code so tiles
+     of TM consecutive rays are spatially coherent; the engine instead emits
+     camera wavefronts in 16x16 pixel-block order, which is cheaper.
   1. XLA prep (small arrays): a conservative interval-arithmetic slab test
-     culls (tile, cluster) pairs. Each tile owns a FIXED region of S pair
-     slots (slot 0 initializes the tile, the rest carry candidate cluster
-     ids); pairs beyond S-1 are dropped and counted.
-  2. ONE `pallas_call`, grid = tiles * S / PP: each step processes PP pairs
-     of one tile. Ray/output block indices are pure index math; the PP
-     triangle tiles (component-planar rows of scene.cl_tri_table) are
-     selected by scalar-prefetched cluster ids, so Pallas streams them
-     through VMEM with automatic double-buffering. The body is PP dense
-     (TM, C) Moller-Trumbore passes updating the running closest hit held in
-     the revisited output blocks.
+     culls (tile, cluster) pairs; survivors form a GLOBAL-POOL pair list —
+     each tile owns a contiguous pp-aligned region sized to its candidate
+     count, ordered front-to-back by conservative enter distance. Tiles that
+     do not fit the static budget are reported and forced to miss; nothing
+     is silently wrong (dropped-pair count is returned).
+  2. ONE `pallas_call`, grid = budget/pp: each step processes pp pairs of
+     one tile. The per-pair triangle tiles (component-planar rows of
+     scene.cl_tri_table) are selected by scalar-prefetched cluster ids, so
+     Pallas streams them through VMEM with automatic double-buffering. The
+     body is a dense (TM, C) exact-f32 Moller-Trumbore on the VPU updating
+     the running closest hit held in the revisited output blocks, with an
+     early-termination horizon: once every ray's best t is below a pair's
+     enter distance, the tile's remaining (front-to-back) pairs are skipped.
+     `any_hit=True` selects a cheaper occlusion body (no winner attribution,
+     fully-occluded tiles stop early). A Woop-transform MXU body exists
+     behind `woop=True` but is off by default: fast-precision MXU transforms
+     lose grazing hits (t = -o'z/d'z divides two tiny bf16 values) and at
+     HIGHEST precision the VPU MT body is faster.
 
-Why this shape: per-ray BVH stepping costs a data-dependent gather per step
-(~0.01 Mrays/s on v5e), multi-kernel XLA pipelines pay ~0.5 ms latency per
-dependent launch on this backend, and per-grid-step overhead is ~5 us — so
-the whole hot loop is one kernel with few, fat steps and zero gathers.
+Backend findings that shaped this design (measured, see CLAUDE.md): lazy
+broadcasts in Mosaic are ~1000x slower than explicit `broadcast_to`; per-ray
+BVH stepping costs a data-dependent gather per step (~0.01 Mrays/s);
+dependent XLA launches cost ~0.5 ms; small-index gathers lower to serial
+slice loops.
 """
 from __future__ import annotations
 
