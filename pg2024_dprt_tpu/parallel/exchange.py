@@ -7,9 +7,15 @@ calls `MPI_Alltoall` + `MPI_Alltoallv`
 stays in HBM: one stable sort groups migrating paths by destination
 (ops/compaction.py), rows scatter into fixed-capacity per-destination buckets,
 and a single `lax.all_to_all` moves them over ICI. Variable-size sends become
-capacity+mask: paths that overflow a bucket simply stay valid locally and
-retry next wavefront iteration, so no path is ever dropped and the loop's
-`psum` termination test keeps running until the wavefront drains.
+capacity+mask, with a demand/allowance handshake (the device-resident
+analogue of the reference's `MPI_Alltoall(sendCounts)`,
+/root/reference/src/render/renderer.cpp:1272): each sender posts its
+per-destination demand, each receiver grants allowances bounded by its free
+buffer capacity, and only granted rows ship. Paths denied by bucket capacity
+OR by receiver back-pressure stay valid locally and retry next wavefront
+iteration, so no path is ever dropped — the merge provably fits (inflow <=
+free slots) — and the loop's `psum` termination test keeps running until the
+wavefront drains.
 
 `ring_shadow_occlusion` is the exact (non-neural) distributed shadow test the
 reference lacks: rotate the shadow buffer around the ring with `ppermute`,
@@ -64,7 +70,22 @@ def exchange_paths(
     offsets = segment_offsets(counts)
     dest = jnp.where(moving, sorted_key, 0)
     idx_in_seg = jnp.arange(n, dtype=jnp.int32) - jnp.take(offsets, dest)
-    send_ok = moving & (idx_in_seg < b)
+
+    # demand/allowance handshake: receivers grant at most their free capacity
+    # (conservatively not counting their own departures this round), so the
+    # post-exchange merge can never overflow the fixed buffer.
+    demand = jnp.minimum(counts, b)  # (p,) what I would ship per destination
+    demand_from = jax.lax.all_to_all(
+        demand.reshape(p, 1), axis_name, split_axis=0, concat_axis=0
+    ).reshape(p)  # row s = sender s's demand on me
+    free = jnp.maximum(n - jnp.sum(paths.is_valid.astype(jnp.int32)), 0)
+    before = jnp.cumsum(demand_from) - demand_from  # exclusive prefix
+    grant_to = jnp.clip(free - before, 0, demand_from)  # grant per sender
+    allow = jax.lax.all_to_all(
+        grant_to.reshape(p, 1), axis_name, split_axis=0, concat_axis=0
+    ).reshape(p)  # allow[d] = my granted send count to destination d
+
+    send_ok = moving & (idx_in_seg < jnp.take(allow, dest))
     slot = jnp.where(send_ok, dest * b + idx_in_seg, p * b)  # overflow -> pad row
 
     def scatter(leaf):
