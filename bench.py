@@ -53,6 +53,14 @@ def main():
         )[0]
     )
 
+    # correctness gate: the benchmarked configuration must not drop pairs
+    _, dropped = jax.jit(
+        lambda scene, o, d, tm, act: trace_pallas(
+            scene, o, d, 1e-3, tm, act, tile_rays=256, region=24, pairs_per_step=4
+        )
+    )(scene, origin, direction, tmax, active)
+    assert int(dropped) == 0, f"benchmark config drops {int(dropped)} pairs"
+
     hits = fn(scene, origin, direction, tmax, active)
     jax.block_until_ready(hits)
 

@@ -6,13 +6,21 @@
   * "pallas"    — ops/pallas_tracer.py: single-kernel tile tracer (TPU
     production path).
   * "auto"      — pallas on TPU, stackless elsewhere.
+
+No silent truncation (mirrors the reference's never-drop anyhit semantics,
+/root/reference/optix/kernel.cu:349-355): the pallas path auto-escalates its
+static (tile, cluster) pair budget 4x when the cull stage reports dropped
+pairs, and every production entry point returns a `diag` count of rays whose
+result may still be affected (escalation residue, cutout re-trace residue).
+Callers surface it; tests assert zero.
 """
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from .cluster_tracer import occlusion_clusters, traverse_clusters
-from .pallas_tracer import trace_pallas
+from .pallas_tracer import REGION, trace_pallas
 from .traversal import traverse_bvh
 
 
@@ -23,31 +31,62 @@ def resolve_tracer(name: str) -> str:
     return name
 
 
-def trace_closest(scene, origin, direction, t_min, t_max, active, tracer: str = "auto"):
+def _pallas_escalating(scene, origin, direction, t_min, t_max, active,
+                       any_hit: bool = False, region: int = REGION):
+    """Pallas trace that never silently force-misses: if the static pair
+    budget dropped any (tile, cluster) pair, cond-retrace the whole wavefront
+    at 4x, then 16x budget (same Mosaic kernel, larger grid — only the taken
+    branches execute at runtime). Returns (result, residual_dropped_pairs);
+    any residue after 16x is surfaced to the caller, never hidden."""
+    def at(r):
+        return lambda _: trace_pallas(
+            scene, origin, direction, t_min, t_max, active,
+            region=r, any_hit=any_hit,
+        )
+
+    res = at(region)(None)
+
+    def escalate(_):
+        r4 = at(region * 4)(None)
+        return jax.lax.cond(r4[1] > 0, at(region * 16), lambda _: r4, None)
+
+    return jax.lax.cond(res[1] > 0, escalate, lambda _: res, None)
+
+
+def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
+                          tracer: str = "auto"):
+    """Closest hit. Returns (HitRecord, diag) — diag counts pairs still
+    dropped after escalation (0 for the exact backends)."""
     tracer = resolve_tracer(tracer)
     if tracer == "stackless":
-        return traverse_bvh(scene, origin, direction, t_min, t_max, active)
+        return traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
     if tracer == "cluster":
-        return traverse_clusters(scene, origin, direction, t_min, t_max, active)
-    hits, _dropped = trace_pallas(scene, origin, direction, t_min, t_max, active)
-    return hits
+        return traverse_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    return _pallas_escalating(scene, origin, direction, t_min, t_max, active)
+
+
+def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
+                            tracer: str = "auto"):
+    """Any-hit test. Returns ((n,) bool occluded, diag)."""
+    tracer = resolve_tracer(tracer)
+    if tracer == "stackless":
+        return traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit, jnp.int32(0)
+    if tracer == "cluster":
+        return occlusion_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    return _pallas_escalating(scene, origin, direction, t_min, t_max, active, any_hit=True)
+
+
+def trace_closest(scene, origin, direction, t_min, t_max, active, tracer: str = "auto"):
+    return trace_closest_checked(scene, origin, direction, t_min, t_max, active, tracer)[0]
 
 
 def trace_occlusion(scene, origin, direction, t_min, t_max, active, tracer: str = "auto"):
     """Any-hit test; returns (n,) bool occluded."""
-    tracer = resolve_tracer(tracer)
-    if tracer == "stackless":
-        return traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit
-    if tracer == "cluster":
-        return occlusion_clusters(scene, origin, direction, t_min, t_max, active)
-    occ, _ = trace_pallas(scene, origin, direction, t_min, t_max, active, any_hit=True)
-    return occ
+    return trace_occlusion_checked(scene, origin, direction, t_min, t_max, active, tracer)[0]
 
 
 def _hit_alpha(scene, hits):
     """Opacity at a hit (texture alpha channel); 1.0 when untextured."""
-    import jax.numpy as jnp
-
     from ..scene.textures import sample_atlas
 
     tri = jnp.maximum(hits.tri_index, 0)
@@ -71,18 +110,23 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
     """Closest hit honoring cutout opacity — the reference anyhit programs'
     `opacity < 0.05 -> optixIgnoreIntersection()` semantics
     (/root/reference/optix/kernel.cu:311-359), implemented tracer-agnostically
-    by re-tracing past transparent hits (static `max_hops` unroll)."""
-    import jax.numpy as jnp
+    by re-tracing past transparent hits (static `max_hops` unroll).
 
+    Returns (HitRecord, diag). Rays still on a transparent hit after
+    `max_hops` re-traces report MISS (the reference anyhit never accepts a
+    transparent surface) and are counted in diag together with any pallas
+    escalation residue."""
     if scene.albedo_textures is None or scene.albedo_textures.shape[0] == 0:
-        return trace_closest(scene, origin, direction, t_min, t_max, active, tracer)
+        return trace_closest_checked(scene, origin, direction, t_min, t_max, active, tracer)
 
     n = origin.shape[0]
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     pending = active
     final = None
+    diag = jnp.int32(0)
     for _ in range(max_hops):
-        hits = trace_closest(scene, origin, direction, t_lo, t_max, pending, tracer)
+        hits, d = trace_closest_checked(scene, origin, direction, t_lo, t_max, pending, tracer)
+        diag = diag + d
         alpha = _hit_alpha(scene, hits)
         transparent = hits.is_hit & (alpha < alpha_threshold)
         settled = pending & (~transparent)
@@ -94,14 +138,23 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
             ))
         t_lo = jnp.where(transparent, hits.t + 1e-4, t_lo)
         pending = pending & transparent
-    return final
+    # residue: still transparent after max_hops -> miss, surfaced in diag
+    residue = pending
+    final = final._replace(
+        is_hit=final.is_hit & (~residue),
+        tri_index=jnp.where(residue, -1, final.tri_index),
+        t=jnp.where(residue, jnp.float32(3.402823466e38), final.t),
+    )
+    diag = diag + jnp.sum(residue.astype(jnp.int32))
+    return final, diag
 
 
 def trace_occlusion_cutout(scene, origin, direction, t_min, t_max, active,
                            tracer: str = "auto", max_hops: int = 4,
                            alpha_threshold: float = 0.05):
-    """Occlusion honoring cutout opacity: blocked only by opaque hits."""
-    hits = trace_closest_cutout(
+    """Occlusion honoring cutout opacity: blocked only by opaque hits.
+    Returns (occluded, diag)."""
+    hits, diag = trace_closest_cutout(
         scene, origin, direction, t_min, t_max, active, tracer, max_hops, alpha_threshold
     )
-    return hits.is_hit
+    return hits.is_hit, diag

@@ -51,7 +51,7 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
     my_bit = ((paths.visited_mask >> my_id.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
     do_local = live & (~my_bit)
 
-    hits = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, do_local, tracer=tracer)
+    hits, diag = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, do_local, tracer=tracer)
     new_tmax = jnp.where(hits.is_hit, hits.t, paths.tmax)
     current = jnp.where(do_local & hits.is_hit, my_id, paths.current_node).astype(jnp.int32)
     is_hit = paths.is_hit | (do_local & hits.is_hit)
@@ -111,29 +111,37 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
         is_hit=is_hit,
         is_valid=paths.is_valid & (~env_miss),
     )
-    return new_paths, env_add
+    return new_paths, env_add, diag
 
 
 def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfig):
-    """The primaryRayModule while-loop (renderer.cpp:1230-1315)."""
+    """The primaryRayModule while-loop (renderer.cpp:1230-1315).
+
+    Returns (paths, env_img, diag, truncated): `truncated` counts paths still
+    wanting to migrate when the `max_migrations` safety bound trips — they
+    get shaded at the wrong partition, so the count is surfaced instead of
+    silently accepted (the reference's 2x-buffer assert analogue,
+    renderer.cpp:1562)."""
     npix = cfg.frame_buffer_size
     bucket = max(1, int(paths.capacity * cfg.bucket_fraction) // max(1, proxies.num_partitions))
 
     def body(carry):
-        paths, env_img, _pending, it = carry
-        paths, env_add = _trace_and_route(scene, proxies, env, paths, my_id, cfg.t_epsilon, npix, cfg.tracer)
+        paths, env_img, _pending, it, diag = carry
+        paths, env_add, d = _trace_and_route(scene, proxies, env, paths, my_id, cfg.t_epsilon, npix, cfg.tracer)
         paths, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=bucket)
         pending = jax.lax.psum(waiting + arrivals, NODES_AXIS)
-        return paths, env_img + env_add, pending, it + 1
+        return paths, env_img + env_add, pending, it + 1, diag + d
 
     def cond(carry):
-        _, _, pending, it = carry
+        _, _, pending, it, _ = carry
         return (pending > 0) & (it < cfg.max_migrations)
 
-    paths, env_img, _, _ = jax.lax.while_loop(
-        cond, body, (paths, env_img, jnp.int32(1), jnp.int32(0))
+    paths, env_img, _, _, diag = jax.lax.while_loop(
+        cond, body, (paths, env_img, jnp.int32(1), jnp.int32(0), jnp.int32(0))
     )
-    return paths, env_img
+    still_migrating = paths.is_valid & (paths.target_node >= 0) & (paths.target_node != my_id)
+    truncated = jnp.sum(still_migrating.astype(jnp.int32))
+    return paths, env_img, diag, truncated
 
 
 def _sample_program(scene_block, proxies, models, lights, env, camera, sample_count, cfg: RenderConfig):
@@ -147,23 +155,29 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
 
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
+    diag = jnp.int32(0)
+    truncated = jnp.int32(0)
 
     for bounce in range(cfg.bounces):
         if bounce > 0 and cfg.use_neural_proxies:
-            paths, env_add = secondary_route(
+            paths, env_add, d = secondary_route(
                 scene, proxies, models, env, paths, my_id,
                 cfg.max_proxy_hits, cfg.t_epsilon, npix, tracer=cfg.tracer,
             )
             env_img = env_img + env_add
+            diag = diag + d
 
-        paths, env_img = _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg)
+        paths, env_img, d, tr = _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg)
+        diag = diag + d
+        truncated = truncated + tr
 
         # settle + shade locally: fresh re-trace exactly like MainRay
         live = paths.is_valid & (~paths.is_shadow)
-        hits = trace_closest(
+        hits, d = trace_closest(
             scene, paths.origin, paths.direction, cfg.t_epsilon,
             jnp.full((paths.capacity,), _F32_MAX), live, tracer=cfg.tracer,
         )
+        diag = diag + d
         next_paths, shadow_paths, env_add = shade(
             scene, lights, env, paths, hits, sample_count, bounce,
             cfg.shadow_path_count, npix,
@@ -171,13 +185,16 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
         env_img = env_img + env_add
 
         if cfg.use_neural_proxies:
-            direct = direct + shadow_direct_light_nn(
+            direct_add, d = shadow_direct_light_nn(
                 scene, proxies, models, shadow_paths, my_id,
                 cfg.max_proxy_hits, cfg.t_epsilon, cfg.shadow_path_count, npix,
                 tracer=cfg.tracer,
             )
+            direct = direct + direct_add
+            diag = diag + d
         else:
-            sp, occ = ring_shadow_occlusion(scene, shadow_paths, cfg.t_epsilon, tracer=cfg.tracer)
+            sp, occ, d = ring_shadow_occlusion(scene, shadow_paths, cfg.t_epsilon, tracer=cfg.tracer)
+            diag = diag + d
             contrib = jnp.where(
                 (sp.is_valid & (~occ))[:, None],
                 sp.throughput / cfg.shadow_path_count,
@@ -192,7 +209,9 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     # image reduce across partitions (MPI_Reduce equivalent)
     direct = jax.lax.psum(direct, NODES_AXIS)
     env_img = jax.lax.psum(env_img, NODES_AXIS)
-    return direct, env_img
+    # stats: [tracer diag, migration truncations] psum'd over the mesh
+    stats = jax.lax.psum(jnp.stack([diag, truncated]), NODES_AXIS)
+    return direct, env_img, stats
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
@@ -221,7 +240,7 @@ def render_sample_distributed(
             jax.tree.map(lambda _: P(), camera),
             P(),
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return fn(stacked_scene, proxies, models, lights, env, camera,
@@ -229,17 +248,27 @@ def render_sample_distributed(
 
 
 def render_image_distributed(
-    partitioned, models, lights, env, camera, cfg: RenderConfig, mesh, base_sample: int = 0
+    partitioned, models, lights, env, camera, cfg: RenderConfig, mesh,
+    base_sample: int = 0, return_stats: bool = False,
 ):
-    """Full frame over the mesh; returns (H, W, 3)."""
+    """Full frame over the mesh; returns (H, W, 3), or (image, stats) with
+    stats = {"tracer_diag", "migration_truncated"} when return_stats."""
     npix = cfg.frame_buffer_size
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
+    stats = jnp.zeros((2,), jnp.int32)
     for s in range(cfg.spp):
-        d, e = render_sample_distributed(
+        d, e, st = render_sample_distributed(
             partitioned.stacked, partitioned.proxies, models, lights, env,
             camera, base_sample + s, cfg, mesh,
         )
         direct = direct + d
         env_img = env_img + e
-    return ((direct + env_img) / cfg.spp).reshape(cfg.height, cfg.width, 3)
+        stats = stats + st
+    img = ((direct + env_img) / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    if return_stats:
+        return img, {
+            "tracer_diag": int(stats[0]),
+            "migration_truncated": int(stats[1]),
+        }
+    return img

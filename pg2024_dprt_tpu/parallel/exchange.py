@@ -130,17 +130,17 @@ def ring_shadow_occlusion(
     tested everywhere; contributions are added wherever the buffer ends up
     (the direct-light image is psum-reduced anyway).
 
-    Returns (resident_shadow_paths, occluded_flags)."""
+    Returns (resident_shadow_paths, occluded_flags, diag)."""
     p = jax.lax.axis_size(axis_name)
 
     def local_test(sp):
-        occ = trace_occlusion(
+        occ, d = trace_occlusion(
             scene, sp.origin, sp.direction, eps, sp.tmax * (1.0 - 1e-3), sp.is_valid,
             tracer=tracer,
         )
-        return occ & sp.is_valid
+        return occ & sp.is_valid, d
 
-    occ = local_test(shadow_paths)
+    occ, diag = local_test(shadow_paths)
     sp = shadow_paths
     perm = [(i, (i + 1) % p) for i in range(p)]
     bool_fields = {i for i, a in enumerate(sp) if a.dtype == jnp.bool_}
@@ -153,5 +153,7 @@ def ring_shadow_occlusion(
             a.astype(jnp.bool_) if i in bool_fields else a
             for i, a in enumerate(sp_u8)
         ])
-        occ = occ_u8.astype(jnp.bool_) | local_test(sp)
-    return sp, occ
+        local_occ, d = local_test(sp)
+        occ = occ_u8.astype(jnp.bool_) | local_occ
+        diag = diag + d
+    return sp, occ, diag

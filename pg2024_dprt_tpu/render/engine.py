@@ -39,17 +39,19 @@ def render_sample(
     sample_count,
     cfg: RenderConfig,
 ):
-    """One spp: returns (direct_image, env_image) as (npix, 3) accumulators."""
+    """One spp: returns (direct_image, env_image, diag) — the images are
+    (npix, 3) accumulators; diag counts rays whose result may be affected by
+    tracer budget residue (0 in a healthy render; see ops/trace_api.py)."""
     npix = cfg.frame_buffer_size
     paths = generate_camera_paths(camera, sample_count)
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
 
     def bounce_body(bounce, carry):
-        paths, direct, env_img = carry
+        paths, direct, env_img, diag = carry
         live = paths.is_valid
 
-        hits = trace_closest(
+        hits, d1 = trace_closest(
             scene, paths.origin, paths.direction, cfg.t_epsilon, paths.tmax, live,
             tracer=cfg.tracer,
         )
@@ -69,7 +71,7 @@ def render_sample(
 
         # Shadow occlusion vs local geometry. tmax is shaved slightly so the
         # light sample point itself never registers as a blocker.
-        occluded = trace_occlusion(
+        occluded, d2 = trace_occlusion(
             scene,
             shadow_paths.origin,
             shadow_paths.direction,
@@ -87,25 +89,31 @@ def render_sample(
         direct = direct + jax.ops.segment_sum(
             contrib, shadow_paths.pixel_index, num_segments=npix
         )
-        return next_paths, direct, env_img
+        return next_paths, direct, env_img, diag + d1 + d2
 
-    paths, direct, env_img = jax.lax.fori_loop(
-        0, cfg.bounces, bounce_body, (paths, direct, env_img)
+    paths, direct, env_img, diag = jax.lax.fori_loop(
+        0, cfg.bounces, bounce_body, (paths, direct, env_img, jnp.int32(0))
     )
-    return direct, env_img
+    return direct, env_img, diag
 
 
-def render_image(scene, lights, env, camera, cfg: RenderConfig, base_sample: int = 0):
-    """Full frame: average over spp. Returns (height, width, 3) float32."""
+def render_image(scene, lights, env, camera, cfg: RenderConfig, base_sample: int = 0,
+                 return_stats: bool = False):
+    """Full frame: average over spp. Returns (height, width, 3) float32, or
+    (image, stats) with stats = {"tracer_diag": int} when return_stats."""
     npix = cfg.frame_buffer_size
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
+    diag = jnp.int32(0)
     for s in range(cfg.spp):
-        d, e = render_sample(scene, lights, env, camera, base_sample + s, cfg)
+        d, e, dg = render_sample(scene, lights, env, camera, base_sample + s, cfg)
         direct = direct + d
         env_img = env_img + e
-    img = (direct + env_img) / cfg.spp
-    return img.reshape(cfg.height, cfg.width, 3)
+        diag = diag + dg
+    img = ((direct + env_img) / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    if return_stats:
+        return img, {"tracer_diag": int(diag)}
+    return img
 
 
 class Renderer:

@@ -158,11 +158,11 @@ def secondary_route(
     """`secondaryRayModuleBasedNN` port (/root/reference/src/render/
     renderer.cpp:1407-1452): local closest hit + proxy march + vis/depth nets
     -> per-path routing decision (target_node / tmax / is_hit). Returns
-    (updated paths, env_image_add)."""
+    (updated paths, env_image_add, diag)."""
     n = paths.capacity
     live = paths.is_valid & (~paths.is_shadow)
 
-    hits = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, live, tracer=tracer)
+    hits, diag = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, live, tracer=tracer)
     local_hit = live & hits.is_hit
     local_t = jnp.where(local_hit, hits.t, paths.tmax)
 
@@ -228,7 +228,7 @@ def secondary_route(
         # migration loop only transports (secondary_ray_kernel.cu:192)
         visited_mask=jnp.where(live, jnp.uint32(0xFFFFFFFF), paths.visited_mask),
     )
-    return new_paths, env_add
+    return new_paths, env_add, diag
 
 
 def shadow_direct_light_nn(
@@ -246,10 +246,10 @@ def shadow_direct_light_nn(
     """`shadowRayModuleBasedNN` port (/root/reference/src/render/
     renderer.cpp:1349-1404): local occlusion kill, proxy march, vis nets (+
     depth nets for inside-hits), max-occlusion blend, direct-light image add.
-    Returns the (npix, 3) direct-light increment."""
+    Returns (direct-light increment (npix, 3), diag)."""
     valid = shadow_paths.is_valid
 
-    occluded_local = trace_occlusion(
+    occluded_local, diag = trace_occlusion(
         scene,
         shadow_paths.origin,
         shadow_paths.direction,
@@ -297,4 +297,4 @@ def shadow_direct_light_nn(
     )
     return jax.ops.segment_sum(
         contrib, shadow_paths.pixel_index, num_segments=frame_buffer_size
-    )
+    ), diag

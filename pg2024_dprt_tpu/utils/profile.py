@@ -25,7 +25,7 @@ def profile_sample(scene, lights, env, camera, cfg, sample_count: int = 0) -> Ti
 
     for bounce in range(cfg.bounces):
         with timing.section(TimedSection.Traversal) as _:
-            hits = trace_closest_cutout(
+            hits, _diag = trace_closest_cutout(
                 scene, paths.origin, paths.direction, cfg.t_epsilon,
                 paths.tmax, paths.is_valid, tracer=cfg.tracer,
             )
@@ -40,7 +40,7 @@ def profile_sample(scene, lights, env, camera, cfg, sample_count: int = 0) -> Ti
         env_img = env_img + env_add
 
         with timing.section(TimedSection.Shadow):
-            occ = trace_occlusion_cutout(
+            occ, _diag2 = trace_occlusion_cutout(
                 scene, shadow_paths.origin, shadow_paths.direction,
                 cfg.t_epsilon, shadow_paths.tmax * (1.0 - 1e-3),
                 shadow_paths.is_valid, tracer=cfg.tracer,

@@ -141,20 +141,55 @@ def test_alpha_cutout():
     rng = np.random.RandomState(40)
     o = np.stack([rng.rand(n), rng.rand(n), np.full(n, 2.0)], -1).astype(np.float32)
     d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
-    hits = trace_closest_cutout(
+    hits, diag = trace_closest_cutout(
         scene, jnp.asarray(o), jnp.asarray(d), 1e-3,
         jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
     )
     # every ray passes through the transparent wall and hits the floor at t=2
     assert np.asarray(hits.is_hit).all()
     np.testing.assert_allclose(np.asarray(hits.t), 2.0, atol=1e-3)
+    assert int(diag) == 0
 
-    occ = trace_occlusion_cutout(
+    occ, diag = trace_occlusion_cutout(
         scene, jnp.asarray(o), jnp.asarray(d), 1e-3,
         jnp.full((n,), 1.2, jnp.float32), jnp.ones((n,), bool),
     )
     # within t<1.2 only the transparent wall exists -> unoccluded
     assert not np.asarray(occ).any()
+    assert int(diag) == 0
+
+
+def test_alpha_cutout_max_hops_residue_reports_miss():
+    """A ray still on a transparent hit after max_hops re-traces must report
+    MISS (reference anyhit never accepts a transparent surface,
+    optix/kernel.cu:349-355) and be counted in diag — never silently keep the
+    transparent hit."""
+    import jax.numpy as jnp
+    from pg2024_dprt_tpu.ops.trace_api import trace_closest_cutout
+    from pg2024_dprt_tpu.scene import MeshGeometry
+    from pg2024_dprt_tpu.scene.procedural import _quad
+
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 0], [1, 1], [0, 1]], np.float32)
+    walls = []
+    for i in range(6):  # 6 stacked transparent walls > max_hops=4
+        z = 0.2 + 0.1 * i
+        v0, v1, v2 = _quad([0, 0, z], [1, 0, z], [1, 1, z], [0, 1, z])
+        walls.append(MeshGeometry(v0=v0, v1=v1, v2=v2, uv0=uv[0::3], uv1=uv[1::3],
+                                  uv2=uv[2::3], texture_index=0, name=f"w{i}"))
+    transparent = np.zeros((8, 8, 4), np.float32)
+    transparent[..., :3] = 0.5
+    scene = device_scene_from_meshes(walls, textures=[transparent])
+
+    n = 16
+    rng = np.random.RandomState(7)
+    o = np.stack([rng.rand(n), rng.rand(n), np.full(n, 2.0)], -1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    hits, diag = trace_closest_cutout(
+        scene, jnp.asarray(o), jnp.asarray(d), 1e-3,
+        jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool), max_hops=4,
+    )
+    assert not np.asarray(hits.is_hit).any()   # residue reports miss
+    assert int(diag) == n                      # and is surfaced, not silent
 
 
 def test_visibility_grid():

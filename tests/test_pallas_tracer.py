@@ -61,6 +61,36 @@ def test_pallas_tracer_respects_active_and_tmax():
     np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
 
 
+def test_pallas_escalation_recovers_dropped_pairs():
+    """A pair budget too small for the scene must not silently force-miss:
+    trace at the starved budget drops pairs; the escalating production entry
+    (ops/trace_api._pallas_escalating) retraces at 4x and matches the oracle
+    with zero residue."""
+    from pg2024_dprt_tpu.ops.trace_api import _pallas_escalating
+
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=30)], tris_per_cluster=16)
+    n = 512
+    rng = np.random.RandomState(31)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.ones((n,), bool)
+
+    # starved budget (many 16-tri clusters overlap each tile) -> drops
+    _, dropped = trace_pallas(scene, o, d, 1e-3, tmax, act, region=8)
+    assert int(dropped) > 0
+
+    got, resid = _pallas_escalating(scene, o, d, 1e-3, tmax, act, region=8)
+    assert int(resid) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+    hit = np.asarray(want.is_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(want.t)[hit], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_pallas_any_hit_occlusion():
     scene = device_scene_from_meshes([random_tri_soup(500, seed=24)], tris_per_cluster=64)
     n = 1024
