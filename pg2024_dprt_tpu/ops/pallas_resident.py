@@ -1,0 +1,441 @@
+"""Resident-table Pallas tracer — v2 of the TPU `optixTrace` replacement.
+
+The round-1 streaming tracer (ops/pallas_tracer.py) is VPU-compute-bound and
+wastes ~4x of its triangle tests on tile padding; its XLA-side dispatch
+(cull + argsort + scatter) costs several dependent-launch latencies
+(~0.5 ms each on this backend).  This kernel eliminates both:
+
+  * The ENTIRE cluster triangle table (scene.cl_tri_table as (K, 10, C)) and
+    a planar cluster-AABB table (8, K) stay resident in VMEM for the whole
+    launch — no per-pair streaming, fits scenes up to ~100k triangles (the
+    streaming kernel remains the production path above that;
+    ops/trace_api.py selects).
+  * There is NO host/XLA dispatch at all.  The grid runs over SMALL ray
+    blocks (TM=128..256); each step computes its own conservative
+    interval-arithmetic slab test against every cluster IN-KERNEL ((1, K)
+    vector ops — a few hundred lanes, negligible next to the (TM, C)
+    triangle test), then runs an on-demand selection sort: every `while_loop`
+    iteration argmins the remaining enter distances, intersects that
+    cluster, and terminates once the nearest remaining enter exceeds the
+    block's worst committed hit.  Exact front-to-back, exact early
+    termination, and no static pair budget — nothing can ever be dropped
+    (the streaming tracer's budget-escalation machinery is unnecessary
+    here).
+  * The winner epilogue is a packed-key argmin: key = (t_bits & ~lane_mask)
+    | lane.  One int min-reduce replaces the one-hot pick; exact t/u/v are
+    recomputed afterwards in XLA from the winning triangle (large-index
+    gathers are fast on this backend).
+
+Role parity: the per-thread `optixTrace` hot loop of the reference
+(/root/reference/optix/distributed_traversal_kernel.cu:215-339, kernel.cu),
+re-designed as a block-wavefront TPU kernel rather than a per-thread BVH
+walk (per-ray stepping measured 0.01 Mrays/s on TPU — see CLAUDE.md).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import HitRecord
+from ..scene.geometry import DeviceScene
+from .pallas_tracer import _morton_key
+
+_F32_MAX = jnp.float32(3.402823466e38)
+
+TILE_RAYS = 128
+
+
+def _lane_bits(c: int) -> int:
+    b = 1
+    while (1 << b) < c:
+        b += 1
+    return b
+
+
+def _cluster_enters(rays, boxes, k: int, tm: int):
+    """In-kernel conservative slab test of this ray block against every
+    cluster.  boxes rows: [minx miny minz maxx maxy maxz count pad].
+    Returns (1, K) f32 enter distances, +inf where the cluster is impossible
+    (never culls a possible hit: interval arithmetic over the block's origin
+    and 1/direction ranges)."""
+    inf = jnp.float32(float("inf"))
+    d = rays[:, 3:6]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    tmax_hi = jnp.max(rays[:, 7:8])                         # inactive rays: 0
+
+    enter = jnp.zeros((1, k), jnp.float32)
+    exit_ = jnp.full((1, k), inf)
+    for ax in range(3):
+        o_l = jnp.min(rays[:, ax:ax + 1])
+        o_h = jnp.max(rays[:, ax:ax + 1])
+        i_l = jnp.min(inv[:, ax:ax + 1])
+        i_h = jnp.max(inv[:, ax:ax + 1])
+        cmin = boxes[ax:ax + 1, :]                           # (1, K)
+        cmax = boxes[3 + ax:4 + ax, :]
+        lo = None
+        hi = None
+        for b in (cmin - o_h, cmin - o_l, cmax - o_h, cmax - o_l):
+            for iv in (i_l, i_h):
+                q = b * iv
+                lo = q if lo is None else jnp.minimum(lo, q)
+                hi = q if hi is None else jnp.maximum(hi, q)
+        enter = jnp.maximum(enter, lo)
+        exit_ = jnp.minimum(exit_, hi)
+
+    ok = (
+        (boxes[6:7, :] > 0.0)          # non-empty cluster (padding rows have
+        & (enter <= exit_)             # inverted-inf AABBs that would pass
+        & (exit_ > 0.0)                # the slab test as infinite boxes)
+        & (enter < tmax_hi)
+    )
+    return jnp.where(ok, jnp.maximum(enter, 0.0), inf)
+
+
+def _selection_keys(en, k: int, cb: int):
+    """Pack enter-distance bits with the cluster index so each selection-sort
+    step needs exactly ONE vector->scalar extract (the dominant per-pair
+    overhead): key = (enter_bits & ~cmask) | cluster.  Enter distances are
+    non-negative (clamped) so their bits compare monotonically; masking the
+    low bits rounds enter DOWN — conservative for the horizon test."""
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    bits = jax.lax.bitcast_convert_type(en, jnp.int32)
+    # +inf enters (culled clusters) become saturated keys
+    return jnp.where(
+        jnp.isfinite(en), (bits & ~cmask) | lanes, jnp.int32(0x7FFFFFFF)
+    )
+
+
+def _next_cluster(keys):
+    """Selection-sort step on packed keys: (scalar key, keys with the winner
+    masked out).  key == 0x7FFFFFFF means no cluster remains."""
+    kv = jnp.min(keys, axis=1, keepdims=True)                # (1, 1)
+    keys = jnp.where(keys == jnp.broadcast_to(kv, keys.shape),
+                     jnp.int32(0x7FFFFFFF), keys)
+    return kv[0, 0], keys
+
+
+def _mt_body(rays, tri, c: int, tm: int):
+    """Dense triple-product Moller-Trumbore of the block against one cluster
+    slice (tri rows: v0 xyz, e1 xyz, e2 xyz, n=e1xe2 xyz).  With m = s x d:
+    u_raw = e2.m, v_raw = -e1.m, t_raw = n.s, det = -n.d — one cross product
+    instead of two, and no per-lane u/v scaling (the winner's exact u/v are
+    recomputed in the XLA epilogue).  Padding/degenerate triangles have
+    n = 0 -> det = 0 -> rejected; no tmap mask needed.
+
+    Returns ((TM,C) f32 t, (TM,C) bool accept).  CRITICAL on this backend:
+    materialize every operand at (TM, C) once — Mosaic re-evaluates lazy
+    broadcasts per op (measured ~1000x)."""
+    B = lambda a: jnp.broadcast_to(a, (tm, c))
+    comp = lambda q: B(tri[q:q + 1, :])
+    v0x, v0y, v0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3), comp(4), comp(5)
+    e2x, e2y, e2z = comp(6), comp(7), comp(8)
+    nx, ny, nz = comp(9), comp(10), comp(11)
+
+    rdx, rdy, rdz = B(rays[:, 3:4]), B(rays[:, 4:5]), B(rays[:, 5:6])
+    sx = B(rays[:, 0:1]) - v0x
+    sy = B(rays[:, 1:2]) - v0y
+    sz = B(rays[:, 2:3]) - v0z
+    mx = sy * rdz - sz * rdy
+    my = sz * rdx - sx * rdz
+    mz = sx * rdy - sy * rdx
+    det = -(rdx * nx + rdy * ny + rdz * nz)
+    u = e2x * mx + e2y * my + e2z * mz
+    v = -(e1x * mx + e1y * my + e1z * mz)
+    t_raw = nx * sx + ny * sy + nz * sz
+
+    adet = jnp.abs(det)
+    ok = adet > 1e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    t = t_raw * inv_det
+    neg = det < 0.0
+    su = jnp.where(neg, -u, u)
+    sv = jnp.where(neg, -v, v)
+    tri_ok = (
+        ok
+        & (su >= 0.0)
+        & (sv >= 0.0)
+        & (su + sv <= adet)
+        & (t > B(rays[:, 6:7]))
+    )
+    return t, tri_ok
+
+
+def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int):
+    """Closest hit over one ray block.  Carries the per-ray best as a packed
+    (t_bits | lane) key; out = [t_approx, table_slot] per ray."""
+    rays = rays_ref[:]
+    tmax = rays[:, 7:8]
+
+    lb = _lane_bits(c)
+    cb = _lane_bits(k)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    keys0 = _selection_keys(en0, k, cb)
+    # init: key = bits(tmax) with lane bits saturated (monotone upper bound —
+    # any accepted hit with t < tmax beats it); slot = -1 (miss)
+    kb0 = (
+        jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+        & ~lane_mask
+    ) | lane_mask
+    worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
+    sel0, keys1 = _next_cluster(keys0)
+
+    # Software pipelining: the vector->scalar extracts (next-cluster
+    # selection, horizon) are the dominant per-iteration overhead when they
+    # sit on the critical path.  The body therefore issues them FIRST — the
+    # selection for the NEXT iteration and a one-iteration-STALE horizon
+    # (stale worst is only larger -> conservative, never skips a viable
+    # cluster) — so their latency overlaps the VPU triangle test.
+    def cond(carry):
+        sel, _, _, worst, _ = carry
+        return (sel & ~cmask) < worst
+
+    def body(carry):
+        sel, keys, s_kb, worst, s_slot = carry
+        sel2, keys2 = _next_cluster(keys)            # for the NEXT iteration
+        worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]  # stale by one
+        idx = sel & cmask
+        tri = table_ref[idx]                         # (12, C) resident slice
+        t, tri_ok = _mt_body(rays, tri, c, tm)
+
+        # packed argmin: positive-float bits are monotone; the t-vs-running-
+        # best and t-vs-tmax tests ride the key comparison (s_kb started at
+        # bits(tmax)); low mantissa bits lost to the lane field only blur
+        # ties within 2^-(23-lb) relative t — either winner is a valid hit
+        tb = jax.lax.bitcast_convert_type(
+            jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38), jnp.int32
+        )
+        key = (tb & ~lane_mask) | lanes
+        kmin = jnp.min(key, axis=1, keepdims=True)   # (TM, 1)
+        improved = kmin < s_kb
+        slot_w = idx * c + (kmin & lane_mask)
+        s_kb = jnp.where(improved, kmin, s_kb)
+        s_slot = jnp.where(improved, slot_w, s_slot)
+        return sel2, keys2, s_kb, worst2, s_slot
+
+    _, _, s_kb, _, s_slot = jax.lax.while_loop(
+        cond, body,
+        (sel0, keys1, kb0, worst0, jnp.full((tm, 1), -1, jnp.int32)),
+    )
+    t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
+    out_ref[:, 0:1] = t_approx
+    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+
+
+def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int):
+    """Any-hit variant: a cluster is processed only while some unoccluded ray
+    could still be blocked; terminates when every ray is occluded (the
+    running horizon is the max tmax-bits over OPEN rays)."""
+    rays = rays_ref[:]
+    tmax = rays[:, 7:8]
+    cb = _lane_bits(k)
+    cmask = jnp.int32((1 << cb) - 1)
+
+    tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    keys0 = _selection_keys(en0, k, cb)
+    sel0, keys1 = _next_cluster(keys0)
+    worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
+
+    def cond(carry):
+        sel, _, _, worst = carry
+        return (sel & ~cmask) < worst
+
+    def body(carry):
+        sel, keys, occ, _ = carry
+        # software pipelining, same scheme as _kernel: next selection and a
+        # one-iteration-stale horizon issue before the triangle test
+        sel2, keys2 = _next_cluster(keys)
+        worst2 = jnp.max(
+            jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
+        )[0, 0]
+        idx = sel & cmask
+        tri = table_ref[idx]
+        t, tri_ok = _mt_body(rays, tri, c, tm)
+        tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
+        hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
+        occ = jnp.maximum(occ, hit)
+        return sel2, keys2, occ, worst2
+
+    _, _, occ, _ = jax.lax.while_loop(
+        cond, body, (sel0, keys1, jnp.zeros((tm, 1), jnp.int32), worst0)
+    )
+    out_ref[:, 0:1] = occ.astype(jnp.float32)
+
+
+def resident_table_bytes(scene: DeviceScene) -> int:
+    """VMEM footprint of the resident triangle table (10 comps pad to 16
+    sublanes per cluster under the f32 (8,128) tiling)."""
+    c = scene.tris_per_cluster
+    pad_c = -(-c // 128) * 128
+    return scene.num_clusters * 16 * pad_c * 4
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "interpret"),
+)
+def trace_resident(
+    scene: DeviceScene,
+    origin, direction, t_min, t_max, active,
+    tile_rays: int = TILE_RAYS,
+    sort_rays: bool = False,
+    any_hit: bool = False,
+    interpret: bool = None,
+):
+    """Closest-hit trace with the resident-table kernel.  Same contract as
+    pallas_tracer.trace_pallas: (HitRecord, dropped_pair_count), or
+    (occluded_mask, dropped) when any_hit=True — dropped is structurally 0
+    here (no static pair budget exists)."""
+    n = origin.shape[0]
+    tm = tile_rays
+    pad = (-n) % tm
+    mp = n + pad
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    if sort_rays:
+        key = _morton_key(scene, origin, direction)
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+        _, perm = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        take = lambda a: jnp.take(a, perm, axis=0)
+        origin, direction = take(origin), take(direction)
+        t_min, t_max, active = take(t_min), take(t_max), take(active)
+
+    def pad1(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+    o = pad1(origin, 0.0)
+    d = pad1(direction, 1.0)
+    tmin_p = pad1(t_min, 0.0)
+    tmax_p = pad1(t_max, 0.0)
+    act = pad1(active, False)
+
+    tiles = mp // tm
+    c = scene.tris_per_cluster
+    k = scene.num_clusters
+
+    # cap each ray's bound at its scene-AABB exit (keeps escaping rays from
+    # pinning the early-termination horizon at +inf)
+    s_valid = scene.cl_count > 0
+    s_lo = jnp.min(jnp.where(s_valid[:, None], scene.cl_aabb_min, _F32_MAX), axis=0)
+    s_hi = jnp.max(jnp.where(s_valid[:, None], scene.cl_aabb_max, -_F32_MAX), axis=0)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    tt0 = (s_lo[None] - o) * inv_d
+    tt1 = (s_hi[None] - o) * inv_d
+    scene_exit = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
+    tmax_eff = jnp.minimum(tmax_p, jnp.maximum(scene_exit, 0.0) * 1.001 + 1e-4)
+
+    rays_packed = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         jnp.where(act, tmin_p, _F32_MAX), jnp.where(act, tmax_eff, 0.0)],
+        axis=-1,
+    )  # (mp, 8)
+
+    # planar cluster-AABB + count table for the in-kernel slab test
+    boxes = jnp.concatenate(
+        [
+            scene.cl_aabb_min.T,                    # rows 0..2
+            scene.cl_aabb_max.T,                    # rows 3..5
+            (scene.cl_count > 0).astype(jnp.float32)[None, :],
+            jnp.zeros((1, k), jnp.float32),
+        ],
+        axis=0,
+    )  # (8, K)
+    # padding clusters carry inverted-inf AABBs; zero them so interval
+    # arithmetic never produces NaNs (their count row already excludes them)
+    finite = jnp.isfinite(boxes)
+    boxes = jnp.where(finite, boxes, 0.0)
+
+    # derived component-planar table for the triple-product MT body:
+    # rows = v0 xyz, e1 xyz, e2 xyz, n = e1 x e2 xyz.  Padding rows of the
+    # source table are all-zero -> n = 0 -> det = 0 -> rejected in-kernel.
+    # Built per call in XLA (independent of the ray data, so its launches
+    # pipeline with the ray packing).
+    src = scene.cl_tri_table.reshape(k, 10, c)
+    v0 = src[:, 0:3]
+    e1 = src[:, 3:6] - v0
+    e2 = src[:, 6:9] - v0
+    nrm = jnp.cross(e1, e2, axis=1)
+    table = jnp.concatenate([v0, e1, e2, nrm], axis=1)       # (K, 12, C)
+
+    ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_cols = 1 if any_hit else 2
+    out_spec = pl.BlockSpec((tm, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    kern = _occl_kernel if any_hit else _kernel
+    (packed_out,) = pl.pallas_call(
+        partial(kern, c=c, tm=tm, k=k),
+        grid=(tiles,),
+        in_specs=[ray_spec, boxes_spec, table_spec],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
+        interpret=interpret,
+    )(rays_packed, boxes, table)
+
+    dropped = jnp.int32(0)
+
+    if any_hit:
+        occ = (packed_out[:n, 0] > 0.5) & active[:n]
+        if sort_rays:
+            inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+            occ = jnp.take(occ, inv_perm, axis=0)
+        return occ, dropped
+
+    slot = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
+    is_hit = (slot >= 0) & active[:n]
+
+    # XLA refinement: recompute exact t/u/v for each ray's winning triangle
+    # (one MT per ray on gathered canonical vertices — also restores the
+    # mantissa bits the packed key spent on the lane field)
+    canon = jnp.take(scene.cl_tri_map, jnp.clip(slot, 0, scene.cl_tri_map.shape[0] - 1))
+    canon = jnp.where(is_hit, canon, -1)
+    safe = jnp.maximum(canon, 0)
+    va = jnp.take(scene.v0, safe, axis=0)
+    vb = jnp.take(scene.v1, safe, axis=0)
+    vc = jnp.take(scene.v2, safe, axis=0)
+    e1 = vb - va
+    e2 = vc - va
+    dn = d[:n]
+    on = o[:n]
+    pv = jnp.cross(dn, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tv = on - va
+    u = jnp.sum(tv * pv, axis=-1) * inv_det
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(dn * qv, axis=-1) * inv_det
+    t = jnp.sum(e2 * qv, axis=-1) * inv_det
+    is_hit = is_hit & ok
+
+    hits = HitRecord(
+        t=jnp.where(is_hit, t, _F32_MAX),
+        tri_index=jnp.where(is_hit, canon, -1),
+        u=jnp.where(is_hit, u, 0.0),
+        v=jnp.where(is_hit, v, 0.0),
+        is_hit=is_hit,
+    )
+
+    if sort_rays:
+        inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+        hits = HitRecord(*(jnp.take(a, inv_perm, axis=0) for a in hits))
+
+    return hits, dropped

@@ -284,13 +284,17 @@ def _interval_cull(scene: DeviceScene, o, d, t_max, active, tiles: int, tile_ray
 
     enter_lo = jnp.zeros((tiles, k), jnp.float32)
     exit_hi = jnp.full((tiles, k), _F32_MAX)
+    # materialize every (T,1)/(1,K) operand at (T,K) ONCE: XLA's broadcast
+    # chains don't fuse on this backend (measured ~100x — see CLAUDE.md)
+    Bt = lambda a: jnp.broadcast_to(a[:, None], (tiles, k))
+    Bk = lambda a: jnp.broadcast_to(a[None, :], (tiles, k))
     for ax in range(3):
-        o_l = tr(o[:, ax], jnp.min)[:, None]
-        o_h = tr(o[:, ax], jnp.max)[:, None]
-        i_l = tr(inv[:, ax], jnp.min)[:, None]
-        i_h = tr(inv[:, ax], jnp.max)[:, None]
-        cmin = scene.cl_aabb_min[None, :, ax]
-        cmax = scene.cl_aabb_max[None, :, ax]
+        o_l = Bt(tr(o[:, ax], jnp.min))
+        o_h = Bt(tr(o[:, ax], jnp.max))
+        i_l = Bt(tr(inv[:, ax], jnp.min))
+        i_h = Bt(tr(inv[:, ax], jnp.max))
+        cmin = Bk(scene.cl_aabb_min[:, ax])
+        cmax = Bk(scene.cl_aabb_max[:, ax])
         prods = []
         for b_l, b_h in ((cmin - o_h, cmin - o_l), (cmax - o_h, cmax - o_l)):
             for iv in (i_l, i_h):
@@ -305,11 +309,11 @@ def _interval_cull(scene: DeviceScene, o, d, t_max, active, tiles: int, tile_ray
         exit_hi = jnp.minimum(exit_hi, hi_all)
 
     possible = (
-        act_any[:, None]
-        & (scene.cl_count[None, :] > 0)
+        Bt(act_any)
+        & Bk(scene.cl_count > 0)
         & (enter_lo <= exit_hi)
         & (exit_hi > 0.0)
-        & (enter_lo < tmax_hi[:, None])
+        & (enter_lo < Bt(tmax_hi))
     )
     return possible, enter_lo
 

@@ -1,18 +1,22 @@
-"""Tracer selection: one closest-hit/occlusion API over three backends.
+"""Tracer selection: one closest-hit/occlusion API over four backends.
 
   * "stackless" — ops/traversal.py: per-ray threaded-BVH stepping. Exact
     oracle; fast on CPU, pathological on TPU (gather-per-step).
   * "cluster"   — ops/cluster_tracer.py: XLA bulk cull/dispatch/intersect.
-  * "pallas"    — ops/pallas_tracer.py: single-kernel tile tracer (TPU
-    production path).
-  * "auto"      — pallas on TPU, stackless elsewhere.
+  * "resident"  — ops/pallas_resident.py: VMEM-resident-table kernel with
+    in-kernel dispatch (TPU production path for scenes whose cluster table
+    fits VMEM, ~100k tris).
+  * "pallas"    — ops/pallas_tracer.py: streaming tile tracer (TPU
+    production path for larger scenes).
+  * "auto"      — resident/pallas on TPU by table size, stackless elsewhere.
 
 No silent truncation (mirrors the reference's never-drop anyhit semantics,
-/root/reference/optix/kernel.cu:349-355): the pallas path auto-escalates its
-static (tile, cluster) pair budget 4x when the cull stage reports dropped
-pairs, and every production entry point returns a `diag` count of rays whose
-result may still be affected (escalation residue, cutout re-trace residue).
-Callers surface it; tests assert zero.
+/root/reference/optix/kernel.cu:349-355): the resident path has no static
+pair budget at all (nothing can be dropped); the streaming pallas path
+auto-escalates its (tile, cluster) pair budget 4x when the cull stage
+reports dropped pairs, and every production entry point returns a `diag`
+count of rays whose result may still be affected (escalation residue,
+cutout re-trace residue).  Callers surface it; tests assert zero.
 """
 from __future__ import annotations
 
@@ -20,14 +24,23 @@ import jax
 import jax.numpy as jnp
 
 from .cluster_tracer import occlusion_clusters, traverse_clusters
+from .pallas_resident import resident_table_bytes, trace_resident
 from .pallas_tracer import REGION, trace_pallas
 from .traversal import traverse_bvh
 
+# resident-table kernel budget: triangle + AABB tables must leave room for
+# ray/out blocks and compiler scratch in ~16 MB of VMEM
+RESIDENT_TABLE_LIMIT = 8 * 2**20
 
-def resolve_tracer(name: str) -> str:
+
+def resolve_tracer(name: str, scene=None) -> str:
     if name == "auto":
-        # any accelerator backend (tpu / axon tunnel) -> pallas
-        return "stackless" if jax.default_backend() == "cpu" else "pallas"
+        # any accelerator backend (tpu / axon tunnel) -> pallas family
+        if jax.default_backend() == "cpu":
+            return "stackless"
+        if scene is not None and resident_table_bytes(scene) <= RESIDENT_TABLE_LIMIT:
+            return "resident"
+        return "pallas"
     return name
 
 
@@ -57,22 +70,26 @@ def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
                           tracer: str = "auto"):
     """Closest hit. Returns (HitRecord, diag) — diag counts pairs still
     dropped after escalation (0 for the exact backends)."""
-    tracer = resolve_tracer(tracer)
+    tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
         return traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
     if tracer == "cluster":
         return traverse_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    if tracer == "resident":
+        return trace_resident(scene, origin, direction, t_min, t_max, active)
     return _pallas_escalating(scene, origin, direction, t_min, t_max, active)
 
 
 def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
                             tracer: str = "auto"):
     """Any-hit test. Returns ((n,) bool occluded, diag)."""
-    tracer = resolve_tracer(tracer)
+    tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
         return traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit, jnp.int32(0)
     if tracer == "cluster":
         return occlusion_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    if tracer == "resident":
+        return trace_resident(scene, origin, direction, t_min, t_max, active, any_hit=True)
     return _pallas_escalating(scene, origin, direction, t_min, t_max, active, any_hit=True)
 
 

@@ -30,7 +30,7 @@ class RenderConfig:
     # Wavefront migration iterations safety bound (the psum termination test
     # exits earlier; worst case ~2x partitions for arrive-then-reroute chains).
     max_migrations: int = 32
-    # Traversal backend: "auto" | "stackless" | "cluster" | "pallas"
+    # Traversal backend: "auto" | "stackless" | "cluster" | "resident" | "pallas"
     # (ops/trace_api.py; auto = pallas on accelerators, stackless on CPU).
     tracer: str = "auto"
     # Per-destination all_to_all bucket capacity as a fraction of path capacity.

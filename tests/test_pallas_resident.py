@@ -1,0 +1,107 @@
+"""Resident-table Pallas tracer vs brute-force oracle (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from pg2024_dprt_tpu.ops.pallas_resident import trace_resident
+from pg2024_dprt_tpu.ops.traversal import intersect_brute_force
+from pg2024_dprt_tpu.scene import cornell_box, device_scene_from_meshes, random_tri_soup
+
+
+def _check(scene, o, d, tmax, act, **kw):
+    got, dropped = trace_resident(scene, o, d, 1e-3, tmax, act, **kw)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+    hit = np.asarray(want.is_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(want.t)[hit], rtol=1e-4, atol=1e-5
+    )
+    # winner may differ from the oracle only on exact-t ties (e.g. a ray
+    # landing on the shared edge of two coplanar triangles — either is a
+    # legitimate closest hit)
+    mismatch = hit & (np.asarray(got.tri_index) != np.asarray(want.tri_index))
+    dt = np.abs(np.asarray(got.t) - np.asarray(want.t))
+    tol = 1e-5 * np.maximum(1.0, np.abs(np.asarray(want.t)))
+    assert (dt[mismatch] <= tol[mismatch]).all()
+
+
+def test_resident_tracer_soup():
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=20)], tris_per_cluster=64)
+    n = 2048
+    rng = np.random.RandomState(21)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
+           tile_rays=128)
+
+
+def test_resident_tracer_cornell_camera():
+    meshes, _ = cornell_box()
+    scene = device_scene_from_meshes(meshes, tris_per_cluster=16)
+    from pg2024_dprt_tpu.core import Camera
+
+    cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0], 40.0, 32, 32)
+    pix = jnp.arange(1024, dtype=jnp.int32)
+    o, d = cam.generate_rays(pix // 32, pix % 32, jnp.zeros(1024), jnp.zeros(1024))
+    _check(scene, o, d, jnp.full((1024,), 1e30, jnp.float32), jnp.ones((1024,), bool),
+           tile_rays=128)
+
+
+def test_resident_tracer_respects_active_and_tmax():
+    scene = device_scene_from_meshes([random_tri_soup(300, seed=22)], tris_per_cluster=64)
+    n = 512
+    rng = np.random.RandomState(23)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    act = jnp.asarray(rng.rand(n) > 0.5)
+    got, _ = trace_resident(scene, o, d, 1e-3, jnp.full((n,), 1e30, jnp.float32), act,
+                            tile_rays=128)
+    assert not np.asarray(got.is_hit)[~np.asarray(act)].any()
+    want = intersect_brute_force(scene, o, d, 1e-3, jnp.full((n,), 1e30), act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+
+
+def test_resident_tracer_finite_tmax():
+    """Finite per-ray t_max must clip hits exactly like the oracle."""
+    scene = device_scene_from_meshes([random_tri_soup(500, seed=40)], tris_per_cluster=32)
+    n = 1024
+    rng = np.random.RandomState(41)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(rng.rand(n).astype(np.float32) * 0.8 + 0.05)
+    _check(scene, o, d, tmax, jnp.ones((n,), bool), tile_rays=128)
+
+
+def test_resident_dense_candidates_never_drop():
+    """Heavily overlapping small clusters (every tile sees many candidates)
+    must still match the oracle exactly — the in-kernel dispatch has no
+    static pair budget, so nothing can be dropped."""
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=30)], tris_per_cluster=16)
+    n = 512
+    rng = np.random.RandomState(31)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.ones((n,), bool)
+    _check(scene, o, d, tmax, act)
+
+
+def test_resident_any_hit_occlusion():
+    scene = device_scene_from_meshes([random_tri_soup(500, seed=24)], tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(25)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.asarray(rng.rand(n) > 0.3)
+
+    occ, dropped = trace_resident(scene, o, d, 1e-3, tmax, act,
+                                  tile_rays=128, any_hit=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
