@@ -104,7 +104,7 @@ def trace_occlusion(scene, origin, direction, t_min, t_max, active, tracer: str 
 
 def _hit_alpha(scene, hits):
     """Opacity at a hit (texture alpha channel); 1.0 when untextured."""
-    from ..scene.textures import sample_atlas
+    from ..scene.textures import sample_textures
 
     tri = jnp.maximum(hits.tri_index, 0)
     mesh = jnp.take(scene.tri_mesh_id, tri, axis=0)
@@ -117,7 +117,7 @@ def _hit_alpha(scene, hits):
         + u * jnp.take(scene.uv1, tri, axis=0)
         + v * jnp.take(scene.uv2, tri, axis=0)
     )
-    rgba = sample_atlas(scene.albedo_textures, tex, uv[:, 0], uv[:, 1])
+    rgba = sample_textures(scene.albedo_textures, tex, uv[:, 0], uv[:, 1])
     return jnp.where(tex >= 0, rgba[:, 3], 1.0)
 
 
@@ -133,7 +133,7 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
     `max_hops` re-traces report MISS (the reference anyhit never accepts a
     transparent surface) and are counted in diag together with any pallas
     escalation residue."""
-    if scene.albedo_textures is None or scene.albedo_textures.shape[0] == 0:
+    if scene.albedo_textures is None or scene.albedo_textures.count == 0:
         return trace_closest_checked(scene, origin, direction, t_min, t_max, active, tracer)
 
     n = origin.shape[0]

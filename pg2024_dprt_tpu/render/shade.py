@@ -58,15 +58,15 @@ def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAt
     bsdf_type = jnp.take(scene.mesh_bsdf_type, mesh, axis=0)
 
     # albedo-texture fetch at interpolated uv (kernel.cu:256-283)
-    if scene.albedo_textures is not None and scene.albedo_textures.shape[0] > 0:
-        from ..scene.textures import sample_atlas
+    if scene.albedo_textures is not None and scene.albedo_textures.count > 0:
+        from ..scene.textures import sample_textures
 
         uv0 = jnp.take(scene.uv0, tri, axis=0)
         uv1 = jnp.take(scene.uv1, tri, axis=0)
         uv2 = jnp.take(scene.uv2, tri, axis=0)
         uv = w * uv0 + u * uv1 + v * uv2
         tex_idx = jnp.take(scene.mesh_texture_index, mesh, axis=0)
-        rgba = sample_atlas(scene.albedo_textures, tex_idx, uv[:, 0], uv[:, 1])
+        rgba = sample_textures(scene.albedo_textures, tex_idx, uv[:, 0], uv[:, 1])
         albedo = jnp.where((tex_idx >= 0)[:, None], rgba[:, :3], albedo)
 
     wo = -direction

@@ -149,9 +149,10 @@ class DeviceScene(NamedTuple):
     # [d,0] @ it -> [d'x d'y d'z 0], the ray in each triangle's unit space
     # (t = -o'z/d'z, u = o'x + t d'x, v = o'y + t d'y).
     cl_woop_table: jnp.ndarray = None  # (K, 4*4*C) f32
-    # Albedo texture atlas (NT, R, R, 4); rows indexed by mesh_texture_index
-    # (scene/textures.py). Empty (0, ...) when the scene is untextured.
-    albedo_textures: jnp.ndarray = None
+    # Packed native-resolution albedo textures (scene/textures.py
+    # PackedTextures pytree); indexed by mesh_texture_index. Empty pool when
+    # the scene is untextured.
+    albedo_textures: object = None
 
     @property
     def num_nodes(self) -> int:
@@ -191,8 +192,8 @@ def device_scene_from_meshes(
 def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None,
                        tris_per_cluster: int = 128, cluster_capacity=None,
                        textures=None) -> DeviceScene:
-    from .textures import build_atlas
-    atlas = jnp.asarray(build_atlas(textures or []))
+    from .textures import build_textures
+    atlas = build_textures(textures or [])
     order = bvh.tri_order
     t = order.shape[0]
     tc = tri_capacity or max(t, 1)

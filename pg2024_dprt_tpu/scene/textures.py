@@ -2,63 +2,112 @@
 
 Replaces the reference's per-mesh PNG/EXR -> pitched CUDA texture loop
 (/root/reference/src/render/renderer.cpp:1613-1723). TPUs have no texture
-units, so textures are resampled to one fixed-resolution RGBA atlas
-(NT, R, R, 4) and sampled with a vectorized bilinear gather (wrap
-addressing, matching the reference's cudaAddressModeWrap + bilinear setup).
-The alpha channel drives the stochastic cutout test of the reference anyhit
-programs (opacity < 0.05 -> ignore hit, /root/reference/optix/kernel.cu:349-355).
+units, so textures live in ONE flat packed texel buffer at their NATIVE
+resolutions (per-texture offset/height/width tables) and are sampled with a
+vectorized bilinear gather (wrap addressing, matching the reference's
+cudaAddressModeWrap + bilinear filter setup; large-index gathers are fast on
+this backend).  Textures larger than `max_res` are box-filtered down to it;
+everything else keeps full fidelity.  The alpha channel drives the cutout
+test of the reference anyhit programs (opacity < 0.05 -> ignore hit,
+/root/reference/optix/kernel.cu:349-355).
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
 
-ATLAS_RES = 128
+MAX_TEXTURE_RES = 2048
 
 
-def build_atlas(images, res: int = ATLAS_RES) -> np.ndarray:
-    """Resample a list of (H, W, 3|4) float arrays to an (NT, res, res, 4)
-    atlas (nearest resampling; alpha defaults to 1)."""
+class PackedTextures(NamedTuple):
+    """Flat texel pool + per-texture geometry tables (a jax pytree)."""
+
+    texels: jnp.ndarray   # (T, 4) f32 RGBA, row-major per texture
+    offset: jnp.ndarray   # (NT,) i32 start row in texels
+    height: jnp.ndarray   # (NT,) i32
+    width: jnp.ndarray    # (NT,) i32
+
+    @property
+    def count(self) -> int:
+        return self.offset.shape[0]
+
+
+def _box_down(img: np.ndarray, max_res: int) -> np.ndarray:
+    """Integer box-filter an (H, W, C) image down until both dims <= max_res."""
+    while img.shape[0] > max_res or img.shape[1] > max_res:
+        h, w = img.shape[:2]
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        pad_h, pad_w = h2 * 2 - h, w2 * 2 - w
+        if pad_h or pad_w:
+            img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+        img = (
+            img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]
+        ) * 0.25
+    return img
+
+
+def build_textures(images, max_res: int = MAX_TEXTURE_RES) -> PackedTextures:
+    """Pack (H, W, 3|4) float arrays into a PackedTextures pool at native
+    resolution (box-downsampled only past `max_res`; alpha defaults to 1)."""
     if not images:
-        return np.zeros((0, res, res, 4), np.float32)
-    out = np.zeros((len(images), res, res, 4), np.float32)
-    out[..., 3] = 1.0
-    for i, img in enumerate(images):
+        z = np.zeros((0,), np.int32)
+        return PackedTextures(
+            texels=jnp.zeros((0, 4), jnp.float32),
+            offset=jnp.asarray(z), height=jnp.asarray(z), width=jnp.asarray(z),
+        )
+    rows, offs, hs, ws = [], [], [], []
+    pos = 0
+    for img in images:
         img = np.asarray(img, np.float32)
         if img.ndim == 2:
             img = img[:, :, None].repeat(3, axis=2)
+        img = _box_down(img, max_res)
         h, w = img.shape[:2]
-        ys = (np.arange(res) * h // res).clip(0, h - 1)
-        xs = (np.arange(res) * w // res).clip(0, w - 1)
-        resampled = img[ys][:, xs]
-        out[i, :, :, : resampled.shape[2]] = resampled[:, :, :4]
-    return out
+        rgba = np.ones((h, w, 4), np.float32)
+        rgba[:, :, : min(img.shape[2], 4)] = img[:, :, :4]
+        rows.append(rgba.reshape(h * w, 4))
+        offs.append(pos)
+        hs.append(h)
+        ws.append(w)
+        pos += h * w
+    return PackedTextures(
+        texels=jnp.asarray(np.concatenate(rows, axis=0)),
+        offset=jnp.asarray(np.asarray(offs, np.int32)),
+        height=jnp.asarray(np.asarray(hs, np.int32)),
+        width=jnp.asarray(np.asarray(ws, np.int32)),
+    )
 
 
-def sample_atlas(atlas: jnp.ndarray, tex_index: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Bilinear wrap sample: atlas (NT, R, R, 4), tex_index (N,) (clamped >=0
-    by caller), u/v (N,) in texture space. Returns (N, 4) RGBA.
+def sample_textures(tex: PackedTextures, tex_index: jnp.ndarray,
+                    u: jnp.ndarray, v: jnp.ndarray):
+    """Bilinear wrap sample at native per-texture resolution.
+    tex_index (N,) (entries < 0 are clamped to 0 — callers mask the result),
+    u/v (N,) in texture space.  Returns (N, 4) RGBA.
 
     The v flip matches the reference's stbi vertical flip
     (renderer.cpp:1632)."""
-    r = atlas.shape[1]
-    x = u * r - 0.5
-    y = (1.0 - v) * r - 0.5
+    ti = jnp.maximum(tex_index, 0)
+    h = jnp.take(tex.height, ti)
+    w = jnp.take(tex.width, ti)
+    off = jnp.take(tex.offset, ti)
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+
+    x = u * wf - 0.5
+    y = (1.0 - v) * hf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    x0i = jnp.mod(x0.astype(jnp.int32), r)
-    x1i = jnp.mod(x0i + 1, r)
-    y0i = jnp.mod(y0.astype(jnp.int32), r)
-    y1i = jnp.mod(y0i + 1, r)
-
-    ti = jnp.maximum(tex_index, 0)
-    # flatten to one gather axis: idx = ((t * R) + y) * R + x
-    flat = atlas.reshape(-1, 4)
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
 
     def at(yi, xi):
-        return jnp.take(flat, (ti * r + yi) * r + xi, axis=0)
+        return jnp.take(tex.texels, off + yi * w + xi, axis=0)
 
     return (
         at(y0i, x0i) * (1 - fx) * (1 - fy)

@@ -73,15 +73,15 @@ def test_obj_loader(tmp_path):
 
 
 def test_texture_atlas_sampling():
-    from pg2024_dprt_tpu.scene.textures import build_atlas, checkerboard, sample_atlas
+    from pg2024_dprt_tpu.scene.textures import build_textures, checkerboard, sample_textures
 
     tex = checkerboard(res=64, tiles=2)  # 2x2 checker
-    atlas = jnp.asarray(build_atlas([tex], res=64))
+    atlas = build_textures([tex])
     # sample centers of the four quadrants (v flipped on write-in: top-left
     # of image = high v)
     u = jnp.asarray([0.25, 0.75, 0.25, 0.75])
     v = jnp.asarray([0.75, 0.75, 0.25, 0.25])
-    rgba = np.asarray(sample_atlas(atlas, jnp.zeros(4, jnp.int32), u, v))
+    rgba = np.asarray(sample_textures(atlas, jnp.zeros(4, jnp.int32), u, v))
     assert rgba.shape == (4, 4)
     assert np.allclose(rgba[:, 3], 1.0)
     # checker: diagonal quadrants match, adjacent differ
@@ -216,3 +216,29 @@ def test_visibility_grid():
     assert p[h].mean() > 0.97
     # and it actually culls: a good chunk of misses predicted invisible
     assert (~p[~h]).mean() > 0.3
+
+
+def test_texture_native_resolution_preserved():
+    """A 1024^2 texture must survive at native resolution (the reference
+    keeps full-res bilinear textures, renderer.cpp:1613-1723): a 512-tile
+    checker (one tile = 2 texels) must still resolve tile colors exactly."""
+    from pg2024_dprt_tpu.scene.textures import build_textures, checkerboard, sample_textures
+
+    tex = checkerboard(res=1024, tiles=512)
+    small = checkerboard(res=32, tiles=4)
+    pool = build_textures([small, tex])
+    assert int(pool.width[1]) == 1024 and int(pool.height[1]) == 1024
+    assert int(pool.width[0]) == 32
+    # texel centers of two adjacent 2-texel tiles in the fine checker
+    u = jnp.asarray([1.0 / 1024, 3.0 / 1024])
+    v = jnp.asarray([1.0 - 1.0 / 1024, 1.0 - 1.0 / 1024])
+    rgba = np.asarray(sample_textures(pool, jnp.ones(2, jnp.int32), u, v))
+    assert abs(rgba[0, 0] - rgba[1, 0]) > 0.5  # adjacent tiles differ sharply
+
+    # oversized textures get box-filtered to the cap, not nearest-decimated
+    from pg2024_dprt_tpu.scene.textures import build_textures as bt
+    big = np.ones((4096, 4096, 3), np.float32)
+    big[::2] = 0.0  # alternating rows: box filter must average to 0.5
+    pool2 = bt([big], max_res=1024)
+    assert int(pool2.width[0]) == 1024
+    assert np.allclose(np.asarray(pool2.texels[:, 0]).mean(), 0.5, atol=1e-3)
