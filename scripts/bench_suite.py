@@ -1,0 +1,156 @@
+"""Extended committed benchmark suite (real TPU) -> artifacts/bench_suite.json.
+
+Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
+  * camera_64k        — coherent primary wavefront, resident tracer
+  * incoherent_64k    — random rays, morton-sorted, resident tracer
+  * camera_1m         — 1M-triangle scene (streaming tracer: resident table
+                        exceeds VMEM), the massive-scene regime the reference
+                        targets
+  * anyhit_64k        — occlusion wavefront, resident tracer
+  * frame_exact       — 256x256 1spp 4-bounce full frame (trace+shade+NEE)
+  * grouped_mlp       — neural-proxy inference engine (vis net, 8 objects),
+                        the VisNNTime analogue (renderer.cpp:921,968)
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_suite.py [--quick]
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from pg2024_dprt_tpu.core import Camera
+from pg2024_dprt_tpu.models.proxy import apply_grouped, random_proxy_models
+from pg2024_dprt_tpu.models.mlp import PROD_VIS
+from pg2024_dprt_tpu.ops.pallas_resident import trace_resident
+from pg2024_dprt_tpu.ops.pallas_tracer import trace_pallas
+from pg2024_dprt_tpu.render import RenderConfig
+from pg2024_dprt_tpu.render.engine import render_sample
+from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
+from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
+from pg2024_dprt_tpu.utils.benchmarking import chained_time
+
+ROWS = []
+
+
+def row(name, value, unit, detail=""):
+    r = {"name": name, "value": round(value, 3), "unit": unit, "detail": detail}
+    ROWS.append(r)
+    print(json.dumps(r), flush=True)
+
+
+def camera_rays(n, side):
+    cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, side, side)
+    bs = 16
+    ids = np.arange(n)
+    by, bx = ids // (side * bs), ids % (side * bs)
+    blk, inner = bx // (bs * bs), bx % (bs * bs)
+    pix = jnp.asarray(((by * bs + inner // bs) * side + (blk * bs + inner % bs)).astype(np.int32))
+    return cam.generate_rays(pix // side, pix % side, jnp.zeros(n), jnp.zeros(n))
+
+
+def main():
+    n = 65536
+    scene = device_scene_from_meshes([random_tri_soup(65536, seed=0)], tris_per_cluster=128)
+    co, cd = camera_rays(n, 256)
+    rng = np.random.RandomState(1)
+    ro = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    rd = rng.randn(n, 3).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    tmx = jnp.full((n,), 3.4e38, jnp.float32)
+    act = jnp.ones((n,), bool)
+
+    def t_res(o, d, tmx, act):
+        return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128)[0].t
+
+    def t_res_sorted(o, d, tmx, act):
+        return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128,
+                              sort_rays=True)[0].t
+
+    def t_occl(o, d, tmx, act):
+        return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128,
+                              any_hit=True)[0].astype(jnp.float32)
+
+    per = chained_time(t_res, co, cd, tmx, act)
+    row("camera_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
+
+    per = chained_time(t_res_sorted, ro, rd, tmx, act)
+    row("incoherent_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront, morton-sorted")
+
+    per = chained_time(t_occl, co, cd, tmx, act)
+    row("anyhit_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
+
+    # 1M-triangle scene -> streaming tracer
+    scene1m = device_scene_from_meshes([random_tri_soup(1 << 20, seed=3)], tris_per_cluster=512)
+
+    def t_stream(o, d, tmx, act):
+        return trace_pallas(scene1m, o, d, 1e-3, tmx, act,
+                            tile_rays=256, region=48)[0].t
+
+    per = chained_time(t_stream, co, cd, tmx, act, short=2, long=7)
+    row("camera_1m", n / per / 1e6, "Mrays/s",
+        f"{per*1e3:.2f} ms/wavefront, 1M tris, streaming kernel")
+
+    # full exact frame
+    lt = np.asarray([[[0.3, 2.0, 0.3], [0.7, 2.0, 0.3], [0.7, 2.0, 0.7]]], np.float32)
+    lights = LightTable.from_arrays(lt, np.asarray([[60.0, 60.0, 60.0]], np.float32))
+    env = EnvironmentMap.constant((0.4, 0.5, 0.7))
+    camera = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, 256, 256)
+    cfg = RenderConfig(width=256, height=256, spp=1, bounces=4)
+
+    def frame(seed_f):
+        img = render_sample(scene, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
+        return jnp.sum(img).reshape(1)
+
+    @jax.jit
+    def frame_chain(s0, nc):
+        def step(i, carry):
+            s, acc = carry
+            v = frame(s)
+            return s + (v * 1e-30).astype(s.dtype), acc + v[0]
+        _, acc = jax.lax.fori_loop(0, nc, step, (s0, jnp.float32(0)))
+        return acc
+
+    s0 = jnp.asarray([7.0], jnp.float32)
+    float(np.asarray(frame_chain(s0, 1)))
+    ts = {}
+    for nc in (2, 7):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            float(np.asarray(frame_chain(s0 + np.random.rand(), nc)))
+            best = min(best, time.time() - t0)
+        ts[nc] = best
+    per = (ts[7] - ts[2]) / 5
+    rays = 256 * 256 * cfg.bounces * (1 + cfg.shadow_path_count)
+    row("frame_exact", per * 1e3, "ms",
+        f"256x256 1spp 4 bounces incl NEE ({rays/per/1e6:.1f} Mrays/s eq)")
+
+    # grouped neural-proxy inference (VisNNTime analogue)
+    models = random_proxy_models(jax.random.PRNGKey(0), 8)
+    q = 65536
+    feats = jnp.asarray(np.random.RandomState(5).rand(q, PROD_VIS.in_features).astype(np.float32))
+    obj = jnp.asarray(np.random.RandomState(6).randint(0, 8, size=q).astype(np.int32))
+    vmask = jnp.ones((q,), bool)
+
+    def mlp_t(f, obj, vmask):
+        return apply_grouped(models.vis_params, PROD_VIS, f, obj, vmask, 8)
+
+    per = chained_time(mlp_t, feats, obj, vmask)
+    row("grouped_mlp", q / per / 1e6, "Mqueries/s",
+        f"{per*1e3:.2f} ms for 64k queries over 8 objects (vis net)")
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/bench_suite.json", "w") as f:
+        json.dump({"ts": time.time(), "rows": ROWS}, f, indent=1)
+    print("wrote artifacts/bench_suite.json")
+
+
+if __name__ == "__main__":
+    main()
