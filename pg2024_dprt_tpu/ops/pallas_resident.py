@@ -46,7 +46,7 @@ from .pallas_tracer import _morton_key
 
 _F32_MAX = jnp.float32(3.402823466e38)
 
-TILE_RAYS = 128
+TILE_RAYS = 256  # best measured on-chip (sweep: 64/128/256 x C 64/128/256)
 
 
 def _lane_bits(c: int) -> int:
@@ -231,6 +231,142 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int)
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
+def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
+                *, c: int, tm: int, k: int):
+    """Closest hit with the cluster table in HBM (scenes too big for a
+    VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
+    one-iteration lookahead that software-pipelines the selection extracts
+    also provides the NEXT cluster index early, so its (12, C) slice is
+    DMA'd into a double-buffered VMEM scratch while the current cluster's
+    triangle test runs — the DMA latency hides under the VPU body.
+
+    Semaphore hygiene: every iteration starts exactly one prefetch and waits
+    exactly one; the final outstanding prefetch is drained after the loop
+    (scratch and semaphores persist across sequential grid steps)."""
+    rays = rays_ref[:]
+    tmax = rays[:, 7:8]
+
+    lb = _lane_bits(c)
+    cb = _lane_bits(k)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    keys0 = _selection_keys(en0, k, cb)
+    kb0 = (
+        jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+        & ~lane_mask
+    ) | lane_mask
+    worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
+    sel0, keys1 = _next_cluster(keys0)
+
+    def dma(idx, slot):
+        safe = jnp.minimum(idx, k - 1)
+        return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
+
+    run0 = (sel0 & ~cmask) < worst0
+
+    @pl.when(run0)
+    def _():
+        dma(sel0 & cmask, 0).start()
+
+    def cond(carry):
+        j, sel, keys, s_kb, worst, s_slot = carry
+        return (sel & ~cmask) < worst
+
+    def body(carry):
+        j, sel, keys, s_kb, worst, s_slot = carry
+        sel2, keys2 = _next_cluster(keys)
+        worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+        slot = jax.lax.rem(j, 2)
+        # prefetch the next cluster before touching this one (started even
+        # when the loop is about to end — drained after the loop)
+        dma(sel2 & cmask, 1 - slot).start()
+        idx = sel & cmask
+        dma(idx, slot).wait()
+        tri = tbuf[slot]
+        t, tri_ok = _mt_body(rays, tri, c, tm)
+        tb = jax.lax.bitcast_convert_type(
+            jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38), jnp.int32
+        )
+        key = (tb & ~lane_mask) | lanes
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        improved = kmin < s_kb
+        slot_w = idx * c + (kmin & lane_mask)
+        s_kb = jnp.where(improved, kmin, s_kb)
+        s_slot = jnp.where(improved, slot_w, s_slot)
+        return j + 1, sel2, keys2, s_kb, worst2, s_slot
+
+    j_end, _, _, s_kb, _, s_slot = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), sel0, keys1, kb0, worst0, jnp.full((tm, 1), -1, jnp.int32)),
+    )
+
+    # drain the last outstanding prefetch (iteration j started one for j+1)
+    @pl.when(j_end > 0)
+    def _():
+        dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+
+    t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
+    out_ref[:, 0:1] = t_approx
+    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+
+
+def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
+                     *, c: int, tm: int, k: int):
+    """Any-hit variant of _kernel_hbm (same DMA pipeline)."""
+    rays = rays_ref[:]
+    tmax = rays[:, 7:8]
+    cb = _lane_bits(k)
+    cmask = jnp.int32((1 << cb) - 1)
+
+    tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    keys0 = _selection_keys(en0, k, cb)
+    sel0, keys1 = _next_cluster(keys0)
+    worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
+
+    def dma(idx, slot):
+        safe = jnp.minimum(idx, k - 1)
+        return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
+
+    @pl.when((sel0 & ~cmask) < worst0)
+    def _():
+        dma(sel0 & cmask, 0).start()
+
+    def cond(carry):
+        j, sel, keys, occ, worst = carry
+        return (sel & ~cmask) < worst
+
+    def body(carry):
+        j, sel, keys, occ, _ = carry
+        sel2, keys2 = _next_cluster(keys)
+        worst2 = jnp.max(
+            jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
+        )[0, 0]
+        slot = jax.lax.rem(j, 2)
+        dma(sel2 & cmask, 1 - slot).start()
+        idx = sel & cmask
+        dma(idx, slot).wait()
+        tri = tbuf[slot]
+        t, tri_ok = _mt_body(rays, tri, c, tm)
+        tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
+        hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
+        occ = jnp.maximum(occ, hit)
+        return j + 1, sel2, keys2, occ, worst2
+
+    j_end, _, _, occ, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), sel0, keys1, jnp.zeros((tm, 1), jnp.int32), worst0)
+    )
+
+    @pl.when(j_end > 0)
+    def _():
+        dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+
+    out_ref[:, 0:1] = occ.astype(jnp.float32)
+
+
 def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int):
     """Any-hit variant: a cluster is processed only while some unoccluded ray
     could still be blocked; terminates when every ray is occluded (the
@@ -280,9 +416,14 @@ def resident_table_bytes(scene: DeviceScene) -> int:
     return scene.num_clusters * 16 * pad_c * 4
 
 
+# tables above this stream from HBM through a double-buffered scratch
+# (leaves room for ray/out blocks and compiler scratch in ~16 MB of VMEM)
+VMEM_TABLE_LIMIT = 8 * 2**20
+
+
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "interpret"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "interpret"),
 )
 def trace_resident(
     scene: DeviceScene,
@@ -290,12 +431,17 @@ def trace_resident(
     tile_rays: int = TILE_RAYS,
     sort_rays: bool = False,
     any_hit: bool = False,
+    hbm_table: bool = None,
     interpret: bool = None,
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
     pallas_tracer.trace_pallas: (HitRecord, dropped_pair_count), or
     (occluded_mask, dropped) when any_hit=True — dropped is structurally 0
-    here (no static pair budget exists)."""
+    here (no static pair budget exists).
+
+    hbm_table=None auto-selects: small scenes keep the whole triangle table
+    VMEM-resident; larger ones stream each selected cluster from HBM through
+    a double-buffered scratch (_kernel_hbm)."""
     n = origin.shape[0]
     tm = tile_rays
     pad = (-n) % tm
@@ -371,22 +517,36 @@ def trace_resident(
     nrm = jnp.cross(e1, e2, axis=1)
     table = jnp.concatenate([v0, e1, e2, nrm], axis=1)       # (K, 12, C)
 
+    if hbm_table is None:
+        hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+
     ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(
+        memory_space=pl.ANY if hbm_table else pltpu.VMEM
+    )
     out_cols = 1 if any_hit else 2
     out_spec = pl.BlockSpec((tm, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    kern = _occl_kernel if any_hit else _kernel
+    if hbm_table:
+        kern = _occl_kernel_hbm if any_hit else _kernel_hbm
+        scratch = [
+            pltpu.VMEM((2, 12, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = _occl_kernel if any_hit else _kernel
+        scratch = []
     (packed_out,) = pl.pallas_call(
         partial(kern, c=c, tm=tm, k=k),
         grid=(tiles,),
         in_specs=[ray_spec, boxes_spec, table_spec],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(rays_packed, boxes, table)
 

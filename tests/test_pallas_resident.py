@@ -105,3 +105,32 @@ def test_resident_any_hit_occlusion():
     assert int(dropped) == 0
     want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
+
+
+def test_resident_hbm_table_matches_oracle():
+    """The HBM-streaming variant (double-buffered in-kernel DMA) must match
+    the oracle exactly like the VMEM-resident one."""
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=50)], tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(51)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
+           tile_rays=128, hbm_table=True)
+
+
+def test_resident_hbm_any_hit():
+    scene = device_scene_from_meshes([random_tri_soup(500, seed=24)], tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(25)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.asarray(rng.rand(n) > 0.3)
+    occ, dropped = trace_resident(scene, o, d, 1e-3, tmax, act,
+                                  tile_rays=128, any_hit=True, hbm_table=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
