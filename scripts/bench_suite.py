@@ -3,9 +3,10 @@
 Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
   * camera_64k        — coherent primary wavefront, resident tracer
   * incoherent_64k    — random rays, morton-sorted, resident tracer
-  * camera_1m         — 1M-triangle scene (streaming tracer: resident table
-                        exceeds VMEM), the massive-scene regime the reference
-                        targets
+  * camera_1m         — 1M-triangle scene (HBM-streaming resident kernel:
+                        the 89 MiB cluster table exceeds VMEM), the
+                        massive-scene regime the reference targets
+  * incoherent_1m     — random rays over the 1M scene, morton-sorted
   * anyhit_64k        — occlusion wavefront, resident tracer
   * frame_exact       — 256x256 1spp 4-bounce full frame (trace+shade+NEE)
   * grouped_mlp       — neural-proxy inference engine (vis net, 8 objects),
@@ -29,7 +30,6 @@ from pg2024_dprt_tpu.core import Camera
 from pg2024_dprt_tpu.models.proxy import apply_grouped, random_proxy_models
 from pg2024_dprt_tpu.models.mlp import PROD_VIS
 from pg2024_dprt_tpu.ops.pallas_resident import trace_resident
-from pg2024_dprt_tpu.ops.pallas_tracer import trace_pallas
 from pg2024_dprt_tpu.render import RenderConfig
 from pg2024_dprt_tpu.render.engine import render_sample
 from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
@@ -86,16 +86,26 @@ def main():
     per = chained_time(t_occl, co, cd, tmx, act)
     row("anyhit_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
 
-    # 1M-triangle scene -> streaming tracer
-    scene1m = device_scene_from_meshes([random_tri_soup(1 << 20, seed=3)], tris_per_cluster=512)
+    # 1M-triangle scene -> resident tracer auto-selects the HBM-streaming
+    # kernel (89 MiB cluster table, double-buffered in-kernel DMA)
+    scene1m = device_scene_from_meshes([random_tri_soup(1 << 20, seed=3)], tris_per_cluster=128)
 
-    def t_stream(o, d, tmx, act):
-        return trace_pallas(scene1m, o, d, 1e-3, tmx, act,
-                            tile_rays=256, region=48)[0].t
+    def t_1m(o, d, tmx, act):
+        return trace_resident(scene1m, o, d, 1e-3, tmx, act, tile_rays=256)[0].t
 
-    per = chained_time(t_stream, co, cd, tmx, act, short=2, long=7)
+    def t_1m_sorted(o, d, tmx, act):
+        return trace_resident(scene1m, o, d, 1e-3, tmx, act, tile_rays=256,
+                              sort_rays=True)[0].t
+
+    per = chained_time(t_1m, co, cd, tmx, act, short=2, long=7)
     row("camera_1m", n / per / 1e6, "Mrays/s",
-        f"{per*1e3:.2f} ms/wavefront, 1M tris, streaming kernel")
+        f"{per*1e3:.2f} ms/wavefront, 1M tris, HBM-streaming resident kernel")
+
+    # incoherent rays over the 1M scene: morton-sorted, short chain (an
+    # unsorted long chain exceeds the device watchdog on this relay)
+    per = chained_time(t_1m_sorted, ro, rd, tmx, act, short=1, long=4, reps=2)
+    row("incoherent_1m", n / per / 1e6, "Mrays/s",
+        f"{per*1e3:.2f} ms/wavefront, 1M tris, morton-sorted")
 
     # full exact frame
     lt = np.asarray([[[0.3, 2.0, 0.3], [0.7, 2.0, 0.3], [0.7, 2.0, 0.7]]], np.float32)
@@ -105,8 +115,9 @@ def main():
     cfg = RenderConfig(width=256, height=256, spp=1, bounces=4)
 
     def frame(seed_f):
-        img = render_sample(scene, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
-        return jnp.sum(img).reshape(1)
+        direct, env_img, _diag = render_sample(
+            scene, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
+        return jnp.sum(direct + env_img).reshape(1)
 
     @jax.jit
     def frame_chain(s0, nc):
