@@ -57,42 +57,50 @@ def _lane_bits(c: int) -> int:
 
 
 def _cluster_enters(rays, boxes, k: int, tm: int):
-    """In-kernel conservative slab test of this ray block against every
-    cluster.  boxes rows: [minx miny minz maxx maxy maxz count pad].
-    Returns (1, K) f32 enter distances, +inf where the cluster is impossible
-    (never culls a possible hit: interval arithmetic over the block's origin
-    and 1/direction ranges)."""
+    """In-kernel EXACT per-ray slab test of this ray block against every
+    cluster, min-reduced over the block.  boxes rows: [minx miny minz maxx
+    maxy maxz count pad].  Returns (1, K) f32: entry k = the nearest enter
+    distance of any ray in the block that truly enters cluster k (+inf when
+    none does).
+
+    v1 used interval arithmetic over the block's origin/1-direction RANGES
+    ((1, K) work) — fine for coherent camera tiles, catastrophic for
+    incoherent bounce tiles: within one direction octant 1/d spans [1, inf),
+    so nearly every cluster "entered" at ~0 and both the cull and the
+    front-to-back horizon degenerated to a full-scene sweep.  The exact
+    (TM, K) test costs ~25 vector ops per tile and shrinks the visited set
+    to the true union.  Chunked over K to bound the working set; slab
+    comparisons carry a few-ulp guard band so f32 rounding can never cull a
+    boundary hit the oracle accepts."""
     inf = jnp.float32(float("inf"))
     d = rays[:, 3:6]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
-    tmax_hi = jnp.max(rays[:, 7:8])                         # inactive rays: 0
+    tmax = rays[:, 7:8]                                      # (TM, 1); 0 when inactive
 
-    enter = jnp.zeros((1, k), jnp.float32)
-    exit_ = jnp.full((1, k), inf)
-    for ax in range(3):
-        o_l = jnp.min(rays[:, ax:ax + 1])
-        o_h = jnp.max(rays[:, ax:ax + 1])
-        i_l = jnp.min(inv[:, ax:ax + 1])
-        i_h = jnp.max(inv[:, ax:ax + 1])
-        cmin = boxes[ax:ax + 1, :]                           # (1, K)
-        cmax = boxes[3 + ax:4 + ax, :]
-        lo = None
-        hi = None
-        for b in (cmin - o_h, cmin - o_l, cmax - o_h, cmax - o_l):
-            for iv in (i_l, i_h):
-                q = b * iv
-                lo = q if lo is None else jnp.minimum(lo, q)
-                hi = q if hi is None else jnp.maximum(hi, q)
-        enter = jnp.maximum(enter, lo)
-        exit_ = jnp.minimum(exit_, hi)
-
-    ok = (
-        (boxes[6:7, :] > 0.0)          # non-empty cluster (padding rows have
-        & (enter <= exit_)             # inverted-inf AABBs that would pass
-        & (exit_ > 0.0)                # the slab test as infinite boxes)
-        & (enter < tmax_hi)
-    )
-    return jnp.where(ok, jnp.maximum(enter, 0.0), inf)
+    chunk = max(128, min(k, 262144 // tm))
+    outs = []
+    for c0 in range(0, k, chunk):
+        w = min(c0 + chunk, k) - c0
+        B = lambda a: jnp.broadcast_to(a, (tm, w))
+        enter = jnp.zeros((tm, w), jnp.float32)
+        exit_ = jnp.full((tm, w), inf)
+        for ax in range(3):
+            o = B(rays[:, ax:ax + 1])
+            iv = B(inv[:, ax:ax + 1])
+            t0 = (B(boxes[ax:ax + 1, c0:c0 + w]) - o) * iv
+            t1 = (B(boxes[3 + ax:4 + ax, c0:c0 + w]) - o) * iv
+            enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+            exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+        exit_g = exit_ * (1.0 + 4e-7) + 1e-7                 # rounding guard
+        ok = (
+            (B(boxes[6:7, c0:c0 + w]) > 0.0)   # non-empty cluster (padding
+            & (enter <= exit_g)                # rows carry zeroed AABBs)
+            & (exit_g > 0.0)
+            & (enter < B(tmax))
+        )
+        per_ray = jnp.where(ok, jnp.maximum(enter, 0.0), inf)
+        outs.append(jnp.min(per_ray, axis=0, keepdims=True))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _selection_keys(en, k: int, cb: int):

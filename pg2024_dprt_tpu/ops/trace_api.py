@@ -45,7 +45,8 @@ def resolve_tracer(name: str, scene=None) -> str:
 
 
 def _pallas_escalating(scene, origin, direction, t_min, t_max, active,
-                       any_hit: bool = False, region: int = REGION):
+                       any_hit: bool = False, region: int = REGION,
+                       sort_rays: bool = True):
     """Pallas trace that never silently force-misses: if the static pair
     budget dropped any (tile, cluster) pair, cond-retrace the whole wavefront
     at 4x, then 16x budget (same Mosaic kernel, larger grid — only the taken
@@ -54,7 +55,7 @@ def _pallas_escalating(scene, origin, direction, t_min, t_max, active,
     def at(r):
         return lambda _: trace_pallas(
             scene, origin, direction, t_min, t_max, active,
-            region=r, any_hit=any_hit,
+            region=r, any_hit=any_hit, sort_rays=sort_rays,
         )
 
     res = at(region)(None)
@@ -67,21 +68,29 @@ def _pallas_escalating(scene, origin, direction, t_min, t_max, active,
 
 
 def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
-                          tracer: str = "auto"):
+                          tracer: str = "auto", sort_rays: bool = True):
     """Closest hit. Returns (HitRecord, diag) — diag counts pairs still
-    dropped after escalation (0 for the exact backends)."""
+    dropped after escalation (0 for the exact backends).
+
+    sort_rays=True (production default) morton-orders the wavefront by
+    direction octant + origin cell inside the Pallas backends — essential
+    for bounce/shadow wavefronts, whose scattered directions otherwise
+    destroy the per-tile cluster locality; near-free for already-coherent
+    camera wavefronts (one 32-bit sort + two gathers)."""
     tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
         return traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
     if tracer == "cluster":
         return traverse_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
     if tracer == "resident":
-        return trace_resident(scene, origin, direction, t_min, t_max, active)
-    return _pallas_escalating(scene, origin, direction, t_min, t_max, active)
+        return trace_resident(scene, origin, direction, t_min, t_max, active,
+                              sort_rays=sort_rays)
+    return _pallas_escalating(scene, origin, direction, t_min, t_max, active,
+                              sort_rays=sort_rays)
 
 
 def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
-                            tracer: str = "auto"):
+                            tracer: str = "auto", sort_rays: bool = True):
     """Any-hit test. Returns ((n,) bool occluded, diag)."""
     tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
@@ -89,8 +98,10 @@ def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
     if tracer == "cluster":
         return occlusion_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
     if tracer == "resident":
-        return trace_resident(scene, origin, direction, t_min, t_max, active, any_hit=True)
-    return _pallas_escalating(scene, origin, direction, t_min, t_max, active, any_hit=True)
+        return trace_resident(scene, origin, direction, t_min, t_max, active,
+                              any_hit=True, sort_rays=sort_rays)
+    return _pallas_escalating(scene, origin, direction, t_min, t_max, active,
+                              any_hit=True, sort_rays=sort_rays)
 
 
 def trace_closest(scene, origin, direction, t_min, t_max, active, tracer: str = "auto"):
@@ -123,7 +134,7 @@ def _hit_alpha(scene, hits):
 
 def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
                          tracer: str = "auto", max_hops: int = 4,
-                         alpha_threshold: float = 0.05):
+                         alpha_threshold: float = 0.05, sort_rays: bool = True):
     """Closest hit honoring cutout opacity — the reference anyhit programs'
     `opacity < 0.05 -> optixIgnoreIntersection()` semantics
     (/root/reference/optix/kernel.cu:311-359), implemented tracer-agnostically
@@ -133,8 +144,10 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
     `max_hops` re-traces report MISS (the reference anyhit never accepts a
     transparent surface) and are counted in diag together with any pallas
     escalation residue."""
-    if scene.albedo_textures is None or scene.albedo_textures.count == 0:
-        return trace_closest_checked(scene, origin, direction, t_min, t_max, active, tracer)
+    if (scene.albedo_textures is None or scene.albedo_textures.count == 0
+            or not scene.albedo_textures.has_cutout):
+        return trace_closest_checked(scene, origin, direction, t_min, t_max, active,
+                                     tracer, sort_rays=sort_rays)
 
     n = origin.shape[0]
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -142,7 +155,8 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
     final = None
     diag = jnp.int32(0)
     for _ in range(max_hops):
-        hits, d = trace_closest_checked(scene, origin, direction, t_lo, t_max, pending, tracer)
+        hits, d = trace_closest_checked(scene, origin, direction, t_lo, t_max, pending,
+                                        tracer, sort_rays=sort_rays)
         diag = diag + d
         alpha = _hit_alpha(scene, hits)
         transparent = hits.is_hit & (alpha < alpha_threshold)
@@ -168,10 +182,20 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
 
 def trace_occlusion_cutout(scene, origin, direction, t_min, t_max, active,
                            tracer: str = "auto", max_hops: int = 4,
-                           alpha_threshold: float = 0.05):
+                           alpha_threshold: float = 0.05, sort_rays: bool = True):
     """Occlusion honoring cutout opacity: blocked only by opaque hits.
-    Returns (occluded, diag)."""
+    Returns (occluded, diag).
+
+    Texture-free scenes take the dedicated any-hit kernel (no winner
+    attribution, occluded-tile early exit); only scenes with cutout
+    textures need the closest-hit re-trace loop (a transparent occluder
+    must be skipped, which requires knowing WHERE the hit was)."""
+    if (scene.albedo_textures is None or scene.albedo_textures.count == 0
+            or not scene.albedo_textures.has_cutout):
+        return trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
+                                       tracer, sort_rays=sort_rays)
     hits, diag = trace_closest_cutout(
-        scene, origin, direction, t_min, t_max, active, tracer, max_hops, alpha_threshold
+        scene, origin, direction, t_min, t_max, active, tracer, max_hops,
+        alpha_threshold, sort_rays=sort_rays,
     )
     return hits.is_hit, diag

@@ -28,10 +28,18 @@ class PackedTextures(NamedTuple):
     offset: jnp.ndarray   # (NT,) i32 start row in texels
     height: jnp.ndarray   # (NT,) i32
     width: jnp.ndarray    # (NT,) i32
+    # indices of textures with any alpha < 0.05 — its SHAPE is the static
+    # has-cutout signal (shape survives jit tracing; a bool field would not),
+    # so fully-opaque texture pools statically skip the cutout re-trace loop
+    cutout_rows: jnp.ndarray
 
     @property
     def count(self) -> int:
         return self.offset.shape[0]
+
+    @property
+    def has_cutout(self) -> bool:
+        return self.cutout_rows.shape[0] > 0
 
 
 def _box_down(img: np.ndarray, max_res: int) -> np.ndarray:
@@ -56,10 +64,11 @@ def build_textures(images, max_res: int = MAX_TEXTURE_RES) -> PackedTextures:
         return PackedTextures(
             texels=jnp.zeros((0, 4), jnp.float32),
             offset=jnp.asarray(z), height=jnp.asarray(z), width=jnp.asarray(z),
+            cutout_rows=jnp.asarray(z),
         )
-    rows, offs, hs, ws = [], [], [], []
+    rows, offs, hs, ws, cut = [], [], [], [], []
     pos = 0
-    for img in images:
+    for i, img in enumerate(images):
         img = np.asarray(img, np.float32)
         if img.ndim == 2:
             img = img[:, :, None].repeat(3, axis=2)
@@ -67,6 +76,8 @@ def build_textures(images, max_res: int = MAX_TEXTURE_RES) -> PackedTextures:
         h, w = img.shape[:2]
         rgba = np.ones((h, w, 4), np.float32)
         rgba[:, :, : min(img.shape[2], 4)] = img[:, :, :4]
+        if rgba[:, :, 3].min() < 0.05:
+            cut.append(i)
         rows.append(rgba.reshape(h * w, 4))
         offs.append(pos)
         hs.append(h)
@@ -77,6 +88,7 @@ def build_textures(images, max_res: int = MAX_TEXTURE_RES) -> PackedTextures:
         offset=jnp.asarray(np.asarray(offs, np.int32)),
         height=jnp.asarray(np.asarray(hs, np.int32)),
         width=jnp.asarray(np.asarray(ws, np.int32)),
+        cutout_rows=jnp.asarray(np.asarray(cut, np.int32)),
     )
 
 
