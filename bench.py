@@ -51,13 +51,17 @@ def main():
     tmax = jnp.full((n,), 3.4e38, jnp.float32)
     active = jnp.ones((n,), bool)
 
+    # sort_rays=False is the engine's own bounce-0 policy: camera wavefronts
+    # arrive pixel-block coherent, the morton sort is pure fixed cost there
+    # (render/engine.py)
     # correctness gate: the benchmarked configuration must not drop anything
-    hits, diag = trace_closest_checked(scene, origin, direction, 1e-3, tmax, active)
+    hits, diag = trace_closest_checked(scene, origin, direction, 1e-3, tmax, active,
+                                       sort_rays=False)
     assert int(diag) == 0, f"benchmark config diag={int(diag)}"
     assert int(hits.is_hit.sum()) > 0
 
     def trace_t(o, d, tmx, act):
-        h, _ = trace_closest_checked(scene, o, d, 1e-3, tmx, act)
+        h, _ = trace_closest_checked(scene, o, d, 1e-3, tmx, act, sort_rays=False)
         return h.t
 
     per_call = chained_time(trace_t, origin, direction, tmax, active)

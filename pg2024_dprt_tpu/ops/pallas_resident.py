@@ -56,23 +56,57 @@ def _lane_bits(c: int) -> int:
     return b
 
 
-def _cluster_enters(rays, boxes, k: int, tm: int):
-    """In-kernel EXACT per-ray slab test of this ray block against every
-    cluster, min-reduced over the block.  boxes rows: [minx miny minz maxx
-    maxy maxz count pad].  Returns (1, K) f32: entry k = the nearest enter
-    distance of any ray in the block that truly enters cluster k (+inf when
-    none does).
+def _cluster_enters(rays, boxes, k: int, tm: int, exact: bool = True):
+    """In-kernel slab test of this ray block against every cluster,
+    min-reduced over the block.  boxes rows: [minx miny minz maxx maxy maxz
+    count pad].  Returns (1, K) f32: entry k = a lower bound on the enter
+    distance of any ray in the block that may enter cluster k (+inf when
+    provably none does).
 
-    v1 used interval arithmetic over the block's origin/1-direction RANGES
-    ((1, K) work) — fine for coherent camera tiles, catastrophic for
-    incoherent bounce tiles: within one direction octant 1/d spans [1, inf),
-    so nearly every cluster "entered" at ~0 and both the cull and the
-    front-to-back horizon degenerated to a full-scene sweep.  The exact
-    (TM, K) test costs ~25 vector ops per tile and shrinks the visited set
-    to the true union.  Chunked over K to bound the working set; slab
-    comparisons carry a few-ulp guard band so f32 rounding can never cull a
-    boundary hit the oracle accepts."""
+    Two conservative modes, selected statically per wavefront kind:
+
+      * exact=True — per-ray slab test, (TM, K) work.  Essential for
+        SCATTERED (sorted bounce/shadow) wavefronts: within one direction
+        octant 1/d spans [1, inf), so the interval mode below degenerates —
+        nearly every cluster "enters" at ~0, no culling, no front-to-back
+        horizon, a full-scene sweep per tile (measured 5.5x).  Chunked over
+        K to bound the working set; comparisons carry a few-ulp guard band
+        so f32 rounding can never cull a boundary hit the oracle accepts.
+      * exact=False — interval arithmetic over the block's origin and
+        1/direction RANGES, (1, K) work.  For COHERENT camera tiles (a
+        16x16 pixel frustum) the interval bound is nearly as tight as the
+        exact union at ~TM x less cull work (measured ~25% whole-wavefront
+        win at TM=256, K=512)."""
     inf = jnp.float32(float("inf"))
+    if not exact:
+        d = rays[:, 3:6]
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+        tmax_hi = jnp.max(rays[:, 7:8])                      # inactive rays: 0
+        enter = jnp.zeros((1, k), jnp.float32)
+        exit_ = jnp.full((1, k), inf)
+        for ax in range(3):
+            o_l = jnp.min(rays[:, ax:ax + 1])
+            o_h = jnp.max(rays[:, ax:ax + 1])
+            i_l = jnp.min(inv[:, ax:ax + 1])
+            i_h = jnp.max(inv[:, ax:ax + 1])
+            cmin = boxes[ax:ax + 1, :]                       # (1, K)
+            cmax = boxes[3 + ax:4 + ax, :]
+            lo = None
+            hi = None
+            for b in (cmin - o_h, cmin - o_l, cmax - o_h, cmax - o_l):
+                for iv in (i_l, i_h):
+                    q = b * iv
+                    lo = q if lo is None else jnp.minimum(lo, q)
+                    hi = q if hi is None else jnp.maximum(hi, q)
+            enter = jnp.maximum(enter, lo)
+            exit_ = jnp.minimum(exit_, hi)
+        ok = (
+            (boxes[6:7, :] > 0.0)          # non-empty cluster (padding rows
+            & (enter <= exit_)             # carry zeroed AABBs)
+            & (exit_ > 0.0)
+            & (enter < tmax_hi)
+        )
+        return jnp.where(ok, jnp.maximum(enter, 0.0), inf)
     d = rays[:, 3:6]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
     tmax = rays[:, 7:8]                                      # (TM, 1); 0 when inactive
@@ -174,7 +208,7 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
-def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int):
+def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int, exact: bool):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
     (t_bits | lane) key; out = [t_approx, table_slot] per ray."""
     rays = rays_ref[:]
@@ -186,7 +220,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int)
     cmask = jnp.int32((1 << cb) - 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
 
-    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
     # init: key = bits(tmax) with lane bits saturated (monotone upper bound —
     # any accepted hit with t < tmax beats it); slot = -1 (miss)
@@ -240,7 +274,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int)
 
 
 def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
-                *, c: int, tm: int, k: int):
+                *, c: int, tm: int, k: int, exact: bool):
     """Closest hit with the cluster table in HBM (scenes too big for a
     VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
     one-iteration lookahead that software-pipelines the selection extracts
@@ -260,7 +294,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     cmask = jnp.int32((1 << cb) - 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
 
-    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
     kb0 = (
         jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
@@ -322,7 +356,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
 
 
 def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
-                     *, c: int, tm: int, k: int):
+                     *, c: int, tm: int, k: int, exact: bool):
     """Any-hit variant of _kernel_hbm (same DMA pipeline)."""
     rays = rays_ref[:]
     tmax = rays[:, 7:8]
@@ -330,7 +364,7 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     cmask = jnp.int32((1 << cb) - 1)
 
     tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
-    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
     sel0, keys1 = _next_cluster(keys0)
     worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
@@ -375,7 +409,7 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
-def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int):
+def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int, exact: bool):
     """Any-hit variant: a cluster is processed only while some unoccluded ray
     could still be blocked; terminates when every ray is occluded (the
     running horizon is the max tmax-bits over OPEN rays)."""
@@ -385,7 +419,7 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k:
     cmask = jnp.int32((1 << cb) - 1)
 
     tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
-    en0 = _cluster_enters(rays, boxes_ref[:], k, tm)
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
     sel0, keys1 = _next_cluster(keys0)
     worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
@@ -431,7 +465,7 @@ VMEM_TABLE_LIMIT = 8 * 2**20
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "interpret"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "interpret"),
 )
 def trace_resident(
     scene: DeviceScene,
@@ -440,6 +474,7 @@ def trace_resident(
     sort_rays: bool = False,
     any_hit: bool = False,
     hbm_table: bool = None,
+    exact_cull: bool = None,
     interpret: bool = None,
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
@@ -527,6 +562,11 @@ def trace_resident(
 
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    if exact_cull is None:
+        # sorted wavefronts are the scattered ones (engine policy): per-ray
+        # cull pays for itself; unsorted camera blocks keep the cheap
+        # interval cull (see _cluster_enters)
+        exact_cull = sort_rays
 
     ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -549,7 +589,7 @@ def trace_resident(
         kern = _occl_kernel if any_hit else _kernel
         scratch = []
     (packed_out,) = pl.pallas_call(
-        partial(kern, c=c, tm=tm, k=k),
+        partial(kern, c=c, tm=tm, k=k, exact=exact_cull),
         grid=(tiles,),
         in_specs=[ray_spec, boxes_spec, table_spec],
         out_specs=[out_spec],

@@ -42,7 +42,8 @@ from .mesh import NODES_AXIS
 _F32_MAX = jnp.float32(3.402823466e38)
 
 
-def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"):
+def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto",
+                     sort_rays=True):
     """Distributed traversal kernel ("TraRay") port
     (/root/reference/optix/distributed_traversal_kernel.cu:215-339):
     local closest hit honoring visitedMask, own bit set, nearest-unvisited
@@ -51,7 +52,8 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
     my_bit = ((paths.visited_mask >> my_id.astype(jnp.uint32)) & jnp.uint32(1)).astype(bool)
     do_local = live & (~my_bit)
 
-    hits, diag = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, do_local, tracer=tracer)
+    hits, diag = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax,
+                               do_local, tracer=tracer, sort_rays=sort_rays)
     new_tmax = jnp.where(hits.is_hit, hits.t, paths.tmax)
     current = jnp.where(do_local & hits.is_hit, my_id, paths.current_node).astype(jnp.int32)
     is_hit = paths.is_hit | (do_local & hits.is_hit)
@@ -114,7 +116,8 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
     return new_paths, env_add, diag
 
 
-def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfig):
+def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfig,
+                    sort_rays=True):
     """The primaryRayModule while-loop (renderer.cpp:1230-1315).
 
     Returns (paths, env_img, diag, truncated): `truncated` counts paths still
@@ -127,7 +130,8 @@ def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfi
 
     def body(carry):
         paths, env_img, _pending, it, diag = carry
-        paths, env_add, d = _trace_and_route(scene, proxies, env, paths, my_id, cfg.t_epsilon, npix, cfg.tracer)
+        paths, env_add, d = _trace_and_route(scene, proxies, env, paths, my_id,
+                                             cfg.t_epsilon, npix, cfg.tracer, sort_rays)
         paths, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=bucket)
         pending = jax.lax.psum(waiting + arrivals, NODES_AXIS)
         return paths, env_img + env_add, pending, it + 1, diag + d
@@ -167,7 +171,11 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
             env_img = env_img + env_add
             diag = diag + d
 
-        paths, env_img, d, tr = _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg)
+        # bounce-0 wavefronts are camera/pixel-block coherent: the morton
+        # sort's fixed launch cost is pure loss there (see render/engine.py)
+        sort = bounce >= 1
+        paths, env_img, d, tr = _migration_loop(scene, proxies, env, paths, env_img,
+                                                my_id, cfg, sort_rays=sort)
         diag = diag + d
         truncated = truncated + tr
 
@@ -176,6 +184,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
         hits, d = trace_closest(
             scene, paths.origin, paths.direction, cfg.t_epsilon,
             jnp.full((paths.capacity,), _F32_MAX), live, tracer=cfg.tracer,
+            sort_rays=sort,
         )
         diag = diag + d
         next_paths, shadow_paths, env_add = shade(

@@ -143,6 +143,47 @@ def main():
     row("frame_exact", per * 1e3, "ms",
         f"256x256 1spp 4 bounces incl NEE ({rays/per/1e6:.1f} Mrays/s eq)")
 
+    # full neural routing stage (secondaryRayModuleBasedNN analogue,
+    # renderer.cpp:1407-1452): local closest hit + proxy AABB march +
+    # vis/depth grouped inference + prediction consumption, one jitted stage
+    from pg2024_dprt_tpu.core.types import PathState
+    from pg2024_dprt_tpu.render.proxy_stages import secondary_route
+    from pg2024_dprt_tpu.scene.geometry import ProxyTable
+
+    # 8 unit proxy boxes surrounding the local scene ([0,1]^3) so escaping
+    # rays march real neighbors — a realistic per-partition neighborhood
+    p_count = 8
+    offs = np.asarray(
+        [[-1.05, 0, 0], [1.05, 0, 0], [0, -1.05, 0], [0, 1.05, 0],
+         [0, 0, -1.05], [0, 0, 1.05], [-1.05, -1.05, 0], [1.05, 1.05, 0]],
+        np.float32,
+    )
+    p_lo, p_hi = offs, offs + 1.0
+    proxies = ProxyTable(
+        aabb_min=jnp.asarray(p_lo), aabb_max=jnp.asarray(p_hi),
+        max_length=jnp.asarray(np.linalg.norm(p_hi - p_lo, axis=1)),
+    )
+    route_models = random_proxy_models(jax.random.PRNGKey(1), p_count)
+    base_paths = PathState.empty(n)._replace(
+        tmax=jnp.full((n,), 3.4e38, jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        pixel_index=jnp.asarray(np.arange(n, dtype=np.int32)),
+        is_valid=jnp.ones((n,), bool),
+    )
+
+    def route_t(o, d, tmx, act):
+        paths = base_paths._replace(origin=o, direction=d)
+        new_paths, env_add, _ = secondary_route(
+            scene, proxies, route_models, env, paths, jnp.int32(p_count),
+            max_hits=3, eps=1e-3, frame_buffer_size=n,
+        )
+        return new_paths.tmax
+
+    per = chained_time(route_t, ro, rd, tmx, act, short=1, long=4, reps=2)
+    row("neural_route_64k", n / per / 1e6, "Mpaths/s",
+        f"{per*1e3:.2f} ms: trace + proxy march + vis/depth NN + routing, "
+        f"{p_count} proxies")
+
     # grouped neural-proxy inference (VisNNTime analogue)
     models = random_proxy_models(jax.random.PRNGKey(0), 8)
     q = 65536
