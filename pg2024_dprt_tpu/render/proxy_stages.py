@@ -52,9 +52,15 @@ def march_proxies(
         direction,
     )
 
-    # (N, P) slab tests once; marching only moves the interval.
-    t0 = (proxies.aabb_min[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
-    t1 = (proxies.aabb_max[None, :, :] - origin[:, None, :]) * inv_dir[:, None, :]
+    # (N, P) slab tests once; marching only moves the interval.  Broadcast
+    # operands are materialized at (N, P, 3) explicitly (house rule on this
+    # backend: never leave (1,P,3)x(N,1,3) lazy-broadcast chains to the
+    # fuser — see CLAUDE.md backend quirks).
+    Bp = lambda a: jnp.broadcast_to(a[None, :, :], (n, p, 3))
+    Br = lambda a: jnp.broadcast_to(a[:, None, :], (n, p, 3))
+    o_b, i_b = Br(origin), Br(inv_dir)
+    t0 = (Bp(proxies.aabb_min) - o_b) * i_b
+    t1 = (Bp(proxies.aabb_max) - o_b) * i_b
     t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, P)
     t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
     box_ok = (
