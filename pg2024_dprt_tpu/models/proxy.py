@@ -54,19 +54,15 @@ def apply_grouped_reference(stacked_params: dict, cfg: MLPConfig, features: jnp.
     return out
 
 
-def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
-                  obj_id: jnp.ndarray, valid: jnp.ndarray,
-                  num_objects: int, compute_dtype=jnp.bfloat16,
-                  block: int = 1024) -> jnp.ndarray:
-    """Production grouped inference: MoE-style dispatch.
-
-    One sort groups queries by object into block-aligned segments (budget
-    Q + O*block is static and always sufficient — nothing is dropped), then
-    every layer is ONE batched matmul over (num_blocks, block, width) with
-    per-block weights selected by one-hot MXU gathers. Replaces the
-    reference's per-object TorchScript loop
-    (/root/reference/src/render/renderer.cpp:879-922) without its O(objects)
-    serialization."""
+def _dispatch(features: jnp.ndarray, obj_id: jnp.ndarray, valid: jnp.ndarray,
+              num_objects: int, block: int = 1024):
+    """MoE-style grouped dispatch: one stable sort groups queries by object
+    into block-aligned segments (budget Q + O*block is static and always
+    sufficient — nothing is dropped).  Returns (x (budget, F) scattered
+    features, block_obj (NB,) per-block object id, slot (Q,) sorted-query ->
+    x row (budget for invalid), perm (Q,) sort permutation, budget, NB, BQ).
+    Shared by the XLA grouped engine below and the fused Pallas kernel
+    (ops/pallas_mlp.py)."""
     q = features.shape[0]
     o_count = num_objects
     bq = min(block, max(q, 8))
@@ -94,7 +90,6 @@ def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
         jnp.zeros((budget + 1, features.shape[1]), features.dtype)
         .at[slot].set(jnp.take(features, perm, axis=0), mode="drop")[:budget]
     )
-    x = x.reshape(nb, bq, features.shape[1])
 
     ends = offsets + region
     block_obj = jnp.sum(
@@ -102,6 +97,25 @@ def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
         axis=-1,
     )
     block_obj = jnp.minimum(block_obj, o_count - 1)
+    return x, block_obj, slot, perm, budget, nb, bq
+
+
+def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
+                  obj_id: jnp.ndarray, valid: jnp.ndarray,
+                  num_objects: int, compute_dtype=jnp.bfloat16,
+                  block: int = 1024) -> jnp.ndarray:
+    """Production grouped inference: MoE-style dispatch (_dispatch), then
+    every layer is ONE batched matmul over (num_blocks, block, width) with
+    per-block weights selected by one-hot MXU gathers. Replaces the
+    reference's per-object TorchScript loop
+    (/root/reference/src/render/renderer.cpp:879-922) without its O(objects)
+    serialization."""
+    q = features.shape[0]
+    o_count = num_objects
+    x, block_obj, slot, perm, budget, nb, bq = _dispatch(
+        features, obj_id, valid, num_objects, block
+    )
+    x = x.reshape(nb, bq, features.shape[1])
     onehot = jax.nn.one_hot(block_obj, o_count, dtype=jnp.float32)  # (NB, O)
 
     def pick_w(name):

@@ -1,0 +1,153 @@
+"""Fused grouped-MLP Pallas kernel: vis + depth nets in ONE launch.
+
+The XLA grouped path (models/proxy.py:apply_grouped) is a ~20-op dependent
+chain per net; on this backend per-op dispatch latency (~0.5 ms) makes two
+196k-query sweeps cost ~21 ms when the real MXU work is < 1 ms.  This
+kernel keeps the MoE-style dispatch (one sort groups queries into
+block-aligned per-object segments — models/proxy.py:_dispatch) but runs
+EVERY layer of BOTH nets for a block in one Pallas program: the grid walks
+the query blocks, a scalar-prefetched block->object table drives the
+BlockSpec index maps that DMA each block's weight set (the embedding-lookup
+pattern; consecutive blocks usually share an object, so the pipeline
+re-uses the resident copy).
+
+Role parity: the per-object TorchScript batched forwards of the reference
+(/root/reference/src/render/renderer.cpp:879-922) — vis and depth module
+sweeps fused into one device program.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.mlp import LEAKY_SLOPE, MLPConfig
+
+_PARAM_ORDER = (
+    "enc_o_w0", "enc_o_b0", "enc_o_w1", "enc_o_b1",
+    "enc_d_w0", "enc_d_b0", "enc_d_w1", "enc_d_b1",
+)
+
+
+def _param_names(cfg: MLPConfig):
+    names = list(_PARAM_ORDER)
+    for i in range(cfg.depth):
+        names += [f"res_w{i}", f"res_b{i}"]
+    names += ["head_w0", "head_b0", "head_w1", "head_b1"]
+    return names
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+
+
+def _forward(x, refs, cfg: MLPConfig, final_activation: str):
+    """One net's forward over a (BQ, F) block; refs is a name->ref dict of
+    (1, ...) weight blocks.  bf16 dots with f32 accumulation (the
+    reference's fp16 inference mode, renderer.cpp:801)."""
+    w = lambda name: refs[name][0]                    # (in, out) bf16
+    b = lambda name: refs[name][0]                    # (1, out) f32
+
+    def dot(h, wn, bn):
+        return (
+            jnp.dot(h.astype(jnp.bfloat16), w(wn),
+                    preferred_element_type=jnp.float32)
+            + b(bn)
+        )
+
+    origin = x[:, : cfg.in_features - 2]
+    direction = x[:, cfg.in_features - 2:]
+    ho = _leaky(dot(origin, "enc_o_w0", "enc_o_b0"))
+    ho = _leaky(dot(ho, "enc_o_w1", "enc_o_b1"))
+    hd = _leaky(dot(direction, "enc_d_w0", "enc_d_b0"))
+    hd = _leaky(dot(hd, "enc_d_w1", "enc_d_b1"))
+    h = jnp.concatenate([ho, hd], axis=-1)
+    for i in range(cfg.depth):
+        h = _leaky(h + dot(h, f"res_w{i}", f"res_b{i}"))
+    h = _leaky(dot(h, "head_w0", "head_b0"))
+    out = dot(h, "head_w1", "head_b1")               # (BQ, 1)
+    if final_activation == "leaky_relu":
+        out = _leaky(out)
+    elif final_activation == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    return out
+
+
+def _pair_kernel(block_obj_ref, x_ref, *refs, cfg: MLPConfig,
+                 vis_final: str, depth_final: str, n_params: int):
+    out_ref = refs[-1]
+    names = _param_names(cfg)
+    vis_refs = dict(zip(names, refs[:n_params]))
+    depth_refs = dict(zip(names, refs[n_params:2 * n_params]))
+    x = x_ref[:]
+    out_ref[:, 0:1] = _forward(x, vis_refs, cfg, vis_final)
+    out_ref[:, 1:2] = _forward(x, depth_refs, cfg, depth_final)
+
+
+def grouped_mlp_pair(vis_params: dict, depth_params: dict,
+                     vis_cfg: MLPConfig, depth_cfg: MLPConfig,
+                     features, obj_id, valid, num_objects: int,
+                     block: int = 1024, interpret: bool = None):
+    """(vis_pred, depth_pred) for every query, each net applied with its
+    object's weights.  Same contract as two models/proxy.apply_grouped
+    calls (the CPU/test oracle), one sort + one kernel instead of two
+    ~20-op XLA chains."""
+    from ..models.proxy import _dispatch
+
+    assert (vis_cfg.width, vis_cfg.depth, vis_cfg.in_features, vis_cfg.head_hidden) == \
+           (depth_cfg.width, depth_cfg.depth, depth_cfg.in_features, depth_cfg.head_hidden), \
+        "pair kernel requires architecturally identical vis/depth nets"
+    cfg = vis_cfg
+    q = features.shape[0]
+    f = features.shape[1]
+    x, block_obj, slot, perm, budget, nb, bq = _dispatch(
+        features, obj_id, valid, num_objects, block
+    )
+
+    names = _param_names(cfg)
+
+    def prep(params):
+        arrs = []
+        for name in names:
+            a = params[name]
+            if a.ndim == 2:                       # bias (O, W) -> (O, 1, W)
+                arrs.append(a[:, None, :].astype(jnp.float32))
+            else:
+                arrs.append(a.astype(jnp.bfloat16))
+        return arrs
+
+    weight_arrays = prep(vis_params) + prep(depth_params)
+    w_specs = [
+        pl.BlockSpec((1,) + a.shape[1:], lambda i, ob: (ob[i], 0, 0),
+                     memory_space=pltpu.VMEM)
+        for a in weight_arrays
+    ]
+    x_spec = pl.BlockSpec((bq, f), lambda i, ob: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bq, 8), lambda i, ob: (i, 0), memory_space=pltpu.VMEM)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[x_spec] + w_specs,
+        out_specs=[out_spec],
+    )
+    (out,) = pl.pallas_call(
+        partial(_pair_kernel, cfg=cfg, vis_final=vis_cfg.final_activation,
+                depth_final=depth_cfg.final_activation, n_params=len(names)),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((budget, 8), jnp.float32)],
+        interpret=interpret,
+    )(block_obj, x, *weight_arrays)
+
+    # unscatter: sorted query i lives at slot[i] (invalid -> row `budget`)
+    flat = jnp.concatenate([out[:, 0:2], jnp.zeros((1, 2), out.dtype)], axis=0)
+    pred_sorted = jnp.take(flat, jnp.minimum(slot, budget), axis=0)
+    res = jnp.zeros((q, 2), jnp.float32).at[perm].set(pred_sorted)
+    res = jnp.where(valid[:, None], res, 0.0)
+    return res[:, 0], res[:, 1]

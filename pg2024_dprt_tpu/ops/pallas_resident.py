@@ -562,6 +562,13 @@ def trace_resident(
 
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    # the HBM kernel's per-cluster DMA slices the table's lane dim, which
+    # Mosaic requires 128-aligned; pad with degenerate triangles (zero
+    # normal -> rejected in-kernel), epilogue remaps the winner slot
+    c_k = c
+    if hbm_table and c % 128:
+        c_k = -(-c // 128) * 128
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
     if exact_cull is None:
         # sorted wavefronts are the scattered ones (engine policy): per-ray
         # cull pays for itself; unsorted camera blocks keep the cheap
@@ -582,14 +589,14 @@ def trace_resident(
     if hbm_table:
         kern = _occl_kernel_hbm if any_hit else _kernel_hbm
         scratch = [
-            pltpu.VMEM((2, 12, c), jnp.float32),
+            pltpu.VMEM((2, 12, c_k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kern = _occl_kernel if any_hit else _kernel
         scratch = []
     (packed_out,) = pl.pallas_call(
-        partial(kern, c=c, tm=tm, k=k, exact=exact_cull),
+        partial(kern, c=c_k, tm=tm, k=k, exact=exact_cull),
         grid=(tiles,),
         in_specs=[ray_spec, boxes_spec, table_spec],
         out_specs=[out_spec],
@@ -608,6 +615,12 @@ def trace_resident(
         return occ, dropped
 
     slot = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
+    if c_k != c:
+        # un-pad: kernel slots index the lane-padded table (padding lanes
+        # never win: zero normal -> det 0 -> rejected)
+        slot = jnp.where(
+            slot >= 0, (slot // c_k) * c + jnp.minimum(slot % c_k, c - 1), slot
+        )
     is_hit = (slot >= 0) & active[:n]
 
     # XLA refinement: recompute exact t/u/v for each ray's winning triangle

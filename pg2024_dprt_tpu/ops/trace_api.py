@@ -3,12 +3,12 @@
   * "stackless" — ops/traversal.py: per-ray threaded-BVH stepping. Exact
     oracle; fast on CPU, pathological on TPU (gather-per-step).
   * "cluster"   — ops/cluster_tracer.py: XLA bulk cull/dispatch/intersect.
-  * "resident"  — ops/pallas_resident.py: VMEM-resident-table kernel with
-    in-kernel dispatch (TPU production path for scenes whose cluster table
-    fits VMEM, ~100k tris).
-  * "pallas"    — ops/pallas_tracer.py: streaming tile tracer (TPU
-    production path for larger scenes).
-  * "auto"      — resident/pallas on TPU by table size, stackless elsewhere.
+  * "resident"  — ops/pallas_resident.py: resident-table kernel with
+    in-kernel dispatch (the TPU production path; tables above ~8 MiB stream
+    from HBM through a double-buffered in-kernel DMA).
+  * "pallas"    — ops/pallas_tracer.py: round-1 streaming tile tracer
+    (legacy/study; superseded by the resident family's HBM mode).
+  * "auto"      — resident on accelerators, stackless on CPU.
 
 No silent truncation (mirrors the reference's never-drop anyhit semantics,
 /root/reference/optix/kernel.cu:349-355): the resident path has no static
@@ -35,12 +35,15 @@ RESIDENT_TABLE_LIMIT = 8 * 2**20
 
 def resolve_tracer(name: str, scene=None) -> str:
     if name == "auto":
-        # any accelerator backend (tpu / axon tunnel) -> pallas family
+        # any accelerator backend (tpu / axon tunnel) -> the resident-table
+        # kernel family; tables above VMEM budget stream from HBM inside the
+        # kernel (trace_resident hbm_table auto).  The round-1 streaming
+        # pair tracer remains selectable as "pallas" (study/legacy: its
+        # tile-interval cull misses measure-zero corner-edge rays the
+        # resident family resolves — see artifacts/verify_tpu.json).
         if jax.default_backend() == "cpu":
             return "stackless"
-        if scene is not None and resident_table_bytes(scene) <= RESIDENT_TABLE_LIMIT:
-            return "resident"
-        return "pallas"
+        return "resident"
     return name
 
 

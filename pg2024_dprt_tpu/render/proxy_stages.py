@@ -30,7 +30,7 @@ from ..scene.geometry import DeviceScene, ProxyTable
 _F32_MAX = jnp.float32(3.402823466e38)
 
 
-def march_proxies(
+def march_proxies_xla(
     proxies: ProxyTable,
     origin: jnp.ndarray,     # (N,3)
     direction: jnp.ndarray,  # (N,3)
@@ -149,6 +149,51 @@ def march_proxies(
     )
 
 
+def march_proxies(
+    proxies: ProxyTable,
+    origin, direction, t_cap, active, my_node,
+    max_hits: int,
+    eps: float,
+) -> NNQuery:
+    """Backend dispatch for the proxy march: the Pallas kernel on
+    accelerators (ops/pallas_march.py — the XLA formulation is ~15x slower
+    whenever it shares a jit module with a Mosaic tracer kernel, see that
+    module's docstring), the XLA reference implementation on CPU (also the
+    test oracle)."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return march_proxies_xla(proxies, origin, direction, t_cap, active,
+                                 my_node, max_hits, eps)
+    from ..ops.pallas_march import march_proxies_pallas
+
+    return march_proxies_pallas(proxies, origin, direction, t_cap, active,
+                                my_node, max_hits, eps)
+
+
+def _nn_pair(models: ProxyModels, feats, obj_id, valid):
+    """vis + depth inference for one query batch: the fused Pallas pair
+    kernel on accelerators (one dispatch + one launch, ops/pallas_mlp.py),
+    two XLA grouped sweeps on CPU / mismatched architectures (the oracle).
+    Depth is computed wherever vis is; consumers mask inside-hits
+    themselves (frame_buffer_update.cu:31-72 reads depth only when
+    isInside)."""
+    c_v, c_d = models.vis_cfg, models.depth_cfg
+    same_arch = (c_v.width, c_v.depth, c_v.in_features, c_v.head_hidden) == \
+                (c_d.width, c_d.depth, c_d.in_features, c_d.head_hidden)
+    if jax.default_backend() != "cpu" and same_arch:
+        from ..ops.pallas_mlp import grouped_mlp_pair
+
+        return grouped_mlp_pair(models.vis_params, models.depth_params,
+                                c_v, c_d, feats, obj_id, valid,
+                                models.num_objects)
+    vis = apply_grouped(models.vis_params, c_v, feats, obj_id, valid,
+                        models.num_objects)
+    depth = apply_grouped(models.depth_params, c_d, feats, obj_id, valid,
+                          models.num_objects)
+    return vis, depth
+
+
 def secondary_route(
     scene: DeviceScene,
     proxies: ProxyTable,
@@ -176,14 +221,7 @@ def secondary_route(
         proxies, paths.origin, paths.direction, local_t, live, my_id, max_hits, eps
     )
 
-    vis = apply_grouped(
-        models.vis_params, models.vis_cfg, q.features,
-        q.aabb_id, q.is_valid, models.num_objects,
-    )
-    depth = apply_grouped(
-        models.depth_params, models.depth_cfg, q.features,
-        q.aabb_id, q.is_valid, models.num_objects,
-    )
+    vis, depth = _nn_pair(models, q.features, q.aabb_id, q.is_valid)
 
     # tMaxFloatTypeKernel (frame_buffer_update.cu:222-257)
     pred_hit = q.is_valid & (vis > 0.5)
@@ -277,15 +315,10 @@ def shadow_direct_light_nn(
         eps,
     )
 
-    vis = apply_grouped(
-        models.vis_params, models.vis_cfg, q.features,
-        q.aabb_id, q.is_valid, models.num_objects,
-    )
-    # depth nets only consulted for inside-hits (renderer.cpp:1381-1391)
-    depth = apply_grouped(
-        models.depth_params, models.depth_cfg, q.features,
-        q.aabb_id, q.is_valid & q.is_inside, models.num_objects,
-    )
+    # depth nets only consulted for inside-hits (renderer.cpp:1381-1391);
+    # the fused pair computes depth wherever vis is and the consumer below
+    # masks by isInside, matching the reference's read pattern
+    vis, depth = _nn_pair(models, q.features, q.aabb_id, q.is_valid)
 
     # shadowOcclusionFloatTypeKernel + predDepthUpdateKernel
     # (frame_buffer_update.cu:31-72, 172-192)

@@ -38,6 +38,10 @@ def compare(name, scene, o, d, tmax, act, results):
 
     for kern, fn in (
         ("resident", lambda: trace_resident(scene, o, d, 1e-3, tmax, act)),
+        ("resident_sorted_exactcull", lambda: trace_resident(
+            scene, o, d, 1e-3, tmax, act, sort_rays=True)),
+        ("resident_hbm", lambda: trace_resident(
+            scene, o, d, 1e-3, tmax, act, hbm_table=True)),
         ("streaming", lambda: trace_pallas(scene, o, d, 1e-3, tmax, act,
                                            tile_rays=256, region=64)),
     ):
@@ -57,6 +61,12 @@ def compare(name, scene, o, d, tmax, act, results):
             "hits_oracle": int(want.is_hit.sum()),
             "is_hit_match": hit_match, "t_match": t_ok,
             "tri_or_tie_match": tie_ok, "dropped": int(dropped),
+            # the legacy streaming tracer is informational only: raw calls
+            # carry a static pair budget (production wraps them in the
+            # escalating retry) and its tile-interval cull misses
+            # measure-zero corner-edge ties — it is no longer an "auto"
+            # selection (ops/trace_api.py:resolve_tracer)
+            "gating": kern != "streaming",
             "pass": hit_match == n and t_ok == int(both.sum())
                     and tie_ok == int(both.sum()) and int(dropped) == 0,
         }
@@ -88,8 +98,55 @@ def main():
     act = jnp.asarray(rng.rand(n) > 0.2)
     compare("soup_incoherent", scene2, ro, rd, tmax, act, results)
 
+    # any-hit kernels vs the oracle's is_hit
+    occ, dr = trace_resident(scene2, ro, rd, 1e-3, tmax, act, any_hit=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        want = traverse_bvh(jax.device_put(scene2, cpu), jax.device_put(ro, cpu),
+                            jax.device_put(rd, cpu), 1e-3,
+                            jax.device_put(tmax, cpu), jax.device_put(act, cpu))
+    occ_match = int((np.asarray(occ) == np.asarray(want.is_hit)).sum())
+    row = {"scene": "soup_incoherent", "kernel": "resident_anyhit", "rays": n,
+           "is_hit_match": occ_match, "dropped": int(dr),
+           "pass": occ_match == n and int(dr) == 0}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
+    # proxy-march kernel vs the XLA reference implementation (on CPU)
+    from pg2024_dprt_tpu.ops.pallas_march import march_proxies_pallas
+    from pg2024_dprt_tpu.render.proxy_stages import march_proxies_xla
+    from pg2024_dprt_tpu.scene.geometry import ProxyTable
+
+    prng = np.random.RandomState(11)
+    pl_ = prng.rand(8, 3).astype(np.float32) * 3.0 - 1.0
+    ph_ = pl_ + 0.3 + prng.rand(8, 3).astype(np.float32) * 1.2
+    proxies = ProxyTable(aabb_min=jnp.asarray(pl_), aabb_max=jnp.asarray(ph_),
+                         max_length=jnp.asarray(np.linalg.norm(ph_ - pl_, axis=1)))
+    mo = jnp.asarray(prng.rand(2048, 3).astype(np.float32) * 4.0 - 1.5)
+    md = prng.randn(2048, 3).astype(np.float32)
+    md = jnp.asarray(md / np.linalg.norm(md, axis=1, keepdims=True))
+    mcap = jnp.full((2048,), 3.4e38, jnp.float32)
+    mact = jnp.ones((2048,), bool)
+    got_q = march_proxies_pallas(proxies, mo, md, mcap, mact, jnp.int32(8), 3, 1e-3)
+    with jax.default_device(cpu):
+        put = lambda a: jax.device_put(a, cpu)
+        want_q = march_proxies_xla(jax.tree.map(put, proxies), put(mo), put(md),
+                                   put(mcap), put(mact), jnp.int32(8), 3, 1e-3)
+    def hitset(q):
+        v = np.asarray(q.is_valid).reshape(2048, 3)
+        a = np.asarray(q.aabb_id).reshape(2048, 3)
+        t = np.asarray(q.aabb_t).reshape(2048, 3)
+        i = np.asarray(q.is_inside).reshape(2048, 3)
+        return [sorted((a[r, k], bool(i[r, k]), round(float(t[r, k]), 4))
+                       for k in range(3) if v[r, k]) for r in range(2048)]
+    m_match = sum(x == y for x, y in zip(hitset(got_q), hitset(want_q)))
+    row = {"scene": "proxy_march", "kernel": "pallas_march", "rays": 2048,
+           "hit_set_match": m_match, "pass": m_match == 2048}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
     os.makedirs("artifacts", exist_ok=True)
-    ok = all(r["pass"] for r in results)
+    ok = all(r["pass"] for r in results if r.get("gating", True))
     with open("artifacts/verify_tpu.json", "w") as f:
         json.dump({"backend": jax.default_backend(), "pass": ok, "rows": results}, f, indent=1)
     print("VERIFY_TPU", "PASS" if ok else "FAIL")

@@ -134,3 +134,17 @@ def test_resident_hbm_any_hit():
     assert int(dropped) == 0
     want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
+
+
+def test_resident_hbm_unaligned_cluster_width():
+    """tris_per_cluster not 128-aligned: the HBM kernel pads table lanes
+    (Mosaic DMA alignment) and the epilogue remaps winner slots."""
+    meshes, _ = cornell_box()
+    scene = device_scene_from_meshes(meshes, tris_per_cluster=16)
+    n = 512
+    rng = np.random.RandomState(60)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
+           tile_rays=128, hbm_table=True)
