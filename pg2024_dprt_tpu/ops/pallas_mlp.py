@@ -151,3 +151,93 @@ def grouped_mlp_pair(vis_params: dict, depth_params: dict,
     res = jnp.zeros((q, 2), jnp.float32).at[perm].set(pred_sorted)
     res = jnp.where(valid[:, None], res, 0.0)
     return res[:, 0], res[:, 1]
+
+
+def _dense_kernel(x_ref, obj_ref, *refs, cfg: MLPConfig, o_count: int,
+                  vis_final: str, depth_final: str, n_params: int):
+    """All-objects dense variant: run BOTH nets for EVERY object on the
+    block and one-hot select per query.  O x the MXU FLOPs of the dispatched
+    kernel, but the block needs no dispatch at all — queries stay in ray
+    order, so the surrounding XLA graph has no sort / scatter / unscatter
+    (each a ~1 ms launch on this backend; see module docstring)."""
+    out_ref = refs[-1]
+    names = _param_names(cfg)
+    x = x_ref[:]
+    obj = obj_ref[:]                                   # (BQ, 1) i32
+    vis = jnp.zeros(obj.shape, jnp.float32)
+    depth = jnp.zeros(obj.shape, jnp.float32)
+    for o in range(o_count):
+        vrefs = {nm: refs[o * 2 * n_params + i]
+                 for i, nm in enumerate(names)}
+        drefs = {nm: refs[o * 2 * n_params + n_params + i]
+                 for i, nm in enumerate(names)}
+        sel = obj == o
+        vis = jnp.where(sel, _forward(x, vrefs, cfg, vis_final), vis)
+        depth = jnp.where(sel, _forward(x, drefs, cfg, depth_final), depth)
+    out_ref[:, 0:1] = vis
+    out_ref[:, 1:2] = depth
+
+
+# dense path weight budget: all objects' bf16 weights must stay VMEM-resident
+DENSE_WEIGHT_LIMIT = 10 * 2**20
+
+
+def _param_bytes(params) -> int:
+    import numpy as _np
+
+    return sum(int(_np.prod(a.shape)) * 2 for a in params.values())
+
+
+def grouped_mlp_dense(vis_params: dict, depth_params: dict,
+                      vis_cfg: MLPConfig, depth_cfg: MLPConfig,
+                      features, obj_id, valid, num_objects: int,
+                      block: int = 512, interpret: bool = None):
+    """Dispatch-free (vis, depth) inference: every object's weights resident
+    in VMEM, each query block computes all objects and selects.  Correct for
+    any object mix; preferred below DENSE_WEIGHT_LIMIT total weights."""
+    q = features.shape[0]
+    f = features.shape[1]
+    cfg = vis_cfg
+    bq = min(block, max(q, 8))
+    pad = (-q) % bq
+    qp = q + pad
+
+    x = jnp.pad(features, ((0, pad), (0, 0)))
+    obj = jnp.where(valid, obj_id.astype(jnp.int32), -1)
+    obj = jnp.pad(obj, (0, pad), constant_values=-1)[:, None]
+
+    # leading unit axis so the shared _forward's ref[0] yields (in, out) /
+    # (1, W) exactly as in the dispatched pair kernel
+    names = _param_names(cfg)
+    weight_arrays = []
+    for o in range(num_objects):
+        for params in (vis_params, depth_params):
+            for nm in names:
+                a = params[nm][o]
+                if a.ndim == 1:                        # bias (W,) -> (1, 1, W)
+                    weight_arrays.append(a[None, None, :].astype(jnp.float32))
+                else:                                  # weight -> (1, in, out)
+                    weight_arrays.append(a[None].astype(jnp.bfloat16))
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays]
+    x_spec = pl.BlockSpec((bq, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    obj_spec = pl.BlockSpec((bq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bq, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    (out,) = pl.pallas_call(
+        partial(_dense_kernel, cfg=cfg, o_count=num_objects,
+                vis_final=vis_cfg.final_activation,
+                depth_final=depth_cfg.final_activation, n_params=len(names)),
+        grid=(qp // bq,),
+        in_specs=[x_spec, obj_spec] + w_specs,
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((qp, 8), jnp.float32)],
+        interpret=interpret,
+    )(x, obj, *weight_arrays)
+
+    vis = jnp.where(valid, out[:q, 0], 0.0)
+    depth = jnp.where(valid, out[:q, 1], 0.0)
+    return vis, depth

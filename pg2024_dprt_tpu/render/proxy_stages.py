@@ -182,8 +182,18 @@ def _nn_pair(models: ProxyModels, feats, obj_id, valid):
     same_arch = (c_v.width, c_v.depth, c_v.in_features, c_v.head_hidden) == \
                 (c_d.width, c_d.depth, c_d.in_features, c_d.head_hidden)
     if jax.default_backend() != "cpu" and same_arch:
-        from ..ops.pallas_mlp import grouped_mlp_pair
+        from ..ops.pallas_mlp import (
+            DENSE_WEIGHT_LIMIT, _param_bytes, grouped_mlp_dense,
+            grouped_mlp_pair,
+        )
 
+        if (_param_bytes(models.vis_params)
+                + _param_bytes(models.depth_params)) <= DENSE_WEIGHT_LIMIT:
+            # dispatch-free dense kernel: O x the MXU FLOPs (cheap) for a
+            # sort/scatter-free surrounding graph (the expensive part here)
+            return grouped_mlp_dense(models.vis_params, models.depth_params,
+                                     c_v, c_d, feats, obj_id, valid,
+                                     models.num_objects)
         return grouped_mlp_pair(models.vis_params, models.depth_params,
                                 c_v, c_d, feats, obj_id, valid,
                                 models.num_objects)
@@ -233,12 +243,20 @@ def secondary_route(
     )
     pred_t = jnp.where(pred_hit & (pred_t > jnp.finfo(jnp.float32).eps), pred_t, _F32_MAX)
 
-    # targetNodeKernelFloatType (frame_buffer_update.cu:259-324)
-    pred_t2 = pred_t.reshape(n, max_hits)
-    node2 = q.aabb_id.reshape(n, max_hits)
-    best_k = jnp.argmin(pred_t2, axis=-1)
-    best_pred_t = jnp.take_along_axis(pred_t2, best_k[:, None], axis=-1)[:, 0]
-    best_pred_node = jnp.take_along_axis(node2, best_k[:, None], axis=-1)[:, 0]
+    # targetNodeKernelFloatType (frame_buffer_update.cu:259-324).
+    # max_hits is static, so the per-ray argmin over hits unrolls into a
+    # strided-slice min chain of 1-D arrays — (n, max_hits) 2-D forms (tiny
+    # lane dim) bait XLA's layout assignment into transpose-copy storms
+    # next to the Pallas kernels (see ops/pallas_march.py docstring).
+    best_pred_t = pred_t[0::max_hits]
+    best_pred_node = q.aabb_id[0::max_hits]
+    any_query = q.is_valid[0::max_hits]
+    for k in range(1, max_hits):
+        t_k = pred_t[k::max_hits]
+        better = t_k < best_pred_t
+        best_pred_node = jnp.where(better, q.aabb_id[k::max_hits], best_pred_node)
+        best_pred_t = jnp.where(better, t_k, best_pred_t)
+        any_query = any_query | q.is_valid[k::max_hits]
 
     use_pred = live & (best_pred_t < local_t)
     settled_node = jnp.where(
@@ -249,7 +267,6 @@ def secondary_route(
     has_node = settled_node >= 0
     # env fallback: no local hit, no proxy hit at all -> environment + kill
     # (secondary_ray_kernel.cu:355-362)
-    any_query = q.is_valid.reshape(n, max_hits).any(axis=-1)
     env_miss = live & (~local_hit) & (~any_query) & (~has_node)
     env_radiance = env.sample(paths.direction)
     env_add = jax.ops.segment_sum(
@@ -326,7 +343,12 @@ def shadow_direct_light_nn(
         (~q.is_inside) | (depth <= q.normalized_t)
     )
     n = shadow_paths.capacity
-    max_occ = occluded_q.reshape(n, max_hits).any(axis=-1).astype(jnp.float32)
+    # strided 1-D max over the static hit count (layout-safe form, see the
+    # targetNode comment in secondary_route)
+    max_occ = occluded_q[0::max_hits]
+    for k in range(1, max_hits):
+        max_occ = max_occ | occluded_q[k::max_hits]
+    max_occ = max_occ.astype(jnp.float32)
 
     # contributionKernelFloatType (frame_buffer_update.cu:95-127)
     contrib = jnp.where(
