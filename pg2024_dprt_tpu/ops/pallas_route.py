@@ -1,0 +1,486 @@
+"""Fused neural-routing megakernel: trace + proxy march + vis/depth nets +
+prediction consumption in ONE Pallas program.
+
+Why: on this backend cost is per-LAUNCH, and a module mixing Pallas kernels
+with rich XLA stages collects ~130 layout/MSA copies (secondary_route
+measured ~110 ms at 64k paths with every stage individually kernelized —
+see CLAUDE.md).  The only structural fix is to keep the whole per-ray
+pipeline inside one kernel so the XLA surface shrinks to path bookkeeping.
+
+Per ray tile the kernel runs:
+  1. closest-hit trace — the resident-table loop of ops/pallas_resident.py
+     (exact per-ray cull, front-to-back selection; VMEM-resident table for
+     small scenes, double-buffered HBM cluster streaming above the limit),
+     extended to carry the EXACT winner t in a VMEM scratch (one extra
+     one-hot reduce per cluster) since there is no XLA refinement epilogue;
+  2. proxy-AABB march — ops/pallas_march.py semantics with
+     t_cap = local hit t (or the caller's uncapped tmax on miss);
+  3. vis + depth inference — presence-gated stacked-weight form: all
+     objects' weights VMEM-resident, but each tile only runs the nets of
+     objects its march actually hit (`pl.when` skip — a Morton-sorted
+     wavefront touches 1-3 proxies per tile, so this is ~p x cheaper than
+     the dense all-objects loop at production width);
+  4. consumption — tMax/targetNode/env-miss decisions
+     (render/proxy_stages.py consumption block; reference
+     frame_buffer_update.cu:222-324).
+
+Secondary wavefronts are scattered by construction, so the wrapper
+Morton-sorts rays by default (engine sort policy for bounce >= 1) and
+inverse-permutes the per-ray decisions on the way out.
+
+`my_id` stays traced (shard_map axis_index): own-partition exclusion rides
+the proxy `allowed` row built in XLA, and "settle local" is emitted as the
+sentinel node -2 that the XLA epilogue rewrites to my_id.
+
+Role parity: the reference's secondaryRayModuleBasedNN pipeline
+(/root/reference/src/render/renderer.cpp:1407-1452) as one device program.
+Scope: untextured (no-cutout) scenes, architecturally identical vis/depth
+nets, stacked weights within the VMEM budget — the composed per-stage path
+remains for everything else (render/proxy_stages.py dispatches).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.mlp import LEAKY_SLOPE, MLPConfig
+from .pallas_mlp import _param_names
+from .pallas_resident import (
+    VMEM_TABLE_LIMIT, _cluster_enters, _lane_bits, _mt_body, _next_cluster,
+    _selection_keys, resident_table_bytes,
+)
+from .pallas_tracer import _morton_key
+
+_PI = 3.14159265358979
+_FMAX = 3.402823466e38
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+
+
+def _forward_stacked(x, refs, o: int, cfg: MLPConfig, final_activation: str):
+    """One net's forward over (Q, F) rows using object o's slice of the
+    stacked (O, ...) weight refs (o is a static Python int)."""
+    def dot(h, wn, bn):
+        w = refs[wn][o]                                  # (in, out) bf16
+        b = refs[bn][o:o + 1]                            # (1, out) f32
+        return (
+            jnp.dot(h.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+            + b
+        )
+
+    origin = x[:, : cfg.in_features - 2]
+    direction = x[:, cfg.in_features - 2:]
+    ho = _leaky(dot(origin, "enc_o_w0", "enc_o_b0"))
+    ho = _leaky(dot(ho, "enc_o_w1", "enc_o_b1"))
+    hd = _leaky(dot(direction, "enc_d_w0", "enc_d_b0"))
+    hd = _leaky(dot(hd, "enc_d_w1", "enc_d_b1"))
+    h = jnp.concatenate([ho, hd], axis=-1)
+    for i in range(cfg.depth):
+        h = _leaky(h + dot(h, f"res_w{i}", f"res_b{i}"))
+    h = _leaky(dot(h, "head_w0", "head_b0"))
+    out = dot(h, "head_w1", "head_b1")
+    if final_activation == "leaky_relu":
+        out = _leaky(out)
+    elif final_activation == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    return out                                            # (Q, 1)
+
+
+def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, *, c, tm, k,
+                   hbm: bool):
+    """pallas_resident's selection loop (_kernel / _kernel_hbm), additionally
+    tracking the exact winner t per ray in a VMEM scratch (a loop-carried
+    value hits a Mosaic vector-layout legalization conflict: the init is a
+    lane-offset column slice, the body value a reduce output).  Returns
+    (exact_t|tmax_eff (TM,1), hit (TM,1))."""
+    tmax = rays[:, 7:8]
+    lb = _lane_bits(c)
+    cb = _lane_bits(k)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+
+    en0 = _cluster_enters(rays, boxes, k, tm, exact=True)
+    keys0 = _selection_keys(en0, k, cb)
+    kb0 = (
+        jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+        & ~lane_mask
+    ) | lane_mask
+    worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
+    sel0, keys1 = _next_cluster(keys0)
+
+    if hbm:
+        def dma(idx, slot):
+            safe = jnp.minimum(idx, k - 1)
+            return pltpu.make_async_copy(
+                table_ref.at[safe], tbuf.at[slot], sem.at[slot])
+
+        @pl.when((sel0 & ~cmask) < worst0)
+        def _():
+            dma(sel0 & cmask, 0).start()
+
+    t_scr[:] = jnp.broadcast_to(tmax, (tm, 1))
+
+    def cond(carry):
+        j, sel, keys, s_kb, worst = carry
+        return (sel & ~cmask) < worst
+
+    def body(carry):
+        j, sel, keys, s_kb, worst = carry
+        sel2, keys2 = _next_cluster(keys)
+        worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+        idx = sel & cmask
+        if hbm:
+            slot = jax.lax.rem(j, 2)
+            dma(sel2 & cmask, 1 - slot).start()
+            dma(idx, slot).wait()
+            tri = tbuf[slot]
+        else:
+            tri = table_ref[idx]
+        t, tri_ok = _mt_body(rays, tri, c, tm)
+        tb = jax.lax.bitcast_convert_type(
+            jnp.where(tri_ok, jnp.maximum(t, 0.0), _FMAX), jnp.int32
+        )
+        key = (tb & ~lane_mask) | lanes
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        improved = kmin < s_kb
+        win = (lanes == jnp.broadcast_to(kmin & lane_mask, (tm, c))) & tri_ok
+        t_exact = jnp.min(jnp.where(win, t, _FMAX), axis=1, keepdims=True)
+        t_scr[:] = jnp.where(improved, t_exact, t_scr[:])
+        s_kb = jnp.where(improved, kmin, s_kb)
+        return j + 1, sel2, keys2, s_kb, worst2
+
+    j_end, _, _, s_kb, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), sel0, keys1, kb0, worst0)
+    )
+
+    if hbm:
+        @pl.when(j_end > 0)
+        def _():
+            dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+
+    # any improvement strictly reduced the packed key below its tmax init
+    return t_scr[:], s_kb < kb0
+
+
+def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
+                  *rest, c: int, tm: int, k: int, p: int, max_hits: int,
+                  eps: float, cfg: MLPConfig, vis_final: str,
+                  depth_final: str, n_params: int, hbm: bool):
+    """rays cols (16): [o(3), d(3), tmin|FMAX, tmax_eff|0, phi, theta,
+    inv(3), act, tmax_raw, pad]; pboxes rows (8, P): [min(3), max(3),
+    allowed, pad]; pdiag (1, P): proxy max_length.  out cols (8):
+    [settled(-2=local), new_t, has_node, env_miss, no_route, local_hit,
+    0, 0]."""
+    names = _param_names(cfg)
+    vis_refs = dict(zip(names, rest[:n_params]))
+    depth_refs = dict(zip(names, rest[n_params:2 * n_params]))
+    out_ref = rest[2 * n_params]
+    scr = rest[2 * n_params + 1:]
+    if hbm:
+        tbuf, sem, t_scr, nn_scr = scr
+    else:
+        tbuf = sem = None
+        t_scr, nn_scr = scr
+
+    rays = rays_ref[:]
+    act = rays[:, 13:14] > 0.5
+    tmax_raw = rays[:, 14:15]
+
+    # ---- 1. local closest hit (tmax_eff is scene-exit capped) ----
+    local_t, local_hit = _trace_exact_t(
+        rays, boxes_ref[:], table_ref, tbuf, sem, t_scr, c=c, tm=tm, k=k,
+        hbm=hbm)
+    local_hit = local_hit & act
+    # proxies live OUTSIDE the local scene: the march/routing bound on a
+    # local miss is the caller's UNCAPPED tmax, not the scene-exit cap
+    cmp_t = jnp.where(local_hit, local_t, tmax_raw)
+
+    # ---- 2. proxy march (ops/pallas_march.py semantics) ----
+    pboxes = pboxes_ref[:]
+    pdiag = pdiag_ref[:]
+    cb = _lane_bits(p)
+    cmask = jnp.int32((1 << cb) - 1)
+    SAT = jnp.int32(0x7FFFFFFF)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, p), 1)
+    B = lambda a: jnp.broadcast_to(a, (tm, p))
+    phi = rays[:, 8:9]
+    theta = rays[:, 9:10]
+
+    te = jnp.full((tm, p), -_FMAX)
+    tx = jnp.full((tm, p), _FMAX)
+    for ax in range(3):
+        o = B(rays[:, ax:ax + 1])
+        iv = B(rays[:, 10 + ax:11 + ax])
+        t0 = (B(pboxes[ax:ax + 1, :]) - o) * iv
+        t1 = (B(pboxes[3 + ax:4 + ax, :]) - o) * iv
+        te = jnp.maximum(te, jnp.minimum(t0, t1))
+        tx = jnp.minimum(tx, jnp.maximum(t0, t1))
+    box_ok = (B(pboxes[6:7, :]) > 0.0) & B(act) & (tx >= te)
+
+    t_lo = jnp.zeros((tm, 1), jnp.float32)
+    seen = jnp.zeros((tm, 1), jnp.int32)
+    hits_feat = []          # per hit: (x (tm,5), aabb|-1, inside, t, ml)
+    for _ in range(max_hits):
+        lo = t_lo + eps
+        inside = te <= B(lo)
+        cand = jnp.where(inside, tx, te)
+        ok = box_ok & (cand > B(lo)) & (cand < B(cmp_t))
+        kb = jax.lax.bitcast_convert_type(jnp.maximum(cand, 0.0), jnp.int32)
+        key = jnp.where(ok, (kb & ~cmask) | lanes, SAT)
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        found = kmin < SAT
+        best = kmin & cmask
+        oh = ((lanes == B(best)) & ok).astype(jnp.float32)
+        best_t = jnp.sum(oh * cand, axis=1, keepdims=True)
+        best_inside = jnp.sum(oh * inside.astype(jnp.float32), axis=1,
+                              keepdims=True) > 0.5
+        dup = best_inside & (((seen >> best) & 1) > 0)
+        record = found & (~dup)
+
+        phi_n = jnp.where(best_inside, phi + _PI, phi)
+        phi_n = jnp.where(phi_n >= 2.0 * _PI, phi_n - 2.0 * _PI, phi_n)
+        theta_n = jnp.where(best_inside, _PI - theta, theta)
+        cols = []
+        for ax in range(3):
+            bmin = jnp.sum(oh * B(pboxes[ax:ax + 1, :]), axis=1, keepdims=True)
+            bmax = jnp.sum(oh * B(pboxes[3 + ax:4 + ax, :]), axis=1, keepdims=True)
+            span = jnp.maximum(bmax - bmin, 1e-12)
+            point = rays[:, ax:ax + 1] + best_t * rays[:, 3 + ax:4 + ax]
+            cols.append((point - bmin) / span)
+        x = jnp.concatenate(
+            cols + [phi_n / (2.0 * _PI), theta_n / _PI], axis=-1)   # (tm, 5)
+        x = jnp.where(jnp.broadcast_to(record, (tm, 5)), x, 0.0)
+        ml = jnp.sum(oh * B(pdiag), axis=1, keepdims=True)
+        hits_feat.append(
+            (x, jnp.where(record, best, -1), best_inside & record,
+             best_t, ml)
+        )
+        seen = jnp.where(record, seen | (jnp.int32(1) << best), seen)
+        t_lo = jnp.where(found, best_t, t_lo)
+
+    # ---- 3. presence-gated vis/depth inference (all hits batched) ----
+    xs = jnp.concatenate([h[0] for h in hits_feat], axis=0)      # (mh*tm, 5)
+    objs = jnp.concatenate([h[1] for h in hits_feat], axis=0)    # (mh*tm, 1)
+    nn_scr[:] = jnp.zeros((max_hits * tm, 2), jnp.float32)
+    for o in range(p):
+        sel = objs == o
+        # a Morton-sorted tile's march touches only a few proxies: skip the
+        # other objects' nets entirely (value flows through the scratch)
+        @pl.when(jnp.any(sel))
+        def _(o=o, sel=sel):
+            fv = _forward_stacked(xs, vis_refs, o, cfg, vis_final)
+            fd = _forward_stacked(xs, depth_refs, o, cfg, depth_final)
+            nn_scr[:, 0:1] = jnp.where(sel, fv, nn_scr[:, 0:1])
+            nn_scr[:, 1:2] = jnp.where(sel, fd, nn_scr[:, 1:2])
+    vis = nn_scr[:, 0:1]
+    depth = nn_scr[:, 1:2]
+
+    # ---- 4. consumption (frame_buffer_update.cu:222-324) ----
+    best_pred_t = jnp.full((tm, 1), _FMAX)
+    best_pred_node = jnp.full((tm, 1), -1, jnp.int32)
+    any_query = jnp.zeros((tm, 1), bool)
+    for h in range(max_hits):
+        _, aabb_h, inside_h, t_h, ml_h = hits_feat[h]
+        valid_h = aabb_h >= 0
+        vis_h = vis[h * tm:(h + 1) * tm]
+        dep_h = depth[h * tm:(h + 1) * tm]
+        pred_hit = valid_h & (vis_h > 0.5)
+        pred_len = ml_h * dep_h                           # t_ratio == 1
+        pred_t = jnp.where(
+            inside_h,
+            jnp.where(pred_len > t_h, 0.0, t_h - pred_len),
+            t_h + pred_len,
+        )
+        pred_t = jnp.where(pred_hit & (pred_t > 1.1920929e-7), pred_t, _FMAX)
+        better = pred_t < best_pred_t
+        best_pred_node = jnp.where(better, aabb_h, best_pred_node)
+        best_pred_t = jnp.where(better, pred_t, best_pred_t)
+        any_query = any_query | valid_h
+    use_pred = act & (best_pred_t < cmp_t)
+    settled = jnp.where(use_pred, best_pred_node,
+                        jnp.where(local_hit, jnp.int32(-2), jnp.int32(-1)))
+    new_t = jnp.where(use_pred, best_pred_t, cmp_t)
+    has_node = settled != -1                              # -2 == local
+    env_miss = act & (~local_hit) & (~any_query) & (~has_node)
+    no_route = act & (~has_node) & (~env_miss)
+
+    out_ref[:, 0:1] = settled.astype(jnp.float32)
+    out_ref[:, 1:2] = jnp.where(has_node, new_t, 0.0)
+    out_ref[:, 2:3] = has_node.astype(jnp.float32)
+    out_ref[:, 3:4] = env_miss.astype(jnp.float32)
+    out_ref[:, 4:5] = no_route.astype(jnp.float32)
+    out_ref[:, 5:6] = local_hit.astype(jnp.float32)
+    out_ref[:, 6:8] = jnp.zeros((tm, 2), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=(
+    "max_hits", "eps", "tile_rays", "sort_rays", "hbm_table", "interpret"))
+def route_fused(
+    scene, proxies, models,
+    origin, direction, t_min, t_max, active, my_id,
+    max_hits: int, eps: float,
+    tile_rays: int = 128,
+    sort_rays: bool = True,
+    hbm_table: bool = None,
+    interpret: bool = None,
+):
+    """One-kernel secondary routing.  Returns a dict of per-ray decisions:
+    settled_node (my_id substituted for the local sentinel), new_t,
+    has_node, env_miss, no_route, local_hit — the caller applies them to
+    the PathState and accumulates the env image (proxy_stages.py)."""
+    n = origin.shape[0]
+    tm = min(tile_rays, max(n, 8))
+    pad = (-n) % tm
+    mp = n + pad
+    c = scene.tris_per_cluster
+    k = scene.num_clusters
+    p = proxies.num_partitions
+    cfg = models.vis_cfg
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    if sort_rays:
+        mkey = _morton_key(scene, origin, direction)
+        mkey = jnp.where(active, mkey, jnp.uint32(0xFFFFFFFF))
+        _, perm = jax.lax.sort((mkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        take = lambda a: jnp.take(a, perm, axis=0)
+        origin, direction = take(origin), take(direction)
+        t_min, t_max, active = take(t_min), take(t_max), take(active)
+
+    def pad1(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+    o = pad1(origin, 0.0)
+    d = pad1(direction, 1.0)
+    tmin_p = pad1(t_min, 0.0)
+    tmax_p = pad1(t_max, 0.0)
+    act = pad1(active, False)
+
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    from ..core import math as cmath
+
+    phi, theta = cmath.spherical_for_train(cmath.normalize(d))
+
+    # scene-exit cap for the TRACE only (pallas_resident.py convention)
+    s_valid = scene.cl_count > 0
+    s_lo = jnp.min(jnp.where(s_valid[:, None], scene.cl_aabb_min, _FMAX), axis=0)
+    s_hi = jnp.max(jnp.where(s_valid[:, None], scene.cl_aabb_max, -_FMAX), axis=0)
+    tt0 = (s_lo[None] - o) * inv
+    tt1 = (s_hi[None] - o) * inv
+    scene_exit = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
+    tmax_eff = jnp.minimum(tmax_p, jnp.maximum(scene_exit, 0.0) * 1.001 + 1e-4)
+
+    rays = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         jnp.where(act, tmin_p, _FMAX), jnp.where(act, tmax_eff, 0.0),
+         phi.astype(jnp.float32), theta.astype(jnp.float32),
+         inv[:, 0], inv[:, 1], inv[:, 2],
+         act.astype(jnp.float32), tmax_p, jnp.zeros((mp,), jnp.float32)],
+        axis=-1,
+    )  # (mp, 16)
+
+    # scene cluster boxes (pallas_resident.py convention)
+    boxes = jnp.concatenate(
+        [scene.cl_aabb_min.T, scene.cl_aabb_max.T,
+         (scene.cl_count > 0).astype(jnp.float32)[None, :],
+         jnp.zeros((1, k), jnp.float32)],
+        axis=0,
+    )
+    boxes = jnp.where(jnp.isfinite(boxes), boxes, 0.0)
+
+    # proxy boxes + allowed row (own partition and empties excluded)
+    ids = jnp.arange(p, dtype=jnp.int32)
+    allowed = (
+        (ids != jnp.asarray(my_id, jnp.int32)) & (proxies.max_length > 0.0)
+    ).astype(jnp.float32)
+    pbmin = jnp.where(jnp.isfinite(proxies.aabb_min), proxies.aabb_min, 0.0)
+    pbmax = jnp.where(jnp.isfinite(proxies.aabb_max), proxies.aabb_max, 0.0)
+    pboxes = jnp.concatenate(
+        [pbmin.T, pbmax.T, allowed[None, :], jnp.zeros((1, p), jnp.float32)],
+        axis=0,
+    )
+    pdiag = proxies.max_length[None, :]
+
+    # triangle table (lane-padded when HBM-streamed; pallas_resident.py
+    # convention)
+    src = scene.cl_tri_table.reshape(k, 10, c)
+    v0 = src[:, 0:3]
+    e1 = src[:, 3:6] - v0
+    e2 = src[:, 6:9] - v0
+    nrm = jnp.cross(e1, e2, axis=1)
+    table = jnp.concatenate([v0, e1, e2, nrm], axis=1)
+    if hbm_table is None:
+        hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    c_k = c
+    if hbm_table and c % 128:
+        c_k = -(-c // 128) * 128
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
+
+    names = _param_names(cfg)
+    wv = [models.vis_params[nm].astype(
+        jnp.bfloat16 if models.vis_params[nm].ndim == 3 else jnp.float32)
+        for nm in names]
+    wd = [models.depth_params[nm].astype(
+        jnp.bfloat16 if models.depth_params[nm].ndim == 3 else jnp.float32)
+        for nm in names]
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((tm, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(
+        memory_space=pl.ANY if hbm_table else pltpu.VMEM)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    scratch = []
+    if hbm_table:
+        scratch += [
+            pltpu.VMEM((2, 12, c_k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    scratch += [
+        pltpu.VMEM((tm, 1), jnp.float32),
+        pltpu.VMEM((max_hits * tm, 2), jnp.float32),
+    ]
+
+    (out,) = pl.pallas_call(
+        partial(_route_kernel, c=c_k, tm=tm, k=k, p=p, max_hits=max_hits,
+                eps=eps, cfg=cfg, vis_final=models.vis_cfg.final_activation,
+                depth_final=models.depth_cfg.final_activation,
+                n_params=len(names), hbm=hbm_table),
+        grid=(mp // tm,),
+        in_specs=[ray_spec, vmem, vmem, vmem, table_spec]
+                 + [vmem] * (2 * len(names)),
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((mp, 8), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(rays, boxes, pboxes, pdiag, table, *wv, *wd)
+
+    out = out[:n]
+    settled = jnp.round(out[:, 0]).astype(jnp.int32)
+    settled = jnp.where(settled == -2, jnp.asarray(my_id, jnp.int32), settled)
+    dec = dict(
+        settled_node=settled,
+        new_t=out[:, 1],
+        has_node=out[:, 2] > 0.5,
+        env_miss=out[:, 3] > 0.5,
+        no_route=out[:, 4] > 0.5,
+        local_hit=out[:, 5] > 0.5,
+    )
+    if sort_rays:
+        inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        dec = {kk: jnp.take(vv, inv_perm, axis=0) for kk, vv in dec.items()}
+    return dec

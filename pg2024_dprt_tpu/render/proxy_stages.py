@@ -171,6 +171,26 @@ def march_proxies(
                                 my_node, max_hits, eps)
 
 
+def _use_fused_route(scene, models: ProxyModels, tracer: str) -> bool:
+    """True when the one-kernel routing megakernel (ops/pallas_route.py)
+    applies: accelerator backend with the resident tracer family,
+    no-cutout scene, architecturally identical vis/depth nets whose stacked
+    weights fit the VMEM budget."""
+    if jax.default_backend() == "cpu" or tracer not in ("auto", "resident"):
+        return False
+    tex = scene.albedo_textures
+    if tex is not None and tex.count > 0 and tex.has_cutout:
+        return False
+    c_v, c_d = models.vis_cfg, models.depth_cfg
+    if (c_v.width, c_v.depth, c_v.in_features, c_v.head_hidden) != \
+            (c_d.width, c_d.depth, c_d.in_features, c_d.head_hidden):
+        return False
+    from ..ops.pallas_mlp import DENSE_WEIGHT_LIMIT, _param_bytes
+
+    return (_param_bytes(models.vis_params)
+            + _param_bytes(models.depth_params)) <= DENSE_WEIGHT_LIMIT
+
+
 def _nn_pair(models: ProxyModels, feats, obj_id, valid):
     """vis + depth inference for one query batch: the fused Pallas pair
     kernel on accelerators (one dispatch + one launch, ops/pallas_mlp.py),
@@ -222,6 +242,38 @@ def secondary_route(
     (updated paths, env_image_add, diag)."""
     n = paths.capacity
     live = paths.is_valid & (~paths.is_shadow)
+
+    if _use_fused_route(scene, models, tracer):
+        from ..ops.pallas_route import route_fused
+
+        dec = route_fused(
+            scene, proxies, models,
+            paths.origin, paths.direction, eps, paths.tmax, live, my_id,
+            max_hits, eps,
+        )
+        env_radiance = env.sample(paths.direction)
+        env_add = jax.ops.segment_sum(
+            jnp.where(dec["env_miss"][:, None], paths.throughput * env_radiance, 0.0),
+            paths.pixel_index,
+            num_segments=frame_buffer_size,
+        )
+        has_node = dec["has_node"]
+        no_route = dec["no_route"]
+        node = jnp.where(has_node, dec["settled_node"],
+                         jnp.where(no_route, jnp.asarray(my_id, jnp.int32),
+                                   paths.current_node)).astype(jnp.int32)
+        tnode = jnp.where(has_node, dec["settled_node"],
+                          jnp.where(no_route, jnp.asarray(my_id, jnp.int32),
+                                    paths.target_node)).astype(jnp.int32)
+        new_paths = paths._replace(
+            tmax=jnp.where(live, jnp.where(has_node, dec["new_t"], 0.0), paths.tmax),
+            current_node=node,
+            target_node=tnode,
+            is_hit=jnp.where(live, has_node, paths.is_hit),
+            is_valid=paths.is_valid & (~dec["env_miss"]),
+            visited_mask=jnp.where(live, jnp.uint32(0xFFFFFFFF), paths.visited_mask),
+        )
+        return new_paths, env_add, jnp.int32(0)
 
     hits, diag = trace_closest(scene, paths.origin, paths.direction, eps, paths.tmax, live, tracer=tracer)
     local_hit = live & hits.is_hit
