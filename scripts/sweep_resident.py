@@ -47,14 +47,14 @@ def main():
     rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
 
     tpcs = (128,) if quick else (64, 128)
-    tms = (64, 128, 256)
+    tms = (32, 64, 128, 256)
 
     for tpc in tpcs:
         scene = device_scene_from_meshes([random_tri_soup(65536, seed=0)],
                                          tris_per_cluster=tpc)
         print(f"== tpc={tpc}: {scene.num_clusters} clusters ==", flush=True)
         for tm in tms:
-            bs = {64: 8, 128: 8, 256: 16}[tm]
+            bs = {32: 4, 64: 8, 128: 8, 256: 16}[tm]
             co, cd = camera_rays(n, 256, bs)
 
             def cam_t(o, d, tmx, act, tm=tm):
@@ -65,10 +65,10 @@ def main():
                 return trace_resident(scene, o, d, 1e-3, tmx, act,
                                       tile_rays=tm, sort_rays=True)[0].t
 
-            per = chained_time(cam_t, co, cd, tmx, act, short=1, long=4, reps=2)
+            per = chained_time(cam_t, co, cd, tmx, act, short=2, long=8, reps=2)
             print(f"  camera tm={tm} bs={bs}: {n/per/1e6:7.2f} Mrays/s "
                   f"({per*1e3:.2f} ms)", flush=True)
-            per = chained_time(inc_t, ro, rd, tmx, act, short=1, long=4, reps=2)
+            per = chained_time(inc_t, ro, rd, tmx, act, short=2, long=8, reps=2)
             print(f"  incoh  tm={tm}:       {n/per/1e6:7.2f} Mrays/s "
                   f"({per*1e3:.2f} ms)", flush=True)
 
