@@ -46,7 +46,8 @@ from .pallas_tracer import _morton_key
 
 _F32_MAX = jnp.float32(3.402823466e38)
 
-TILE_RAYS = 256  # best measured on-chip (sweep: 64/128/256 x C 64/128/256)
+TILE_RAYS = 128  # best on-chip with the HONEST chained fold (sweep_resident:
+                 # camera 4.63 ms @128 vs 6.50 @256; incoherent 52 vs 94)
 
 
 def _lane_bits(c: int) -> int:
@@ -56,7 +57,8 @@ def _lane_bits(c: int) -> int:
     return b
 
 
-def _cluster_enters(rays, boxes, k: int, tm: int, exact: bool = True):
+def _cluster_enters(rays, boxes, k: int, tm: int, exact: bool = True,
+                    keep_rows: bool = False):
     """In-kernel slab test of this ray block against every cluster,
     min-reduced over the block.  boxes rows: [minx miny minz maxx maxy maxz
     count pad].  Returns (1, K) f32: entry k = a lower bound on the enter
@@ -76,8 +78,12 @@ def _cluster_enters(rays, boxes, k: int, tm: int, exact: bool = True):
         1/direction RANGES, (1, K) work.  For COHERENT camera tiles (a
         16x16 pixel frustum) the interval bound is nearly as tight as the
         exact union at ~TM x less cull work (measured ~25% whole-wavefront
-        win at TM=256, K=512)."""
+        win at TM=256, K=512).
+
+    keep_rows=True (exact mode only) returns the full per-ray (TM, K)
+    enter matrix instead of the block min — the re-cull loop's input."""
     inf = jnp.float32(float("inf"))
+    assert not (keep_rows and not exact)
     if not exact:
         d = rays[:, 3:6]
         inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
@@ -133,7 +139,8 @@ def _cluster_enters(rays, boxes, k: int, tm: int, exact: bool = True):
             & (enter < B(tmax))
         )
         per_ray = jnp.where(ok, jnp.maximum(enter, 0.0), inf)
-        outs.append(jnp.min(per_ray, axis=0, keepdims=True))
+        outs.append(per_ray if keep_rows
+                    else jnp.min(per_ray, axis=0, keepdims=True))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
@@ -208,9 +215,153 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
-def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int, exact: bool):
+def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
+                 tm: int, k: int, recull: int, t_scr=None):
+    """Selection loop in rounds of `recull` visits with PER-RAY horizon
+    re-culling between rounds (see _kernel docstring).  table_ref is the
+    VMEM (K, 12, C) table when hbm_refs is None, else the HBM ref with
+    hbm_refs = (tbuf, sem) the double-buffered scratch.
+
+    scr = (skb_scr (TM,1) i32, slot_scr (TM,1) i32, vis_scr (1,K) i32,
+    keys_scr (1,K) i32): VMEM scratch that carries all round-crossing
+    VECTOR state — the outer while carries only scalars.  (Vector values
+    crossing the outer loop boundary hit a Mosaic scf.yield layout
+    legalization conflict: round-start values are ref reads / fresh
+    reduces, round-end values are remasked carries.)
+
+    Returns (s_kb, s_slot, kb0): per-ray packed best keys, winning table
+    slots (-1 = miss), and the tmax-init keys (s_kb < kb0 iff hit).  When
+    t_scr (a (TM, 1) f32 VMEM scratch) is given, the loop additionally
+    tracks each ray's EXACT winner t there — for callers with no XLA
+    refinement epilogue (ops/pallas_route.py)."""
+    skb_scr, slot_scr, vis_scr, keys_scr = scr
+    SAT = jnp.int32(0x7FFFFFFF)
+    inf = jnp.float32(float("inf"))
+    tmax = rays[:, 7:8]
+    lb = _lane_bits(c)
+    cb = _lane_bits(k)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+    lanes_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    en_pr = _cluster_enters(rays, boxes, k, tm, exact=True, keep_rows=True)
+
+    kb0 = (
+        jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+        & ~lane_mask
+    ) | lane_mask
+
+    def rekeys(s_kb):
+        # each ray's committed t, rounded DOWN by the lane bits the packed
+        # key spends -> guard band so pruning can never drop a cluster a
+        # ray could still improve on beyond the accepted tie blur
+        t_best = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
+        t_g = t_best * (1.0 + 1e-4) + 1e-7
+        en_eff = jnp.where(en_pr <= jnp.broadcast_to(t_g, (tm, k)), en_pr, inf)
+        en_min = jnp.min(en_eff, axis=0, keepdims=True)
+        return jnp.where(vis_scr[:] > 0, SAT, _selection_keys(en_min, k, cb))
+
+    if hbm_refs is not None:
+        tbuf, sem = hbm_refs
+
+        def dma(idx, slot):
+            safe = jnp.minimum(idx, k - 1)
+            return pltpu.make_async_copy(
+                table_ref.at[safe], tbuf.at[slot], sem.at[slot])
+
+    if t_scr is not None:
+        t_scr[:] = jnp.broadcast_to(tmax, (tm, 1))
+
+    skb_scr[:] = kb0
+    slot_scr[:] = jnp.full((tm, 1), -1, jnp.int32)
+    vis_scr[:] = jnp.zeros((1, k), jnp.int32)
+    sel0, keys0 = _next_cluster(rekeys(kb0))
+    keys_scr[:] = keys0
+    worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
+
+    def outer_cond(carry):
+        j, sel, worst = carry
+        return (sel & ~cmask) < worst
+
+    def outer_body(carry):
+        j0, sel_in, worst_in = carry
+        keys_in = keys_scr[:]
+        s_kb_in = skb_scr[:]
+        s_slot_in = slot_scr[:]
+        if hbm_refs is not None:
+            # outer_cond held, so sel_in is viable: start this round's chain
+            dma(sel_in & cmask, jax.lax.rem(j0, 2)).start()
+
+        def inner_cond(c2):
+            j, sel, keys, s_kb, worst, s_slot = c2
+            return (j - j0 < recull) & ((sel & ~cmask) < worst)
+
+        def inner_body(c2):
+            j, sel, keys, s_kb, worst, s_slot = c2
+            sel2, keys2 = _next_cluster(keys)
+            worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+            idx = sel & cmask
+            vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
+            if hbm_refs is not None:
+                slot = jax.lax.rem(j, 2)
+                dma(sel2 & cmask, 1 - slot).start()
+                dma(idx, slot).wait()
+                tri = tbuf[slot]
+            else:
+                tri = table_ref[idx]
+            t, tri_ok = _mt_body(rays, tri, c, tm)
+            tb = jax.lax.bitcast_convert_type(
+                jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38),
+                jnp.int32,
+            )
+            key = (tb & ~lane_mask) | lanes
+            kmin = jnp.min(key, axis=1, keepdims=True)
+            improved = kmin < s_kb
+            slot_w = idx * c + (kmin & lane_mask)
+            if t_scr is not None:
+                win = (lanes == jnp.broadcast_to(kmin & lane_mask, (tm, c))) & tri_ok
+                t_exact = jnp.min(jnp.where(win, t, 3.402823466e38),
+                                  axis=1, keepdims=True)
+                t_scr[:] = jnp.where(improved, t_exact, t_scr[:])
+            s_kb = jnp.where(improved, kmin, s_kb)
+            s_slot = jnp.where(improved, slot_w, s_slot)
+            return j + 1, sel2, keys2, s_kb, worst2, s_slot
+
+        j_end, _, _, s_kb, _, s_slot = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (j0, sel_in, keys_in, s_kb_in, worst_in, s_slot_in))
+
+        if hbm_refs is not None:
+            # drain the last outstanding prefetch of this round
+            dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+
+        skb_scr[:] = s_kb
+        slot_scr[:] = s_slot
+        sel3, keys3 = _next_cluster(rekeys(s_kb))
+        keys_scr[:] = keys3
+        worst3 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+        return j_end, sel3, worst3
+
+    jax.lax.while_loop(outer_cond, outer_body,
+                       (jnp.int32(0), sel0, worst0))
+    return skb_scr[:], slot_scr[:], kb0
+
+
+def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
+            k: int, exact: bool, recull: int = 0):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
-    (t_bits | lane) key; out = [t_approx, table_slot] per ray."""
+    (t_bits | lane) key; out = [t_approx, table_slot] per ray.
+
+    recull > 0 (exact mode only): PER-RAY horizon.  The block-min selection
+    keys prune a cluster only when NO ray's committed t allows it — but the
+    block min is pinned by the slowest ray, so the loop visits ~U_all
+    clusters (measured 250+/tile on sorted-incoherent wavefronts) where the
+    per-ray union U is ~57 (scripts/study_sort_keys.py).  With recull=R the
+    loop runs in rounds: every R visits the (TM, K) per-ray enter matrix is
+    re-masked against each ray's CURRENT committed t (+ a rounding guard for
+    the lane bits the packed key spends) and re-min-reduced, so clusters no
+    live ray can improve on drop out of the selection."""
     rays = rays_ref[:]
     tmax = rays[:, 7:8]
 
@@ -219,6 +370,16 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int,
     lane_mask = jnp.int32((1 << lb) - 1)
     cmask = jnp.int32((1 << cb) - 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+
+    if recull and exact:
+        s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_ref, None,
+                                       scr, c=c, tm=tm, k=k, recull=recull)
+        lb = _lane_bits(c)
+        lane_mask = jnp.int32((1 << lb) - 1)
+        out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+            s_kb & ~lane_mask, jnp.float32)
+        out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+        return
 
     en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
@@ -273,8 +434,8 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int,
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
-def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
-                *, c: int, tm: int, k: int, exact: bool):
+def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
+                c: int, tm: int, k: int, exact: bool, recull: int = 0):
     """Closest hit with the cluster table in HBM (scenes too big for a
     VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
     one-iteration lookahead that software-pipelines the selection extracts
@@ -284,9 +445,22 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
 
     Semaphore hygiene: every iteration starts exactly one prefetch and waits
     exactly one; the final outstanding prefetch is drained after the loop
-    (scratch and semaphores persist across sequential grid steps)."""
+    (scratch and semaphores persist across sequential grid steps).
+
+    recull > 0 (exact mode only): per-ray horizon rounds — see _kernel."""
     rays = rays_ref[:]
     tmax = rays[:, 7:8]
+
+    if recull and exact:
+        s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_hbm,
+                                       (tbuf, sem), scr, c=c, tm=tm, k=k,
+                                       recull=recull)
+        lb = _lane_bits(c)
+        lane_mask = jnp.int32((1 << lb) - 1)
+        out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+            s_kb & ~lane_mask, jnp.float32)
+        out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+        return
 
     lb = _lane_bits(c)
     cb = _lane_bits(k)
@@ -465,7 +639,7 @@ VMEM_TABLE_LIMIT = 8 * 2**20
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "interpret"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "interpret"),
 )
 def trace_resident(
     scene: DeviceScene,
@@ -475,6 +649,7 @@ def trace_resident(
     any_hit: bool = False,
     hbm_table: bool = None,
     exact_cull: bool = None,
+    recull: int = None,
     interpret: bool = None,
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
@@ -574,6 +749,16 @@ def trace_resident(
         # cull pays for itself; unsorted camera blocks keep the cheap
         # interval cull (see _cluster_enters)
         exact_cull = sort_rays
+    if recull is None:
+        # per-ray horizon rounds need the (TM, K) enter matrix resident in
+        # VMEM; cap the footprint at 4 MiB.  Closest-hit only (the any-hit
+        # kernels exit on the first accepted hit already).
+        recull = (
+            8 if (exact_cull and not any_hit and tm * k * 4 <= 4 * 2**20)
+            else 0
+        )
+    if not exact_cull or any_hit:
+        recull = 0
 
     ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -595,6 +780,17 @@ def trace_resident(
     else:
         kern = _occl_kernel if any_hit else _kernel
         scratch = []
+    if not any_hit:
+        kern = partial(kern, recull=recull)
+        if recull:
+            # round-crossing vector state of the re-cull loop (see
+            # _recull_loop: the outer while carries only scalars)
+            scratch = scratch + [
+                pltpu.VMEM((tm, 1), jnp.int32),
+                pltpu.VMEM((tm, 1), jnp.int32),
+                pltpu.VMEM((1, k), jnp.int32),
+                pltpu.VMEM((1, k), jnp.int32),
+            ]
     (packed_out,) = pl.pallas_call(
         partial(kern, c=c_k, tm=tm, k=k, exact=exact_cull),
         grid=(tiles,),

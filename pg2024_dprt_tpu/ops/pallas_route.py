@@ -51,7 +51,7 @@ from ..models.mlp import LEAKY_SLOPE, MLPConfig
 from .pallas_mlp import _param_names
 from .pallas_resident import (
     VMEM_TABLE_LIMIT, _cluster_enters, _lane_bits, _mt_body, _next_cluster,
-    _selection_keys, resident_table_bytes,
+    _recull_loop, _selection_keys, resident_table_bytes,
 )
 from .pallas_tracer import _morton_key
 
@@ -92,13 +92,22 @@ def _forward_stacked(x, refs, o: int, cfg: MLPConfig, final_activation: str):
     return out                                            # (Q, 1)
 
 
-def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, *, c, tm, k,
-                   hbm: bool):
+def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, rc_scr, *, c,
+                   tm, k, hbm: bool, recull: int = 0):
     """pallas_resident's selection loop (_kernel / _kernel_hbm), additionally
     tracking the exact winner t per ray in a VMEM scratch (a loop-carried
     value hits a Mosaic vector-layout legalization conflict: the init is a
     lane-offset column slice, the body value a reduce output).  Returns
-    (exact_t|tmax_eff (TM,1), hit (TM,1))."""
+    (exact_t|tmax_eff (TM,1), hit (TM,1)).
+
+    recull > 0 delegates to pallas_resident._recull_loop (per-ray horizon
+    rounds) with exact-t tracking through the same scratch."""
+    if recull:
+        hbm_refs = (tbuf, sem) if hbm else None
+        s_kb, _, kb0 = _recull_loop(rays, boxes, table_ref, hbm_refs,
+                                    rc_scr, c=c, tm=tm, k=k, recull=recull,
+                                    t_scr=t_scr)
+        return t_scr[:], s_kb < kb0
     tmax = rays[:, 7:8]
     lb = _lane_bits(c)
     cb = _lane_bits(k)
@@ -172,7 +181,8 @@ def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, *, c, tm, k,
 def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
                   *rest, c: int, tm: int, k: int, p: int, max_hits: int,
                   eps: float, cfg: MLPConfig, vis_final: str,
-                  depth_final: str, n_params: int, hbm: bool):
+                  depth_final: str, n_params: int, hbm: bool,
+                  recull: int = 0):
     """rays cols (16): [o(3), d(3), tmin|FMAX, tmax_eff|0, phi, theta,
     inv(3), act, tmax_raw, pad]; pboxes rows (8, P): [min(3), max(3),
     allowed, pad]; pdiag (1, P): proxy max_length.  out cols (8):
@@ -184,10 +194,12 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
     out_ref = rest[2 * n_params]
     scr = rest[2 * n_params + 1:]
     if hbm:
-        tbuf, sem, t_scr, nn_scr = scr
+        tbuf, sem = scr[:2]
+        scr = scr[2:]
     else:
         tbuf = sem = None
-        t_scr, nn_scr = scr
+    t_scr, nn_scr = scr[:2]
+    rc_scr = scr[2:] if recull else None
 
     rays = rays_ref[:]
     act = rays[:, 13:14] > 0.5
@@ -195,8 +207,8 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
 
     # ---- 1. local closest hit (tmax_eff is scene-exit capped) ----
     local_t, local_hit = _trace_exact_t(
-        rays, boxes_ref[:], table_ref, tbuf, sem, t_scr, c=c, tm=tm, k=k,
-        hbm=hbm)
+        rays, boxes_ref[:], table_ref, tbuf, sem, t_scr, rc_scr, c=c,
+        tm=tm, k=k, hbm=hbm, recull=recull)
     local_hit = local_hit & act
     # proxies live OUTSIDE the local scene: the march/routing bound on a
     # local miss is the caller's UNCAPPED tmax, not the scene-exit cap
@@ -443,6 +455,11 @@ def route_fused(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    # per-ray horizon rounds when the (TM, K) enter matrix fits beside the
+    # resident NN weights (2 MiB cap; the composed budget in
+    # pallas_resident gives trace-only kernels 4 MiB)
+    recull = 8 if tm * k * 4 <= 2 * 2**20 else 0
+
     scratch = []
     if hbm_table:
         scratch += [
@@ -453,12 +470,20 @@ def route_fused(
         pltpu.VMEM((tm, 1), jnp.float32),
         pltpu.VMEM((max_hits * tm, 2), jnp.float32),
     ]
+    if recull:
+        # round-crossing vector state of the re-cull trace loop
+        scratch += [
+            pltpu.VMEM((tm, 1), jnp.int32),
+            pltpu.VMEM((tm, 1), jnp.int32),
+            pltpu.VMEM((1, k), jnp.int32),
+            pltpu.VMEM((1, k), jnp.int32),
+        ]
 
     (out,) = pl.pallas_call(
         partial(_route_kernel, c=c_k, tm=tm, k=k, p=p, max_hits=max_hits,
                 eps=eps, cfg=cfg, vis_final=models.vis_cfg.final_activation,
                 depth_final=models.depth_cfg.final_activation,
-                n_params=len(names), hbm=hbm_table),
+                n_params=len(names), hbm=hbm_table, recull=recull),
         grid=(mp // tm,),
         in_specs=[ray_spec, vmem, vmem, vmem, table_spec]
                  + [vmem] * (2 * len(names)),

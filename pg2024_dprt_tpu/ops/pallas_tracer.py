@@ -383,26 +383,31 @@ def _prep_pairs(possible, enter_lo, tiles: int, budget: int, pp: int):
 
 
 def _morton_key(scene: DeviceScene, o, d):
-    """27-bit sort key: 3 octant bits + interleaved 8-bit origin cells."""
+    """24-bit sort key: interleaved 6-bit/axis origin cells (major) +
+    interleaved 2-bit/axis direction bins (minor).
+
+    POSITION-major, not direction-major: an octant-major key scatters
+    spatially-near rays into 8 groups while directions within an octant
+    still diverge, so per-tile cluster unions stay wide.  Measured on the
+    64k incoherent wavefront (scripts/study_sort_keys.py): position-major
+    cuts the mean per-tile union 1.6x (91.9 -> 57.4 clusters at TM=128)
+    vs the octant-major key; finer direction bins are strictly worse."""
     valid = scene.cl_count > 0
     lo = jnp.min(jnp.where(valid[:, None], scene.cl_aabb_min, _F32_MAX), axis=0)
     hi = jnp.max(jnp.where(valid[:, None], scene.cl_aabb_max, -_F32_MAX), axis=0)
     span = jnp.maximum(hi - lo, 1e-12)
-    q = jnp.clip(((o - lo) / span) * 255.0, 0.0, 255.0).astype(jnp.uint32)
+    q = jnp.clip(((o - lo) / span) * 63.0, 0.0, 63.0).astype(jnp.uint32)
+    dq = jnp.clip((d * 0.5 + 0.5) * 3.0, 0.0, 3.0).astype(jnp.uint32)
 
-    def spread(x):  # 8 bits -> every 3rd bit
+    def spread(x):  # up to 8 bits -> every 3rd bit
         x = (x | (x << 8)) & jnp.uint32(0x00F00F)
         x = (x | (x << 4)) & jnp.uint32(0x0C30C3)
         x = (x | (x << 2)) & jnp.uint32(0x249249)
         return x
 
     morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-    octant = (
-        (d[:, 0] >= 0).astype(jnp.uint32)
-        + 2 * (d[:, 1] >= 0).astype(jnp.uint32)
-        + 4 * (d[:, 2] >= 0).astype(jnp.uint32)
-    )
-    return (octant << 24) | morton
+    dmorton = spread(dq[:, 0]) | (spread(dq[:, 1]) << 1) | (spread(dq[:, 2]) << 2)
+    return (morton << 6) | dmorton
 
 
 @partial(

@@ -136,6 +136,55 @@ def test_resident_hbm_any_hit():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
 
 
+def test_resident_sorted_recull_soup():
+    """sort_rays=True enables the exact per-ray cull AND the per-ray-horizon
+    re-cull rounds (_recull_loop) — the production bounce-wavefront path."""
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=20)], tris_per_cluster=64)
+    n = 2048
+    rng = np.random.RandomState(21)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
+           tile_rays=128, sort_rays=True)
+
+
+def test_resident_sorted_recull_hbm_finite_tmax():
+    """Re-cull rounds through the HBM-streaming DMA pipeline, with per-ray
+    finite t_max and inactive rays."""
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=50)], tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(51)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(rng.rand(n).astype(np.float32) * 1.2 + 0.05)
+    act = jnp.asarray(rng.rand(n) > 0.2)
+    got, dropped = trace_resident(scene, o, d, 1e-3, tmax, act,
+                                  tile_rays=128, sort_rays=True, hbm_table=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(want.is_hit))
+    hit = np.asarray(want.is_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(want.t)[hit], rtol=1e-4, atol=1e-5)
+
+
+def test_resident_recull_small_rounds():
+    """recull=1 (re-cull after every visit) and recull=3 (odd, not a divisor
+    of typical visit counts) must both match the oracle — exercises the
+    round-boundary/drain logic."""
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=30)], tris_per_cluster=16)
+    n = 512
+    rng = np.random.RandomState(31)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    for r in (1, 3):
+        _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
+               jnp.ones((n,), bool), tile_rays=128, sort_rays=True, recull=r)
+
+
 def test_resident_hbm_unaligned_cluster_width():
     """tris_per_cluster not 128-aligned: the HBM kernel pads table lanes
     (Mosaic DMA alignment) and the epilogue remaps winner slots."""
