@@ -693,9 +693,12 @@ def trace_resident(
 
     # cap each ray's bound at its scene-AABB exit (keeps escaping rays from
     # pinning the early-termination horizon at +inf)
-    s_valid = scene.cl_count > 0
-    s_lo = jnp.min(jnp.where(s_valid[:, None], scene.cl_aabb_min, _F32_MAX), axis=0)
-    s_hi = jnp.max(jnp.where(s_valid[:, None], scene.cl_aabb_max, -_F32_MAX), axis=0)
+    if scene.scene_aabb is not None:
+        s_lo, s_hi = scene.scene_aabb[0], scene.scene_aabb[1]
+    else:
+        s_valid = scene.cl_count > 0
+        s_lo = jnp.min(jnp.where(s_valid[:, None], scene.cl_aabb_min, _F32_MAX), axis=0)
+        s_hi = jnp.max(jnp.where(s_valid[:, None], scene.cl_aabb_max, -_F32_MAX), axis=0)
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
     tt0 = (s_lo[None] - o) * inv_d
     tt1 = (s_hi[None] - o) * inv_d
@@ -708,32 +711,36 @@ def trace_resident(
         axis=-1,
     )  # (mp, 8)
 
-    # planar cluster-AABB + count table for the in-kernel slab test
-    boxes = jnp.concatenate(
-        [
-            scene.cl_aabb_min.T,                    # rows 0..2
-            scene.cl_aabb_max.T,                    # rows 3..5
-            (scene.cl_count > 0).astype(jnp.float32)[None, :],
-            jnp.zeros((1, k), jnp.float32),
-        ],
-        axis=0,
-    )  # (8, K)
-    # padding clusters carry inverted-inf AABBs; zero them so interval
-    # arithmetic never produces NaNs (their count row already excludes them)
-    finite = jnp.isfinite(boxes)
-    boxes = jnp.where(finite, boxes, 0.0)
+    # planar cluster-AABB + count table and the derived component-planar MT
+    # table (rows v0 xyz, e1 xyz, e2 xyz, n = e1 x e2; padding rows all-zero
+    # -> n = 0 -> det = 0 -> rejected in-kernel).  Precomputed at scene-pack
+    # time (scene/geometry.py) — the in-call fallback below serves only
+    # hand-assembled scenes and is bit-identical.
+    if scene.cl_boxes is not None:
+        boxes = scene.cl_boxes
+    else:
+        boxes = jnp.concatenate(
+            [
+                scene.cl_aabb_min.T,                # rows 0..2
+                scene.cl_aabb_max.T,                # rows 3..5
+                (scene.cl_count > 0).astype(jnp.float32)[None, :],
+                jnp.zeros((1, k), jnp.float32),
+            ],
+            axis=0,
+        )  # (8, K); zero non-finite (empty-cluster) AABBs so interval
+        # arithmetic never produces NaNs (count row already excludes them)
+        boxes = jnp.where(jnp.isfinite(boxes), boxes, 0.0)
 
-    # derived component-planar table for the triple-product MT body:
-    # rows = v0 xyz, e1 xyz, e2 xyz, n = e1 x e2 xyz.  Padding rows of the
-    # source table are all-zero -> n = 0 -> det = 0 -> rejected in-kernel.
-    # Built per call in XLA (independent of the ray data, so its launches
-    # pipeline with the ray packing).
-    src = scene.cl_tri_table.reshape(k, 10, c)
-    v0 = src[:, 0:3]
-    e1 = src[:, 3:6] - v0
-    e2 = src[:, 6:9] - v0
-    nrm = jnp.cross(e1, e2, axis=1)
-    table = jnp.concatenate([v0, e1, e2, nrm], axis=1)       # (K, 12, C)
+    if scene.cl_mt_table is not None:
+        table = scene.cl_mt_table.reshape(k, 12, c)
+    else:
+        src = scene.cl_tri_table.reshape(k, 10, c)
+        v0 = src[:, 0:3]
+        e1 = src[:, 3:6] - v0
+        e2 = src[:, 6:9] - v0
+        table = jnp.concatenate(
+            [v0, e1, e2, jnp.cross(e1, e2, axis=1)], axis=1
+        )  # (K, 12, C)
 
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
@@ -745,16 +752,25 @@ def trace_resident(
         c_k = -(-c // 128) * 128
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
     if exact_cull is None:
-        # sorted wavefronts are the scattered ones (engine policy): per-ray
-        # cull pays for itself; unsorted camera blocks keep the cheap
-        # interval cull (see _cluster_enters)
-        exact_cull = sort_rays
+        # scattered (sorted) wavefronts need the per-ray cull at ANY K —
+        # the interval bound degenerates to a full-scene sweep for them
+        # (diag_1m, K=11437: 5.6 s vs 1.9 s even without the horizon work).
+        # For coherent camera tiles exact wins at moderate K
+        # (sweep_recull, K=512: 3.6 ms vs 4.5-4.9 interval) but its
+        # (TM, K) cost overtakes the ~free interval bound at giant K
+        # (diag_1m: 17.9 ms vs 13.6): gate by the per-tile cull footprint.
+        exact_cull = sort_rays or tm * k * 4 <= 2 * 2**20
     if recull is None:
         # per-ray horizon rounds need the (TM, K) enter matrix resident in
-        # VMEM; cap the footprint at 4 MiB.  Closest-hit only (the any-hit
-        # kernels exit on the first accepted hit already).
+        # VMEM (chunk-built, but kept live across the loop).  Re-culling is
+        # THE lever on scattered wavefronts at scale — diag_1m at 1M tris:
+        # 94 ms vs 1016 ms, flat in the round length over 8..32 — so the
+        # footprint cap sits as high as VMEM allows (the 4 MiB cap this
+        # replaces disabled re-culling exactly where it mattered most).
+        # Camera tiles gain ~nothing but lose nothing (17.9 -> 16.9 ms).
+        # Closest-hit only (the any-hit kernels exit on first accept).
         recull = (
-            8 if (exact_cull and not any_hit and tm * k * 4 <= 4 * 2**20)
+            8 if (exact_cull and not any_hit and tm * k * 4 <= 8 * 2**20)
             else 0
         )
     if not exact_cull or any_hit:

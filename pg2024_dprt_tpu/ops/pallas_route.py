@@ -401,14 +401,18 @@ def route_fused(
         axis=-1,
     )  # (mp, 16)
 
-    # scene cluster boxes (pallas_resident.py convention)
-    boxes = jnp.concatenate(
-        [scene.cl_aabb_min.T, scene.cl_aabb_max.T,
-         (scene.cl_count > 0).astype(jnp.float32)[None, :],
-         jnp.zeros((1, k), jnp.float32)],
-        axis=0,
-    )
-    boxes = jnp.where(jnp.isfinite(boxes), boxes, 0.0)
+    # scene cluster boxes (pallas_resident.py convention; precomputed at
+    # scene-pack time, in-call fallback for hand-assembled scenes)
+    if scene.cl_boxes is not None:
+        boxes = scene.cl_boxes
+    else:
+        boxes = jnp.concatenate(
+            [scene.cl_aabb_min.T, scene.cl_aabb_max.T,
+             (scene.cl_count > 0).astype(jnp.float32)[None, :],
+             jnp.zeros((1, k), jnp.float32)],
+            axis=0,
+        )
+        boxes = jnp.where(jnp.isfinite(boxes), boxes, 0.0)
 
     # proxy boxes + allowed row (own partition and empties excluded)
     ids = jnp.arange(p, dtype=jnp.int32)
@@ -424,13 +428,16 @@ def route_fused(
     pdiag = proxies.max_length[None, :]
 
     # triangle table (lane-padded when HBM-streamed; pallas_resident.py
-    # convention)
-    src = scene.cl_tri_table.reshape(k, 10, c)
-    v0 = src[:, 0:3]
-    e1 = src[:, 3:6] - v0
-    e2 = src[:, 6:9] - v0
-    nrm = jnp.cross(e1, e2, axis=1)
-    table = jnp.concatenate([v0, e1, e2, nrm], axis=1)
+    # convention, precomputed at scene-pack time)
+    if scene.cl_mt_table is not None:
+        table = scene.cl_mt_table.reshape(k, 12, c)
+    else:
+        src = scene.cl_tri_table.reshape(k, 10, c)
+        v0 = src[:, 0:3]
+        e1 = src[:, 3:6] - v0
+        e2 = src[:, 6:9] - v0
+        table = jnp.concatenate(
+            [v0, e1, e2, jnp.cross(e1, e2, axis=1)], axis=1)
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
     c_k = c

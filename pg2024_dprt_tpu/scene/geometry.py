@@ -149,6 +149,16 @@ class DeviceScene(NamedTuple):
     # [d,0] @ it -> [d'x d'y d'z 0], the ray in each triangle's unit space
     # (t = -o'z/d'z, u = o'x + t d'x, v = o'y + t d'y).
     cl_woop_table: jnp.ndarray = None  # (K, 4*4*C) f32
+    # Precomputed derived tables for ops/pallas_resident.py — the per-call
+    # XLA prologue hoisted to build time (entry-op/launch count dominates
+    # this backend, see CLAUDE.md). cl_mt_table rows per cluster: v0 xyz,
+    # e1 xyz, e2 xyz, n = e1 x e2 xyz (padding tris all-zero -> n = 0 ->
+    # rejected in-kernel). cl_boxes rows: minx..z, maxx..z, nonempty flag,
+    # pad — non-finite (empty-cluster) entries zeroed. scene_aabb is the
+    # union AABB over non-empty clusters.
+    cl_mt_table: jnp.ndarray = None   # (K, 12*C) f32
+    cl_boxes: jnp.ndarray = None      # (8, K) f32
+    scene_aabb: jnp.ndarray = None    # (2, 3) f32
     # Packed native-resolution albedo textures (scene/textures.py
     # PackedTextures pytree); indexed by mesh_texture_index. Empty pool when
     # the scene is untextured.
@@ -274,6 +284,31 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
             woop[:, 3, oc, :] = b[:, :, oc]
         woop[:, 3, 3, :] = np.where(good, woop[:, 3, 3, :], -1.0)
 
+    # derived MT table + planar box table (see DeviceScene docstring) —
+    # built from `table` itself so semantics are bit-identical to the
+    # in-call build they replace (pallas_resident.py)
+    v0t = table[:, 0:3, :]
+    e1t = table[:, 3:6, :] - v0t
+    e2t = table[:, 6:9, :] - v0t
+    mt_table = np.concatenate(
+        [v0t, e1t, e2t, np.cross(e1t, e2t, axis=1)], axis=1
+    ).astype(np.float32)                                     # (kc, 12, c)
+    boxes = np.concatenate(
+        [cl_min.T, cl_max.T,
+         (cl_cnt > 0).astype(np.float32)[None, :],
+         np.zeros((1, kc), np.float32)],
+        axis=0,
+    )
+    boxes = np.where(np.isfinite(boxes), boxes, 0.0).astype(np.float32)
+    nonempty = cl_cnt > 0
+    if nonempty.any():
+        s_lo = cl_min[nonempty].min(axis=0)
+        s_hi = cl_max[nonempty].max(axis=0)
+    else:
+        s_lo = np.zeros((3,), np.float32)
+        s_hi = np.zeros((3,), np.float32)
+    scene_aabb = np.stack([s_lo, s_hi]).astype(np.float32)
+
     return DeviceScene(
         node_min=pad_node(bvh.bounds_min, inf),
         node_max=pad_node(bvh.bounds_max, -inf),
@@ -300,5 +335,8 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
         cl_woop_table=jnp.asarray(woop.reshape(kc, 4 * 4 * c)),
+        cl_mt_table=jnp.asarray(mt_table.reshape(kc, 12 * c)),
+        cl_boxes=jnp.asarray(boxes),
+        scene_aabb=jnp.asarray(scene_aabb),
         albedo_textures=atlas,
     )

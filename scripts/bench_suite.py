@@ -66,44 +66,44 @@ def main():
     tmx = jnp.full((n,), 3.4e38, jnp.float32)
     act = jnp.ones((n,), bool)
 
-    def t_res(o, d, tmx, act):
-        return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128)[0].t
+    # scenes ride as ARGS (not closure constants): embedded-constant HLO
+    # blows the relay's remote_compile body limit at 1M-tri scale (HTTP 413)
+    # and defeats the persistent compile cache (CLAUDE.md)
+    def t_res(o, d, tmx, act, sc):
+        return trace_resident(sc, o, d, 1e-3, tmx, act, tile_rays=128)[0].t
 
-    def t_res_sorted(o, d, tmx, act):
-        return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128,
+    def t_res_sorted(o, d, tmx, act, sc):
+        return trace_resident(sc, o, d, 1e-3, tmx, act, tile_rays=128,
                               sort_rays=True)[0].t
 
-    def t_occl(o, d, tmx, act):
-        return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128,
+    def t_occl(o, d, tmx, act, sc):
+        return trace_resident(sc, o, d, 1e-3, tmx, act, tile_rays=128,
                               any_hit=True)[0].astype(jnp.float32)
 
-    per = chained_time(t_res, co, cd, tmx, act)
+    per = chained_time(t_res, co, cd, tmx, act, scene)
     row("camera_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
 
-    per = chained_time(t_res_sorted, ro, rd, tmx, act)
+    per = chained_time(t_res_sorted, ro, rd, tmx, act, scene)
     row("incoherent_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront, morton-sorted")
 
-    per = chained_time(t_occl, co, cd, tmx, act)
+    per = chained_time(t_occl, co, cd, tmx, act, scene)
     row("anyhit_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
 
     # 1M-triangle scene -> resident tracer auto-selects the HBM-streaming
     # kernel (89 MiB cluster table, double-buffered in-kernel DMA)
     scene1m = device_scene_from_meshes([random_tri_soup(1 << 20, seed=3)], tris_per_cluster=128)
 
-    def t_1m(o, d, tmx, act):
-        return trace_resident(scene1m, o, d, 1e-3, tmx, act, tile_rays=256)[0].t
-
-    def t_1m_sorted(o, d, tmx, act):
-        return trace_resident(scene1m, o, d, 1e-3, tmx, act, tile_rays=256,
-                              sort_rays=True)[0].t
-
-    per = chained_time(t_1m, co, cd, tmx, act, short=2, long=7)
+    # tile_rays=128 (not 256): the per-ray horizon re-cull needs the
+    # (TM, K) enter matrix within its VMEM cap, and re-culling is a 10.8x
+    # win at this scale (scripts/diag_1m.py: 94 ms vs 1016 ms at K=11437)
+    per = chained_time(t_res, co, cd, tmx, act, scene1m, short=2, long=7)
     row("camera_1m", n / per / 1e6, "Mrays/s",
         f"{per*1e3:.2f} ms/wavefront, 1M tris, HBM-streaming resident kernel")
 
     # incoherent rays over the 1M scene: morton-sorted, short chain (an
     # unsorted long chain exceeds the device watchdog on this relay)
-    per = chained_time(t_1m_sorted, ro, rd, tmx, act, short=1, long=4, reps=2)
+    per = chained_time(t_res_sorted, ro, rd, tmx, act, scene1m,
+                       short=1, long=4, reps=2)
     row("incoherent_1m", n / per / 1e6, "Mrays/s",
         f"{per*1e3:.2f} ms/wavefront, 1M tris, morton-sorted")
 
@@ -121,10 +121,17 @@ def main():
 
     @jax.jit
     def frame_chain(s0, nc):
+        # bounded, BIT-CHANGING fold (see utils/benchmarking.py): the seed
+        # advances by an output-dependent step >= 1 each iteration, so every
+        # frame in the chain renders a DIFFERENT integer seed and the relay
+        # cannot fast-path bit-identical repeats (the old `s + v*1e-30` fold
+        # underflowed against the f32 seed -> all iterations identical)
         def step(i, carry):
             s, acc = carry
             v = frame(s)
-            return s + (v * 1e-30).astype(s.dtype), acc + v[0]
+            bump = (jnp.clip(v, -1.0, 1.0) + 1.001)[0] * (
+                1.0 + i.astype(jnp.float32))
+            return s + bump, acc + v[0]
         _, acc = jax.lax.fori_loop(0, nc, step, (s0, jnp.float32(0)))
         return acc
 
