@@ -348,6 +348,112 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
     return skb_scr[:], slot_scr[:], kb0
 
 
+def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
+                      tm: int, k: int, recull: int):
+    """Any-hit selection loop in rounds of `recull` visits with per-ray
+    RE-CULLING of settled (occluded) rays between rounds.
+
+    The plain any-hit kernels build their selection keys ONCE from the
+    block-min enter distances of every ray — so as long as ONE ray stays
+    open within the horizon, the block keeps visiting the union of ALL 128
+    rays' clusters, even though most rays occlude within their first visit
+    or two (dense-scene NEE shadow storms: measured 24 ms per 256k-shadow
+    bounce on the 65k soup frame).  Re-masking the (TM, K) per-ray enter
+    matrix against the CURRENT occlusion mask every `recull` visits drops
+    every cluster that only still-settled rays wanted.
+
+    scr = (occ_scr (TM,1) i32, vis_scr (1,K) i32, keys_scr (1,K) i32):
+    round-crossing vector state lives in VMEM scratch — the outer while
+    carries only scalars (Mosaic scf.yield layout constraint, see
+    _recull_loop).  Returns the (TM, 1) i32 occlusion mask."""
+    occ_scr, vis_scr, keys_scr = scr
+    SAT = jnp.int32(0x7FFFFFFF)
+    inf = jnp.float32(float("inf"))
+    tmax = rays[:, 7:8]
+    cb = _lane_bits(k)
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    en_pr = _cluster_enters(rays, boxes, k, tm, exact=True, keep_rows=True)
+    tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+
+    def rekeys(occ):
+        en_eff = jnp.where(jnp.broadcast_to(occ > 0, (tm, k)), inf, en_pr)
+        en_min = jnp.min(en_eff, axis=0, keepdims=True)
+        return jnp.where(vis_scr[:] > 0, SAT, _selection_keys(en_min, k, cb))
+
+    if hbm_refs is not None:
+        tbuf, sem = hbm_refs
+
+        def dma(idx, slot):
+            safe = jnp.minimum(idx, k - 1)
+            return pltpu.make_async_copy(
+                table_ref.at[safe], tbuf.at[slot], sem.at[slot])
+
+    occ0 = jnp.zeros((tm, 1), jnp.int32)
+    occ_scr[:] = occ0
+    vis_scr[:] = jnp.zeros((1, k), jnp.int32)
+    sel0, keys0 = _next_cluster(rekeys(occ0))
+    keys_scr[:] = keys0
+    worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
+
+    def outer_cond(carry):
+        j, sel, worst = carry
+        return (sel & ~cmask) < worst
+
+    def outer_body(carry):
+        j0, sel_in, worst_in = carry
+        keys_in = keys_scr[:]
+        occ_in = occ_scr[:]
+        if hbm_refs is not None:
+            dma(sel_in & cmask, jax.lax.rem(j0, 2)).start()
+
+        def inner_cond(c2):
+            j, sel, keys, occ, worst = c2
+            return (j - j0 < recull) & ((sel & ~cmask) < worst)
+
+        def inner_body(c2):
+            j, sel, keys, occ, _ = c2
+            sel2, keys2 = _next_cluster(keys)
+            worst2 = jnp.max(
+                jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
+            )[0, 0]
+            idx = sel & cmask
+            vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
+            if hbm_refs is not None:
+                slot = jax.lax.rem(j, 2)
+                dma(sel2 & cmask, 1 - slot).start()
+                dma(idx, slot).wait()
+                tri = tbuf[slot]
+            else:
+                tri = table_ref[idx]
+            t, tri_ok = _mt_body(rays, tri, c, tm)
+            tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
+            hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
+            occ = jnp.maximum(occ, hit)
+            return j + 1, sel2, keys2, occ, worst2
+
+        j_end, _, _, occ, _ = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (j0, sel_in, keys_in, occ_in, worst_in))
+
+        if hbm_refs is not None:
+            dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+
+        occ_scr[:] = occ
+        # re-keys: occluded rays' enter rows masked out, visited clusters
+        # excluded (vis_scr) so nothing is ever processed twice
+        sel3, keys3 = _next_cluster(rekeys(occ))
+        keys_scr[:] = keys3
+        worst3 = jnp.max(
+            jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
+        )[0, 0]
+        return j_end, sel3, worst3
+
+    jax.lax.while_loop(outer_cond, outer_body, (jnp.int32(0), sel0, worst0))
+    return occ_scr[:]
+
+
 def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
             k: int, exact: bool, recull: int = 0):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
@@ -530,12 +636,19 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
 
 
 def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
-                     *, c: int, tm: int, k: int, exact: bool):
+                     *scr, c: int, tm: int, k: int, exact: bool,
+                     recull: int = 0):
     """Any-hit variant of _kernel_hbm (same DMA pipeline)."""
     rays = rays_ref[:]
     tmax = rays[:, 7:8]
     cb = _lane_bits(k)
     cmask = jnp.int32((1 << cb) - 1)
+
+    if recull and exact:
+        occ = _occl_recull_loop(rays, boxes_ref[:], table_hbm, (tbuf, sem),
+                                scr, c=c, tm=tm, k=k, recull=recull)
+        out_ref[:, 0:1] = occ.astype(jnp.float32)
+        return
 
     tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
     en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
@@ -583,7 +696,8 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
-def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k: int, exact: bool):
+def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
+                 tm: int, k: int, exact: bool, recull: int = 0):
     """Any-hit variant: a cluster is processed only while some unoccluded ray
     could still be blocked; terminates when every ray is occluded (the
     running horizon is the max tmax-bits over OPEN rays)."""
@@ -591,6 +705,12 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *, c: int, tm: int, k:
     tmax = rays[:, 7:8]
     cb = _lane_bits(k)
     cmask = jnp.int32((1 << cb) - 1)
+
+    if recull and exact:
+        occ = _occl_recull_loop(rays, boxes_ref[:], table_ref, None,
+                                scr, c=c, tm=tm, k=k, recull=recull)
+        out_ref[:, 0:1] = occ.astype(jnp.float32)
+        return
 
     tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
     en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
@@ -768,12 +888,11 @@ def trace_resident(
         # footprint cap sits as high as VMEM allows (the 4 MiB cap this
         # replaces disabled re-culling exactly where it mattered most).
         # Camera tiles gain ~nothing but lose nothing (17.9 -> 16.9 ms).
-        # Closest-hit only (the any-hit kernels exit on first accept).
-        recull = (
-            8 if (exact_cull and not any_hit and tm * k * 4 <= 8 * 2**20)
-            else 0
-        )
-    if not exact_cull or any_hit:
+        # Any-hit re-culls the OCCLUSION mask (_occl_recull_loop): dense-
+        # scene NEE blocks otherwise keep visiting every cluster the block's
+        # last open ray allows (measured 24 ms -> see bench_frame_stages).
+        recull = 8 if (exact_cull and tm * k * 4 <= 8 * 2**20) else 0
+    if not exact_cull:
         recull = 0
 
     ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -796,11 +915,18 @@ def trace_resident(
     else:
         kern = _occl_kernel if any_hit else _kernel
         scratch = []
-    if not any_hit:
-        kern = partial(kern, recull=recull)
-        if recull:
-            # round-crossing vector state of the re-cull loop (see
-            # _recull_loop: the outer while carries only scalars)
+    kern = partial(kern, recull=recull)
+    if recull:
+        # round-crossing vector state of the re-cull loops (see
+        # _recull_loop / _occl_recull_loop: the outer while carries only
+        # scalars)
+        if any_hit:
+            scratch = scratch + [
+                pltpu.VMEM((tm, 1), jnp.int32),
+                pltpu.VMEM((1, k), jnp.int32),
+                pltpu.VMEM((1, k), jnp.int32),
+            ]
+        else:
             scratch = scratch + [
                 pltpu.VMEM((tm, 1), jnp.int32),
                 pltpu.VMEM((tm, 1), jnp.int32),

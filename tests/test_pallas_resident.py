@@ -185,6 +185,29 @@ def test_resident_recull_small_rounds():
                jnp.ones((n,), bool), tile_rays=128, sort_rays=True, recull=r)
 
 
+def test_resident_any_hit_recull():
+    """Any-hit RE-CULL rounds (_occl_recull_loop: occluded rays' enter rows
+    masked out between rounds) must match the oracle bit-for-bit — incl.
+    finite per-ray tmax, inactive rays, odd round lengths, and the
+    HBM-streaming DMA variant."""
+    scene = device_scene_from_meshes([random_tri_soup(700, seed=24)], tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(26)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(rng.rand(n).astype(np.float32) * 1.5 + 0.05)
+    act = jnp.asarray(rng.rand(n) > 0.2)
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    for hbm in (False, True):
+        for r in (1, 3, 8):
+            occ, dropped = trace_resident(
+                scene, o, d, 1e-3, tmax, act, tile_rays=128, any_hit=True,
+                sort_rays=True, exact_cull=True, recull=r, hbm_table=hbm)
+            assert int(dropped) == 0
+            np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
+
+
 def test_resident_hbm_unaligned_cluster_width():
     """tris_per_cluster not 128-aligned: the HBM kernel pads table lanes
     (Mosaic DMA alignment) and the epilogue remaps winner slots."""
