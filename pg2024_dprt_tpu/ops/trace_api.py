@@ -75,11 +75,13 @@ def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
     """Closest hit. Returns (HitRecord, diag) — diag counts pairs still
     dropped after escalation (0 for the exact backends).
 
-    sort_rays=True (production default) morton-orders the wavefront by
-    direction octant + origin cell inside the Pallas backends — essential
-    for bounce/shadow wavefronts, whose scattered directions otherwise
-    destroy the per-tile cluster locality; near-free for already-coherent
-    camera wavefronts (one 32-bit sort + two gathers)."""
+    sort_rays morton-orders the wavefront (origin-cell-major) inside the
+    Pallas backends.  Measured policy (scripts/ab_bounce_sort.py): sort
+    only genuinely UNSTRUCTURED wavefronts (random control 20 vs 74 ms;
+    e.g. migrated arrivals in the distributed loop).  Path-traced
+    wavefronts keep pixel order at every bounce — their tiles inherit the
+    parents' frustum coherence and the sort is a measured loss (b1 closest
+    7.6 -> 5.8 ms, b1 NEE shadow 25 -> 9.6 ms; render/engine.py)."""
     tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
         return traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)

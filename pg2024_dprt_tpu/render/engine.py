@@ -92,14 +92,19 @@ def render_sample(
         )
         return next_paths, direct, env_img, diag + d1 + d2
 
-    # Static Python unroll (cfg.bounces is static): bounce 0 wavefronts are
-    # camera/pixel-block ordered — already coherent, and the morton sort's
-    # fixed dependent-launch cost (~2.5 ms on this backend) is pure loss —
-    # while bounce >= 1 wavefronts are BSDF-scattered, where sorting is a
-    # measured ~5x. A fori_loop could not switch this static flag per bounce.
+    # Sort policy (measured on the real chip, scripts/ab_bounce_sort.py and
+    # scripts/sweep_occl.py): path-traced wavefronts KEEP PIXEL ORDER at
+    # every bounce.  Adjacent pixels' paths stay spatially adjacent after a
+    # bounce (origins = parent hit points) and NEE directions converge on
+    # the lights, so pixel-order tiles inherit the parents' frustum
+    # coherence — the morton sort both costs its fixed dependent-launch
+    # latency AND produces WORSE tiles (b1 closest 7.6 -> 5.8 ms, b1 shadow
+    # 25 -> 9.6 ms).  Sorting remains essential only for genuinely
+    # unstructured wavefronts (random control: 20 vs 74 ms), e.g. migrated
+    # arrivals in the distributed loop (parallel/distributed.py).
     carry = (paths, direct, env_img, jnp.int32(0))
     for bounce in range(cfg.bounces):
-        carry = bounce_body(jnp.int32(bounce), carry, sort_rays=bounce >= 1)
+        carry = bounce_body(jnp.int32(bounce), carry, sort_rays=False)
     paths, direct, env_img, diag = carry
     return direct, env_img, diag
 
