@@ -1,0 +1,630 @@
+"""Whole-sample frame megakernel: every bounce's closest-hit trace, surface
+shading, NEE shadow generation, shadow occlusion, and env-miss accumulation
+for one path-traced sample run in ONE Pallas program.
+
+Why: on this backend cost is per-LAUNCH (~0.4 ms per entry-computation op —
+fusion, copy, or custom call alike; CLAUDE.md).  The composed frame
+(render/engine.py: trace kernel + XLA shade + occlusion kernel per bounce)
+compiles to ~295 paid entry ops = ~125 ms at 256x256 regardless of how fast
+each stage is.  Keeping the whole sample device-resident in one kernel
+shrinks the XLA surface to camera-path generation + one kernel + one
+pixel-order gather (<10 ops), so frame time approaches pure trace compute.
+
+Structure per ray tile (grid over tiles of TM rays, bounce loop unrolled
+in-kernel, pixel-order wavefronts — the measured-best policy for path-traced
+wavefronts, see trace_api.trace_closest_checked):
+
+  1. closest hit — pallas_resident._recull_loop (exact per-ray cull,
+     front-to-back selection, per-ray horizon re-culling; VMEM-resident
+     triangle table or double-buffered HBM streaming);
+  2. winner-attribute fetch — for each DISTINCT winning cluster of the tile
+     (coherent tiles hit 1-5), load its MT + shade slices ((12,C) resident
+     or DMA, (24,C) always DMA from scene.cl_shade_table) and one-hot-matmul
+     the winners' 36-wide attribute rows onto the rays (MXU);
+  3. exact t/u/v refinement — per-ray Moller-Trumbore on the fetched
+     v0/e1/e2 (restores the mantissa bits the packed selection key spends);
+  4. shade — smooth-normal interpolation, BSDF sample (Lambertian
+     hemisphere / Water Fresnel, render/shade.py math), bit-exact TEA/LCG
+     RNG re-implemented on int32 (logical shifts), next-path update;
+  5. env on miss — in-kernel lat-long bilinear lookup via a one-hot MXU
+     gather over the flattened env image (small maps; the engine falls back
+     to the composed path for maps above _ENV_ROWS_LIMIT);
+  6. NEE — shadow_path_count light samples per shading point
+     (kernel.cu:444-465 contribution formula), traced as ONE (S*TM)-row
+     any-hit block by pallas_resident._occl_recull_loop, unoccluded
+     contributions accumulated in-register.
+
+Role parity: the reference's per-sample launch sequence PathGen -> [Traverse
+-> MainRay -> ShadowRay]*bounces (/root/reference/src/render/renderer.cpp:
+1530-1570, optix/kernel.cu:362-466) as a single device program.
+
+Scope (render/engine.py gates; everything else takes the composed path):
+untextured scenes, env maps <= _ENV_ROWS_LIMIT pixels, light tables <=
+_LIGHT_ROWS_LIMIT, cluster counts small enough for the per-ray re-cull
+matrices.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import BSDF_WATER
+from .pallas_resident import (
+    VMEM_TABLE_LIMIT, _lane_bits, _occl_recull_loop, _recull_loop,
+    resident_table_bytes,
+)
+
+_FMAX = 3.402823466e38
+_PI = 3.14159265358979
+_EPS = 1e-8          # core/math.py EPS
+
+TILE_RAYS = 128
+_ENV_ROWS_LIMIT = 2048
+_LIGHT_ROWS_LIMIT = 64
+# per-ray re-cull enter matrices must fit in VMEM: (TM, K) for the closest
+# loop + (S*TM, K) for the occlusion loop
+_RECULL_BYTES_LIMIT = 6 * 2**20
+
+
+def _i32c(x):
+    return jnp.int32(np.int32(np.uint32(x)))
+
+
+def _tea_i32(v0, v1, rounds: int = 4):
+    """core/rng.py tea() on int32 vectors (logical right shifts keep the
+    uint32 bit pattern; add/xor/shl wrap identically)."""
+    srl = jax.lax.shift_right_logical
+    s0 = jnp.int32(0)
+    for _ in range(rounds):
+        s0 = s0 + _i32c(0x9E3779B9)
+        v0 = v0 + ((((v1 << 4) + _i32c(0xA341316C)) ^ (v1 + s0))
+                   ^ (srl(v1, 5) + _i32c(0xC8013EA4)))
+        v1 = v1 + ((((v0 << 4) + _i32c(0xAD90777D)) ^ (v0 + s0))
+                   ^ (srl(v0, 5) + _i32c(0x7E95761E)))
+    return v0
+
+
+def _rnd_i32(seed):
+    """core/rng.py rnd() on int32: returns (new_seed, f32 in [0,1))."""
+    nxt = _i32c(1664525) * seed + _i32c(1013904223)
+    bits = nxt & _i32c(0x00FFFFFF)
+    return nxt, bits.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+# ---- (TM,1)-column vec3 helpers (explicit shapes; Mosaic re-evaluates lazy
+# broadcasts per op, so everything stays (TM,1)) ----
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _mul3(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def _where3(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _norm3(a):
+    n = jnp.sqrt(_dot3(a, a))
+    inv = 1.0 / jnp.maximum(n, _EPS)
+    return _scale3(a, inv)
+
+
+def _frame3(n):
+    """core/math.py make_frame (Duff et al. branchless basis)."""
+    nx, ny, nz = n
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t = (1.0 + sign * nx * nx * a, sign * b, -sign * nx)
+    bt = (b, sign + ny * ny * a, -ny)
+    return t, bt
+
+
+def _to_world3(n, w):
+    t, b = _frame3(n)
+    return _add3(_add3(_scale3(t, w[0]), _scale3(b, w[1])), _scale3(n, w[2]))
+
+
+def _to_local3(n, w):
+    t, b = _frame3(n)
+    return (_dot3(w, t), _dot3(w, b), _dot3(w, n))
+
+
+def _col(a, i):
+    return a[:, i:i + 1]
+
+
+def _vec(a, i):
+    return (_col(a, i), _col(a, i + 1), _col(a, i + 2))
+
+
+def _pack_ray_block(o, d, act, tmin_v, tmax_v, tm):
+    """(TM, 8) ray block in the pallas_resident convention:
+    [o(3), d(3), tmin | FMAX, tmax | 0]."""
+    return jnp.concatenate(
+        [o[0], o[1], o[2], d[0], d[1], d[2],
+         jnp.where(act, tmin_v, jnp.float32(_FMAX)),
+         jnp.where(act, tmax_v, 0.0)], axis=1)
+
+
+def _scene_exit_cap(o, d, lo, hi, tmax_raw):
+    """pallas_resident tmax_eff: cap each ray at its scene-AABB exit."""
+    exit_t = None
+    for ax in range(3):
+        dv = d[ax]
+        inv = 1.0 / jnp.where(jnp.abs(dv) < 1e-12,
+                              jnp.where(dv >= 0, 1e-12, -1e-12), dv)
+        t0 = (lo[ax] - o[ax]) * inv
+        t1 = (hi[ax] - o[ax]) * inv
+        mx = jnp.maximum(t0, t1)
+        exit_t = mx if exit_t is None else jnp.minimum(exit_t, mx)
+    return jnp.minimum(tmax_raw, jnp.maximum(exit_t, 0.0) * 1.001 + 1e-4)
+
+
+def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
+                  env_ref, meta_i_ref, meta_f_ref, out_ref, *scr,
+                  c: int, tm: int, k: int, s: int, bounces: int, lp: int,
+                  l_count: int, ep: int, eh: int, ew: int, eps: float,
+                  hbm: bool, recull: int, orecull: int):
+    """One ray tile, all bounces.  rays cols (8): [o(3), d(3), pixel_f32,
+    act]; meta_i (1,8): per-bounce TEA salts; meta_f (1,8): [scene_lo(3),
+    scene_hi(3), env_rotation, pad]; out cols (8): [direct(3), env(3), 0, 0].
+    """
+    if hbm:
+        tbuf, sem = scr[0], scr[1]
+        scr = scr[2:]
+        hbm_refs = (tbuf, sem)
+    else:
+        tbuf = sem = hbm_refs = None
+    sbuf, ssem = scr[0], scr[1]
+    skb_scr, slot_scr, vis_scr, keys_scr, occ_scr = scr[2:7]
+    attr_scr = scr[7]
+
+    rays_in = rays_ref[:]
+    o = _vec(rays_in, 0)
+    d = _vec(rays_in, 3)
+    pix = _col(rays_in, 6).astype(jnp.int32)
+    act = _col(rays_in, 7) > 0.5
+    tp = (jnp.ones((tm, 1), jnp.float32),) * 3
+    tp = (tp[0], jnp.ones((tm, 1), jnp.float32), jnp.ones((tm, 1), jnp.float32))
+
+    lo = tuple(meta_f_ref[0, ax] for ax in range(3))
+    hi = tuple(meta_f_ref[0, 3 + ax] for ax in range(3))
+    env_rot = meta_f_ref[0, 6]
+
+    direct = (jnp.zeros((tm, 1), jnp.float32),) * 3
+    env_acc = (jnp.zeros((tm, 1), jnp.float32),) * 3
+    direct = tuple(jnp.zeros((tm, 1), jnp.float32) for _ in range(3))
+    env_acc = tuple(jnp.zeros((tm, 1), jnp.float32) for _ in range(3))
+
+    lanes_c = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+    eps_col = jnp.full((tm, 1), jnp.float32(eps))
+    fmax_col = jnp.full((tm, 1), jnp.float32(_FMAX))
+
+    for b in range(bounces):
+        salt = meta_i_ref[0, b]
+
+        # ---- 1. closest hit ----
+        tmax_eff = _scene_exit_cap(o, d, lo, hi, fmax_col)
+        rays8 = _pack_ray_block(o, d, act, eps_col, tmax_eff, tm)
+        _, s_slot, _ = _recull_loop(
+            rays8, boxes_ref[:], table_ref, hbm_refs,
+            (skb_scr, slot_scr, vis_scr, keys_scr),
+            c=c, tm=tm, k=k, recull=recull)
+        hit = (s_slot >= 0) & act
+
+        # ---- 2. winner-attribute fetch (distinct clusters of the tile) ----
+        w_cl = jnp.where(hit, jax.lax.div(s_slot, jnp.int32(c)), jnp.int32(k))
+        w_ln = jnp.where(hit, s_slot - w_cl * jnp.int32(c), jnp.int32(0))
+        attr_scr[:] = jnp.zeros((tm, 40), jnp.float32)
+
+        def fetch_cond(carry):
+            cur, fetched = carry
+            return cur < k
+
+        def fetch_body(carry):
+            cur, fetched = carry
+            if hbm:
+                pltpu.make_async_copy(
+                    table_ref.at[jnp.minimum(cur, k - 1)], tbuf.at[0],
+                    sem.at[0]).start()
+            pltpu.make_async_copy(
+                shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
+                ssem.at[0]).start()
+            if hbm:
+                pltpu.make_async_copy(
+                    table_ref.at[jnp.minimum(cur, k - 1)], tbuf.at[0],
+                    sem.at[0]).wait()
+                mt = tbuf[0]
+            else:
+                mt = table_ref[cur]
+            pltpu.make_async_copy(
+                shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
+                ssem.at[0]).wait()
+            sh = sbuf[0]
+            sel = w_cl == cur                                  # (TM, 1)
+            oh = ((lanes_c == jnp.broadcast_to(w_ln, (tm, c)))
+                  & jnp.broadcast_to(sel, (tm, c))).astype(jnp.float32)
+            a_mt = jax.lax.dot_general(
+                oh, mt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (TM, 12)
+            a_sh = jax.lax.dot_general(
+                oh, sh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (TM, 24)
+            attr_scr[:, 0:12] = attr_scr[:, 0:12] + a_mt
+            attr_scr[:, 12:36] = attr_scr[:, 12:36] + a_sh
+            fetched = fetched | sel
+            cur2 = jnp.min(
+                jnp.where(fetched, jnp.int32(k), w_cl), axis=0, keepdims=True
+            )[0, 0]
+            return cur2, fetched
+
+        fetched0 = ~hit
+        cur0 = jnp.min(
+            jnp.where(fetched0, jnp.int32(k), w_cl), axis=0, keepdims=True
+        )[0, 0]
+        jax.lax.while_loop(fetch_cond, fetch_body, (cur0, fetched0))
+        attr = attr_scr[:]
+
+        # ---- 3. exact t/u/v refinement (pallas_resident epilogue math) ----
+        v0 = _vec(attr, 0)
+        e1 = _vec(attr, 3)
+        e2 = _vec(attr, 6)
+        pv = _cross3(d, e2)
+        det = _dot3(e1, pv)
+        ok = jnp.abs(det) > 1e-12
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tv = _sub3(o, v0)
+        u = _dot3(tv, pv) * inv_det
+        qv = _cross3(tv, e1)
+        v = _dot3(d, qv) * inv_det
+        t = _dot3(e2, qv) * inv_det
+        hit = hit & ok
+        t_hit = jnp.where(hit, t, 0.0)
+        point = _add3(o, _scale3(d, t_hit))
+
+        # ---- 4. shade (render/shade.py math) ----
+        w_bar = 1.0 - u - v
+        n0 = _vec(attr, 12)
+        n1 = _vec(attr, 15)
+        n2 = _vec(attr, 18)
+        normal = _norm3(_add3(_add3(_scale3(n0, w_bar), _scale3(n1, u)),
+                              _scale3(n2, v)))
+        albedo = _vec(attr, 27)
+        is_water = jnp.abs(_col(attr, 30) - jnp.float32(BSDF_WATER)) < 0.5
+
+        wo = _scale3(d, jnp.full((tm, 1), -1.0))
+        cosw = _dot3(normal, wo)
+        is_inside = cosw < 0.0
+        normal = _where3(is_inside, _scale3(normal, jnp.full((tm, 1), -1.0)),
+                         normal)
+
+        seed = _tea_i32(pix, jnp.full((tm, 1), salt, jnp.int32))
+        seed, xi1 = _rnd_i32(seed)
+        seed, xi2 = _rnd_i32(seed)
+
+        # Lambertian: uniform hemisphere, weight 2
+        z_h = xi1
+        r_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - z_h * z_h))
+        phi_h = (2.0 * _PI) * xi2
+        wi_diff = (r_h * jnp.cos(phi_h), r_h * jnp.sin(phi_h), z_h)
+
+        # Water: Fresnel dielectric (render/shade.py bsdf_sample)
+        wol = _to_local3(normal, wo)
+        eta_i = jnp.where(is_inside, 1.33, 1.0)
+        eta_t = jnp.where(is_inside, 1.0, 1.33)
+        eta = eta_i / eta_t
+        cos_i_r = jnp.abs(wol[2])
+        sin2_i = jnp.maximum(0.0, 1.0 - cos_i_r * cos_i_r)
+        sin2_t = eta * eta * sin2_i
+        cos_t_r = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+        sgn = jnp.where(wol[2] >= 0.0, 1.0, -1.0)
+        wi_refr = (-eta * wol[0], -eta * wol[1], -sgn * cos_t_r)
+        # dielectric_reflectance (core/math.py)
+        cos_i_c = jnp.clip(jnp.abs(wol[2]), 0.0, 1.0)
+        s2i = jnp.maximum(0.0, 1.0 - cos_i_c * cos_i_c)
+        s2t = eta * eta * s2i
+        tir = s2t >= 1.0
+        c_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - s2t))
+        r_parl = (eta_t * cos_i_c - eta_i * c_t) / jnp.maximum(
+            eta_t * cos_i_c + eta_i * c_t, _EPS)
+        r_perp = (eta_i * cos_i_c - eta_t * c_t) / jnp.maximum(
+            eta_i * cos_i_c + eta_t * c_t, _EPS)
+        fres = jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
+        reflecting = xi1 < fres
+        wi_refl = (-wol[0], -wol[1], wol[2])
+        wi_water = _where3(reflecting, wi_refl, wi_refr)
+        cos_wi_w = jnp.abs(wi_water[2])
+        safe_cos = jnp.maximum(cos_wi_w, 1e-12)
+        eta_corr = (eta_i / eta_t) ** 2
+        w_water = jnp.where(reflecting, 1.0 / safe_cos, eta_corr / safe_cos)
+        w_water = jnp.where(cos_wi_w == 0.0, 0.0, w_water)
+
+        wi_local = _where3(is_water, wi_water, wi_diff)
+        weight = jnp.where(is_water, w_water, jnp.full((tm, 1), 2.0))
+        is_delta = is_water
+        wi_world = _norm3(_to_world3(normal, wi_local))
+        cos_theta = jnp.abs(wi_local[2])
+
+        # ---- 5. env on miss (lat-long bilinear via one-hot MXU gather) ----
+        miss = act & (~hit)
+        theta_e = jnp.arccos(jnp.clip(d[1], -1.0, 1.0))
+        phi_e = jnp.arctan2(d[2], d[0])
+        phi_e = jnp.where(phi_e < 0.0, phi_e + 2.0 * _PI, phi_e)
+        phi_e = phi_e + env_rot
+        phi_e = jnp.where(phi_e > 2.0 * _PI, phi_e - 2.0 * _PI, phi_e)
+        ue = phi_e * jnp.float32(1.0 / (2.0 * _PI))
+        ve = theta_e * jnp.float32(1.0 / _PI)
+        xe = ue * ew - 0.5
+        ye = ve * eh - 0.5
+        x0f = jnp.floor(xe)
+        y0f = jnp.floor(ye)
+        fx = xe - x0f
+        fy = ye - y0f
+        x0i = x0f.astype(jnp.int32)
+        y0i = y0f.astype(jnp.int32)
+        x0i = jax.lax.rem(x0i, jnp.int32(ew))
+        x0i = jnp.where(x0i < 0, x0i + ew, x0i)
+        x1i = jax.lax.rem(x0i + 1, jnp.int32(ew))
+        y0i = jnp.clip(y0i, 0, eh - 1)
+        y1i = jnp.clip(y0i + 1, 0, eh - 1)
+        lanes_e = jax.lax.broadcasted_iota(jnp.int32, (tm, ep), 1)
+        Wm = None
+        for (yy, xx, ww) in ((y0i, x0i, (1 - fx) * (1 - fy)),
+                             (y0i, x1i, fx * (1 - fy)),
+                             (y1i, x0i, (1 - fx) * fy),
+                             (y1i, x1i, fx * fy)):
+            idx = yy * ew + xx
+            oh_e = (lanes_e == jnp.broadcast_to(idx, (tm, ep))).astype(
+                jnp.float32) * jnp.broadcast_to(ww, (tm, ep))
+            Wm = oh_e if Wm is None else Wm + oh_e
+        env_rgb4 = jnp.dot(Wm, env_ref[:],
+                           preferred_element_type=jnp.float32)  # (TM, 4)
+        env_w = jnp.where(miss, 1.0, 0.0)
+        env_acc = _add3(env_acc, _mul3(tp, _scale3(
+            (_col(env_rgb4, 0), _col(env_rgb4, 1), _col(env_rgb4, 2)),
+            env_w)))
+
+        # ---- 6. NEE shadow paths ----
+        shadow_valid = hit & (~is_delta)
+        sblocks = []
+        scontrib = []
+        svalids = []
+        for j in range(s):
+            sseed = _tea_i32(pix * jnp.int32(s) + jnp.int32(j),
+                             jnp.full((tm, 1), salt, jnp.int32))
+            sseed, sx1 = _rnd_i32(sseed)
+            sseed, sx2 = _rnd_i32(sseed)
+            sseed, sx3 = _rnd_i32(sseed)
+            if l_count == 1:
+                lrow = jnp.broadcast_to(ltab_ref[0:1, :], (tm, 16))
+            else:
+                li = jnp.minimum(
+                    jnp.floor(sx1 * l_count).astype(jnp.int32),
+                    jnp.int32(l_count - 1))
+                lanes_l = jax.lax.broadcasted_iota(jnp.int32, (tm, lp), 1)
+                oh_l = (lanes_l == jnp.broadcast_to(li, (tm, lp))).astype(
+                    jnp.float32)
+                lrow = jnp.dot(oh_l, ltab_ref[:],
+                               preferred_element_type=jnp.float32)
+            lp0 = _vec(lrow, 0)
+            lp1 = _vec(lrow, 3)
+            lp2 = _vec(lrow, 6)
+            le = _vec(lrow, 9)
+            # uniform_sample_triangle (core/math.py)
+            su = jnp.sqrt(sx2)
+            b0 = 1.0 - su
+            b1 = sx3 * su
+            lpnt = _add3(lp0, _add3(_scale3(_sub3(lp1, lp0), b0),
+                                    _scale3(_sub3(lp2, lp0), b1)))
+            cr = _cross3(_sub3(lp1, lp0), _sub3(lp2, lp0))
+            area = 0.5 * jnp.sqrt(_dot3(cr, cr))
+            lnorm = _scale3(cr, 1.0 / jnp.maximum(2.0 * area, _EPS))
+            area_pdf = 1.0 / jnp.maximum(area, _EPS) / l_count
+
+            to_l = _sub3(lpnt, point)
+            dist = jnp.sqrt(_dot3(to_l, to_l))
+            wi_s = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-12))
+            contrib_s = (
+                jnp.maximum(0.0, -_dot3(lnorm, wi_s))
+                * jnp.maximum(0.0, _dot3(wi_s, normal))
+                / area_pdf
+                / jnp.maximum(dist * dist, 1e-12)
+                * jnp.float32(1.0 / _PI))
+            contrib = _mul3(_mul3(le, tp), _scale3(albedo, contrib_s))
+
+            stmax = dist * (1.0 - 1e-3)
+            sblocks.append(_pack_ray_block(point, wi_s, shadow_valid,
+                                           eps_col, stmax, tm))
+            scontrib.append(contrib)
+            svalids.append(shadow_valid)
+
+        srays = jnp.concatenate(sblocks, axis=0)             # (S*TM, 8)
+        occ = _occl_recull_loop(
+            srays, boxes_ref[:], table_ref, hbm_refs,
+            (occ_scr, vis_scr, keys_scr),
+            c=c, tm=s * tm, k=k, recull=orecull)             # (S*TM, 1)
+        inv_s = jnp.float32(1.0 / s)
+        for j in range(s):
+            unocc = svalids[j] & (occ[j * tm:(j + 1) * tm] == 0)
+            wgt = jnp.where(unocc, inv_s, 0.0)
+            direct = _add3(direct, _scale3(scontrib[j], wgt))
+
+        # ---- next bounce state ----
+        tp_s = weight * cos_theta
+        tp = _mul3(_mul3(tp, _scale3(albedo, tp_s)),
+                   (jnp.ones((tm, 1)),) * 3)
+        tp = tuple(jnp.where(hit, q, 0.0) for q in tp)
+        o = point
+        d = wi_world
+        act = hit
+
+    out_ref[:, 0:1] = direct[0]
+    out_ref[:, 1:2] = direct[1]
+    out_ref[:, 2:3] = direct[2]
+    out_ref[:, 3:4] = env_acc[0]
+    out_ref[:, 4:5] = env_acc[1]
+    out_ref[:, 5:6] = env_acc[2]
+    out_ref[:, 6:8] = jnp.zeros((tm, 2), jnp.float32)
+
+
+def fused_frame_supported(scene, lights, env, cfg) -> bool:
+    """Static gate for the megakernel path (shapes only — no traced values)."""
+    if scene.albedo_textures is not None and scene.albedo_textures.count > 0:
+        return False
+    if scene.cl_shade_table is None or scene.cl_mt_table is None:
+        return False
+    ehw = env.image.shape[0] * env.image.shape[1]
+    if ehw > _ENV_ROWS_LIMIT:
+        return False
+    if lights.count < 1 or lights.count > _LIGHT_ROWS_LIMIT:
+        return False
+    if cfg.bounces > 8:
+        return False
+    k = scene.num_clusters
+    s = cfg.shadow_path_count
+    if (1 + s) * TILE_RAYS * k * 4 > _RECULL_BYTES_LIMIT:
+        return False
+    return True
+
+
+@partial(jax.jit, static_argnames=("cfg", "tile_rays", "interpret"))
+def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
+                        tile_rays: int = TILE_RAYS, interpret: bool = None):
+    """One spp with the whole-sample megakernel.  Same contract as
+    render/engine.py render_sample: (direct (npix,3), env (npix,3), diag)."""
+    from ..render.pathgen import generate_camera_paths, tiled_pixel_order
+    from ..core.rng import tea
+
+    tm = tile_rays
+    npix = cfg.frame_buffer_size
+    paths = generate_camera_paths(camera, sample_count)
+    n = npix
+    pad = (-n) % tm
+    mp = n + pad
+
+    rays = jnp.concatenate(
+        [paths.origin, paths.direction,
+         paths.pixel_index.astype(jnp.float32)[:, None],
+         jnp.ones((n, 1), jnp.float32)], axis=1)              # (n, 8)
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((pad, 8), jnp.float32)], axis=0)
+
+    c = scene.tris_per_cluster
+    k = scene.num_clusters
+    s = cfg.shadow_path_count
+    bounces = cfg.bounces
+
+    # per-bounce TEA salts (render/shade.py bounce_salt)
+    salts = jnp.stack(
+        [tea(jnp.uint32(sample_count), jnp.uint32(b)).astype(jnp.int32)
+         for b in range(bounces)]
+        + [jnp.int32(0)] * (8 - bounces))[None, :]            # (1, 8) i32
+
+    meta_f = jnp.concatenate(
+        [scene.scene_aabb[0], scene.scene_aabb[1],
+         jnp.asarray(env.rotation_offset, jnp.float32)[None],
+         jnp.zeros((1,), jnp.float32)])[None, :]              # (1, 8) f32
+
+    # light table rows [p0, p1, p2, radiance, pad4]
+    l_count = lights.count
+    lp = max(8, -(-l_count // 8) * 8)
+    ltab = jnp.concatenate(
+        [lights.p0, lights.p1, lights.p2, lights.radiance,
+         jnp.zeros((l_count, 4), jnp.float32)], axis=1)
+    ltab = jnp.pad(ltab, ((0, lp - l_count), (0, 0)))         # (lp, 16)
+
+    # flattened env image (rows rgb + pad)
+    eh, ew = env.image.shape[0], env.image.shape[1]
+    ehw = eh * ew
+    ep = max(8, -(-ehw // 8) * 8)
+    env_flat = jnp.concatenate(
+        [env.image.reshape(ehw, 3), jnp.zeros((ehw, 1), jnp.float32)], axis=1)
+    env_flat = jnp.pad(env_flat, ((0, ep - ehw), (0, 0)))     # (ep, 4)
+
+    boxes = scene.cl_boxes
+    table = scene.cl_mt_table.reshape(k, 12, c)
+    shade_t = scene.cl_shade_table.reshape(k, 24, c)
+
+    hbm = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    c_k = c
+    if c % 128:
+        # both the HBM trace DMA and the attr-fetch DMA slice the lane dim
+        c_k = -(-c // 128) * 128
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
+        shade_t = jnp.pad(shade_t, ((0, 0), (0, 0), (0, c_k - c)))
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pl.ANY if hbm else pltpu.VMEM)
+    shade_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    scratch = []
+    if hbm:
+        scratch += [pltpu.VMEM((2, 12, c_k), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+    scratch += [
+        pltpu.VMEM((1, 24, c_k), jnp.float32),
+        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.VMEM((tm, 1), jnp.int32),       # skb
+        pltpu.VMEM((tm, 1), jnp.int32),       # slot
+        pltpu.VMEM((1, k), jnp.int32),        # vis
+        pltpu.VMEM((1, k), jnp.int32),        # keys
+        pltpu.VMEM((s * tm, 1), jnp.int32),   # occ
+        pltpu.VMEM((tm, 40), jnp.float32),    # attr rows
+    ]
+
+    (out,) = pl.pallas_call(
+        partial(_frame_kernel, c=c_k, tm=tm, k=k, s=s, bounces=bounces,
+                lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
+                eps=cfg.t_epsilon, hbm=hbm, recull=8, orecull=8),
+        grid=(mp // tm,),
+        in_specs=[ray_spec, vmem, table_spec, shade_spec, vmem, vmem,
+                  smem, smem],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((mp, 8), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(rays, boxes, table, shade_t, ltab, env_flat, salts, meta_f)
+
+    # ray order -> pixel order (tiled_pixel_order is a static permutation)
+    order = np.asarray(tiled_pixel_order(cfg.width, cfg.height))
+    inv = np.zeros((npix,), np.int32)
+    inv[order] = np.arange(npix, dtype=np.int32)
+    out = jnp.take(out[:n], jnp.asarray(inv), axis=0)
+    direct = out[:, 0:3]
+    env_img = out[:, 3:6]
+    return direct, env_img, jnp.int32(0)

@@ -967,9 +967,14 @@ def trace_resident(
     canon = jnp.take(scene.cl_tri_map, jnp.clip(slot, 0, scene.cl_tri_map.shape[0] - 1))
     canon = jnp.where(is_hit, canon, -1)
     safe = jnp.maximum(canon, 0)
-    va = jnp.take(scene.v0, safe, axis=0)
-    vb = jnp.take(scene.v1, safe, axis=0)
-    vc = jnp.take(scene.v2, safe, axis=0)
+    if scene.tri_verts is not None:
+        # one wide row gather instead of three (launch count, CLAUDE.md)
+        vrow = jnp.take(scene.tri_verts, safe, axis=0)
+        va, vb, vc = vrow[:, 0:3], vrow[:, 3:6], vrow[:, 6:9]
+    else:
+        va = jnp.take(scene.v0, safe, axis=0)
+        vb = jnp.take(scene.v1, safe, axis=0)
+        vc = jnp.take(scene.v2, safe, axis=0)
     e1 = vb - va
     e2 = vc - va
     dn = d[:n]

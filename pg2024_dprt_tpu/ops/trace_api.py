@@ -123,16 +123,22 @@ def _hit_alpha(scene, hits):
     from ..scene.textures import sample_textures
 
     tri = jnp.maximum(hits.tri_index, 0)
-    mesh = jnp.take(scene.tri_mesh_id, tri, axis=0)
-    tex = jnp.take(scene.mesh_texture_index, mesh, axis=0)
     u = hits.u[:, None]
     v = hits.v[:, None]
     w = 1.0 - u - v
-    uv = (
-        w * jnp.take(scene.uv0, tri, axis=0)
-        + u * jnp.take(scene.uv1, tri, axis=0)
-        + v * jnp.take(scene.uv2, tri, axis=0)
-    )
+    if scene.tri_shade is not None:
+        # one wide row gather (layout: scene/geometry.py DeviceScene)
+        row = jnp.take(scene.tri_shade, tri, axis=0)
+        tex = row[:, 19].astype(jnp.int32)
+        uv = w * row[:, 9:11] + u * row[:, 11:13] + v * row[:, 13:15]
+    else:
+        mesh = jnp.take(scene.tri_mesh_id, tri, axis=0)
+        tex = jnp.take(scene.mesh_texture_index, mesh, axis=0)
+        uv = (
+            w * jnp.take(scene.uv0, tri, axis=0)
+            + u * jnp.take(scene.uv1, tri, axis=0)
+            + v * jnp.take(scene.uv2, tri, axis=0)
+        )
     rgba = sample_textures(scene.albedo_textures, tex, uv[:, 0], uv[:, 1])
     return jnp.where(tex >= 0, rgba[:, 3], 1.0)
 

@@ -46,26 +46,36 @@ def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAt
     v = hits.v[:, None]
     w = 1.0 - u - v
 
-    n0 = jnp.take(scene.n0, tri, axis=0)
-    n1 = jnp.take(scene.n1, tri, axis=0)
-    n2 = jnp.take(scene.n2, tri, axis=0)
+    if scene.tri_shade is not None:
+        # ONE wide row gather per ray (launch count dominates this backend;
+        # layout in scene/geometry.py DeviceScene docstring)
+        row = jnp.take(scene.tri_shade, tri, axis=0)  # (N, 24)
+        n0, n1, n2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        uv0, uv1, uv2 = row[:, 9:11], row[:, 11:13], row[:, 13:15]
+        albedo = row[:, 15:18]
+        bsdf_type = row[:, 18].astype(jnp.int32)
+        tex_idx = row[:, 19].astype(jnp.int32)
+    else:
+        n0 = jnp.take(scene.n0, tri, axis=0)
+        n1 = jnp.take(scene.n1, tri, axis=0)
+        n2 = jnp.take(scene.n2, tri, axis=0)
+        uv0 = jnp.take(scene.uv0, tri, axis=0)
+        uv1 = jnp.take(scene.uv1, tri, axis=0)
+        uv2 = jnp.take(scene.uv2, tri, axis=0)
+        mesh = jnp.take(scene.tri_mesh_id, tri, axis=0)
+        albedo = jnp.take(scene.mesh_base_color, mesh, axis=0)
+        bsdf_type = jnp.take(scene.mesh_bsdf_type, mesh, axis=0)
+        tex_idx = jnp.take(scene.mesh_texture_index, mesh, axis=0)
+
     # barycentric convention: alpha=u weights n1, beta=v weights n2
     # (reference kernel.cu:243-245)
     normal = cmath.normalize(w * n0 + u * n1 + v * n2)
-
-    mesh = jnp.take(scene.tri_mesh_id, tri, axis=0)
-    albedo = jnp.take(scene.mesh_base_color, mesh, axis=0)
-    bsdf_type = jnp.take(scene.mesh_bsdf_type, mesh, axis=0)
 
     # albedo-texture fetch at interpolated uv (kernel.cu:256-283)
     if scene.albedo_textures is not None and scene.albedo_textures.count > 0:
         from ..scene.textures import sample_textures
 
-        uv0 = jnp.take(scene.uv0, tri, axis=0)
-        uv1 = jnp.take(scene.uv1, tri, axis=0)
-        uv2 = jnp.take(scene.uv2, tri, axis=0)
         uv = w * uv0 + u * uv1 + v * uv2
-        tex_idx = jnp.take(scene.mesh_texture_index, mesh, axis=0)
         rgba = sample_textures(scene.albedo_textures, tex_idx, uv[:, 0], uv[:, 1])
         albedo = jnp.where((tex_idx >= 0)[:, None], rgba[:, :3], albedo)
 

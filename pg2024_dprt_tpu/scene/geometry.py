@@ -159,6 +159,22 @@ class DeviceScene(NamedTuple):
     cl_mt_table: jnp.ndarray = None   # (K, 12*C) f32
     cl_boxes: jnp.ndarray = None      # (8, K) f32
     scene_aabb: jnp.ndarray = None    # (2, 3) f32
+    # Wide per-triangle attribute rows (BVH order, same index space as v0).
+    # Launch count dominates this backend: a dozen narrow XLA gathers per
+    # shading stage (n0/n1/n2/uv/material hops) each pay an entry-op launch,
+    # so shading reads ONE row per ray instead (scripts/diag_frame_hlo.py:
+    # 122 gather custom-calls per 4-bounce frame before this).
+    # tri_verts row: v0 xyz, v1 xyz, v2 xyz, pad3.
+    # tri_shade row: n0 xyz (0:3), n1 (3:6), n2 (6:9), uv0 (9:11), uv1
+    # (11:13), uv2 (13:15), albedo rgb (15:18), bsdf_type (18),
+    # texture_index (19, -1 on padding rows), mesh_id (20), pad (21:24) —
+    # mesh-level attributes pre-flattened per triangle.
+    tri_verts: jnp.ndarray = None     # (T, 12) f32
+    tri_shade: jnp.ndarray = None     # (T, 24) f32
+    # Cluster-major component-planar copy of tri_shade (same row layout,
+    # same tri_map lane order as cl_mt_table) — streamed by the frame
+    # megakernel's winner-attribute fetch (ops/pallas_frame.py).
+    cl_shade_table: jnp.ndarray = None  # (K, 24*C) f32
     # Packed native-resolution albedo textures (scene/textures.py
     # PackedTextures pytree); indexed by mesh_texture_index. Empty pool when
     # the scene is untextured.
@@ -244,6 +260,30 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     tri_map = np.full((kc * c,), -1, np.int32)
     tri_map[: k0 * c] = clusters.tri_map
 
+    # wide per-triangle attribute rows (see DeviceScene docstring): one
+    # (N,12)/(N,24) gather per shading stage replaces ~10 narrow gathers +
+    # mesh-table hops, each of which is a separate entry-op launch.
+    tri_verts = np.zeros((tc, 12), np.float32)
+    tri_shade = np.zeros((tc, 24), np.float32)
+    tri_shade[:, 19] = -1.0  # texture_index: pad rows fetch no texture
+    if t > 0:
+        oa = {k: host[k][order]
+              for k in ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
+        omesh = host["tri_mesh_id"][order]
+        tri_verts[:t, 0:3] = oa["v0"]
+        tri_verts[:t, 3:6] = oa["v1"]
+        tri_verts[:t, 6:9] = oa["v2"]
+        tri_shade[:t, 0:3] = oa["n0"]
+        tri_shade[:t, 3:6] = oa["n1"]
+        tri_shade[:t, 6:9] = oa["n2"]
+        tri_shade[:t, 9:11] = oa["uv0"]
+        tri_shade[:t, 11:13] = oa["uv1"]
+        tri_shade[:t, 13:15] = oa["uv2"]
+        tri_shade[:t, 15:18] = host["mesh_base_color"][omesh]
+        tri_shade[:t, 18] = host["mesh_bsdf_type"][omesh]
+        tri_shade[:t, 19] = host["mesh_texture_index"][omesh]
+        tri_shade[:t, 20] = omesh
+
     # component-planar cluster-major tri table (see DeviceScene docstring)
     ordered = {k: host[k][order] for k in ("v0", "v1", "v2")}
     safe = np.maximum(tri_map, 0)
@@ -300,6 +340,10 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         axis=0,
     )
     boxes = np.where(np.isfinite(boxes), boxes, 0.0).astype(np.float32)
+    # cluster-major shade table: tri_shade rows in tri_map lane order
+    # (padding lanes zero; their mt rows have n = 0 so they can never win)
+    shade_cl = tri_shade[safe].reshape(kc, c, 24).transpose(0, 2, 1).copy()
+    shade_cl[np.broadcast_to((tri_map < 0).reshape(kc, 1, c), shade_cl.shape)] = 0.0
     nonempty = cl_cnt > 0
     if nonempty.any():
         s_lo = cl_min[nonempty].min(axis=0)
@@ -338,5 +382,8 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_mt_table=jnp.asarray(mt_table.reshape(kc, 12 * c)),
         cl_boxes=jnp.asarray(boxes),
         scene_aabb=jnp.asarray(scene_aabb),
+        tri_verts=jnp.asarray(tri_verts),
+        tri_shade=jnp.asarray(tri_shade),
+        cl_shade_table=jnp.asarray(shade_cl.reshape(kc, 24 * c)),
         albedo_textures=atlas,
     )

@@ -77,10 +77,14 @@ def build_partitioned_scene(
     for part in assignment:
         sub = [meshes[i] for i in part]
         host = concat_geometry(sub)
-        # remap local mesh ids -> global ids
+        # remap local mesh ids -> global ids; material tables must be the
+        # GLOBAL ones too (tri_shade pre-flattens material attributes per
+        # triangle at pack time, indexing by the remapped global ids)
         if part:
             lut = np.asarray(part, np.int32)
             host["tri_mesh_id"] = lut[host["tri_mesh_id"]]
+        for k in ("mesh_base_color", "mesh_bsdf_type", "mesh_texture_index"):
+            host[k] = global_host[k]
         per_part_host.append(host)
 
     bvhs = [build_bvh(h["v0"], h["v1"], h["v2"]) for h in per_part_host]
