@@ -75,6 +75,39 @@ def _i32c(x):
     return jnp.int32(np.int32(np.uint32(x)))
 
 
+def _atan_poly(z):
+    """atan for z in [0, 1] (Cephes atanf: minimax poly + the tan(pi/8)
+    range reduction — without it the bare poly is ~5e-3 off near 1, which
+    visibly shifts env-map texel lookups).  Mosaic has no atan2 primitive
+    (scripts/probe_mosaic_ops.py)."""
+    big = z > jnp.float32(0.41421356)
+    zr = jnp.where(big, (z - 1.0) / (z + 1.0), z)
+    z2 = zr * zr
+    p = jnp.float32(8.05374449538e-2)
+    p = p * z2 - jnp.float32(1.38776856032e-1)
+    p = p * z2 + jnp.float32(1.99777106478e-1)
+    p = p * z2 - jnp.float32(3.33329491539e-1)
+    a = p * z2 * zr + zr
+    return jnp.where(big, a + jnp.float32(0.25 * _PI), a)
+
+
+def _atan2(y, x):
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    a = _atan_poly(num / den)
+    a = jnp.where(swap, jnp.float32(0.5 * _PI) - a, a)
+    a = jnp.where(x < 0.0, jnp.float32(_PI) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _acos(t):
+    t = jnp.clip(t, -1.0, 1.0)
+    return _atan2(jnp.sqrt(jnp.maximum(0.0, (1.0 - t) * (1.0 + t))), t)
+
+
 def _tea_i32(v0, v1, rounds: int = 4):
     """core/rng.py tea() on int32 vectors (logical right shifts keep the
     uint32 bit pattern; add/xor/shl wrap identically)."""
@@ -205,22 +238,19 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         tbuf = sem = hbm_refs = None
     sbuf, ssem = scr[0], scr[1]
     skb_scr, slot_scr, vis_scr, keys_scr, occ_scr = scr[2:7]
-    attr_scr = scr[7]
+    attr_scr, fetch_scr = scr[7], scr[8]
 
     rays_in = rays_ref[:]
     o = _vec(rays_in, 0)
     d = _vec(rays_in, 3)
     pix = _col(rays_in, 6).astype(jnp.int32)
     act = _col(rays_in, 7) > 0.5
-    tp = (jnp.ones((tm, 1), jnp.float32),) * 3
-    tp = (tp[0], jnp.ones((tm, 1), jnp.float32), jnp.ones((tm, 1), jnp.float32))
+    tp = tuple(jnp.ones((tm, 1), jnp.float32) for _ in range(3))
 
     lo = tuple(meta_f_ref[0, ax] for ax in range(3))
     hi = tuple(meta_f_ref[0, 3 + ax] for ax in range(3))
     env_rot = meta_f_ref[0, 6]
 
-    direct = (jnp.zeros((tm, 1), jnp.float32),) * 3
-    env_acc = (jnp.zeros((tm, 1), jnp.float32),) * 3
     direct = tuple(jnp.zeros((tm, 1), jnp.float32) for _ in range(3))
     env_acc = tuple(jnp.zeros((tm, 1), jnp.float32) for _ in range(3))
 
@@ -245,12 +275,13 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         w_ln = jnp.where(hit, s_slot - w_cl * jnp.int32(c), jnp.int32(0))
         attr_scr[:] = jnp.zeros((tm, 40), jnp.float32)
 
-        def fetch_cond(carry):
-            cur, fetched = carry
+        # round-crossing vector state (the fetched mask) lives in VMEM
+        # scratch — the loop carries only the scalar target cluster (Mosaic
+        # scf.yield layout legalization, see pallas_resident._recull_loop)
+        def fetch_cond(cur):
             return cur < k
 
-        def fetch_body(carry):
-            cur, fetched = carry
+        def fetch_body(cur):
             if hbm:
                 pltpu.make_async_copy(
                     table_ref.at[jnp.minimum(cur, k - 1)], tbuf.at[0],
@@ -272,25 +303,29 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
             sel = w_cl == cur                                  # (TM, 1)
             oh = ((lanes_c == jnp.broadcast_to(w_ln, (tm, c)))
                   & jnp.broadcast_to(sel, (tm, c))).astype(jnp.float32)
+            # HIGHEST precision makes the one-hot extraction EXACT (bf16
+            # splits of 0/1 are exact; probe dotT_hi err == 0.0)
             a_mt = jax.lax.dot_general(
                 oh, mt, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)            # (TM, 12)
             a_sh = jax.lax.dot_general(
                 oh, sh, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)            # (TM, 24)
             attr_scr[:, 0:12] = attr_scr[:, 0:12] + a_mt
             attr_scr[:, 12:36] = attr_scr[:, 12:36] + a_sh
-            fetched = fetched | sel
+            fetch_scr[:] = fetch_scr[:] | sel.astype(jnp.int32)
             cur2 = jnp.min(
-                jnp.where(fetched, jnp.int32(k), w_cl), axis=0, keepdims=True
-            )[0, 0]
-            return cur2, fetched
+                jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
+                axis=0, keepdims=True)[0, 0]
+            return cur2
 
-        fetched0 = ~hit
+        fetch_scr[:] = (~hit).astype(jnp.int32)
         cur0 = jnp.min(
-            jnp.where(fetched0, jnp.int32(k), w_cl), axis=0, keepdims=True
-        )[0, 0]
-        jax.lax.while_loop(fetch_cond, fetch_body, (cur0, fetched0))
+            jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
+            axis=0, keepdims=True)[0, 0]
+        jax.lax.while_loop(fetch_cond, fetch_body, cur0)
         attr = attr_scr[:]
 
         # ---- 3. exact t/u/v refinement (pallas_resident epilogue math) ----
@@ -375,8 +410,8 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
 
         # ---- 5. env on miss (lat-long bilinear via one-hot MXU gather) ----
         miss = act & (~hit)
-        theta_e = jnp.arccos(jnp.clip(d[1], -1.0, 1.0))
-        phi_e = jnp.arctan2(d[2], d[0])
+        theta_e = _acos(d[1])
+        phi_e = _atan2(d[2], d[0])
         phi_e = jnp.where(phi_e < 0.0, phi_e + 2.0 * _PI, phi_e)
         phi_e = phi_e + env_rot
         phi_e = jnp.where(phi_e > 2.0 * _PI, phi_e - 2.0 * _PI, phi_e)
@@ -406,6 +441,7 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                 jnp.float32) * jnp.broadcast_to(ww, (tm, ep))
             Wm = oh_e if Wm is None else Wm + oh_e
         env_rgb4 = jnp.dot(Wm, env_ref[:],
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)  # (TM, 4)
         env_w = jnp.where(miss, 1.0, 0.0)
         env_acc = _add3(env_acc, _mul3(tp, _scale3(
@@ -433,6 +469,7 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                 oh_l = (lanes_l == jnp.broadcast_to(li, (tm, lp))).astype(
                     jnp.float32)
                 lrow = jnp.dot(oh_l, ltab_ref[:],
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
             lp0 = _vec(lrow, 0)
             lp1 = _vec(lrow, 3)
@@ -466,21 +503,20 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
             scontrib.append(contrib)
             svalids.append(shadow_valid)
 
-        srays = jnp.concatenate(sblocks, axis=0)             # (S*TM, 8)
-        occ = _occl_recull_loop(
-            srays, boxes_ref[:], table_ref, hbm_refs,
-            (occ_scr, vis_scr, keys_scr),
-            c=c, tm=s * tm, k=k, recull=orecull)             # (S*TM, 1)
-        inv_s = jnp.float32(1.0 / s)
-        for j in range(s):
-            unocc = svalids[j] & (occ[j * tm:(j + 1) * tm] == 0)
-            wgt = jnp.where(unocc, inv_s, 0.0)
-            direct = _add3(direct, _scale3(scontrib[j], wgt))
+        if s > 0:
+            srays = jnp.concatenate(sblocks, axis=0)         # (S*TM, 8)
+            occ = _occl_recull_loop(
+                srays, boxes_ref[:], table_ref, hbm_refs,
+                (occ_scr, vis_scr, keys_scr),
+                c=c, tm=s * tm, k=k, recull=orecull)         # (S*TM, 1)
+            inv_s = jnp.float32(1.0 / s)
+            for j in range(s):
+                unocc = svalids[j] & (occ[j * tm:(j + 1) * tm] == 0)
+                wgt = jnp.where(unocc, inv_s, 0.0)
+                direct = _add3(direct, _scale3(scontrib[j], wgt))
 
         # ---- next bounce state ----
-        tp_s = weight * cos_theta
-        tp = _mul3(_mul3(tp, _scale3(albedo, tp_s)),
-                   (jnp.ones((tm, 1)),) * 3)
+        tp = _mul3(tp, _scale3(albedo, weight * cos_theta))
         tp = tuple(jnp.where(hit, q, 0.0) for q in tp)
         o = point
         d = wi_world
@@ -520,7 +556,7 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
                         tile_rays: int = TILE_RAYS, interpret: bool = None):
     """One spp with the whole-sample megakernel.  Same contract as
     render/engine.py render_sample: (direct (npix,3), env (npix,3), diag)."""
-    from ..render.pathgen import generate_camera_paths, tiled_pixel_order
+    from ..render.pathgen import generate_camera_paths, tiled_pixel_order_np
     from ..core.rng import tea
 
     tm = tile_rays
@@ -603,8 +639,9 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
         pltpu.VMEM((tm, 1), jnp.int32),       # slot
         pltpu.VMEM((1, k), jnp.int32),        # vis
         pltpu.VMEM((1, k), jnp.int32),        # keys
-        pltpu.VMEM((s * tm, 1), jnp.int32),   # occ
+        pltpu.VMEM((max(s, 1) * tm, 1), jnp.int32),   # occ
         pltpu.VMEM((tm, 40), jnp.float32),    # attr rows
+        pltpu.VMEM((tm, 1), jnp.int32),       # attr-fetch done mask
     ]
 
     (out,) = pl.pallas_call(
@@ -621,7 +658,7 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
     )(rays, boxes, table, shade_t, ltab, env_flat, salts, meta_f)
 
     # ray order -> pixel order (tiled_pixel_order is a static permutation)
-    order = np.asarray(tiled_pixel_order(cfg.width, cfg.height))
+    order = tiled_pixel_order_np(cfg.width, cfg.height)
     inv = np.zeros((npix,), np.int32)
     inv[order] = np.arange(npix, dtype=np.int32)
     out = jnp.take(out[:n], jnp.asarray(inv), axis=0)

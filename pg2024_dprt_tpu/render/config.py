@@ -33,6 +33,12 @@ class RenderConfig:
     # Traversal backend: "auto" | "stackless" | "cluster" | "resident" | "pallas"
     # (ops/trace_api.py; auto = pallas on accelerators, stackless on CPU).
     tracer: str = "auto"
+    # Whole-sample frame megakernel (ops/pallas_frame.py): "auto" | "on" |
+    # "off".  auto = on for accelerator backends when the scene qualifies
+    # (untextured, small env map/light table — fused_frame_supported);
+    # "on" forces it (interpret mode on CPU).  Launch count dominates this
+    # backend, so the fused path is the production frame path.
+    fused_frame: str = "auto"
     # Per-destination all_to_all bucket capacity as a fraction of path capacity.
     bucket_fraction: float = 1.0
 

@@ -42,6 +42,16 @@ def render_sample(
     """One spp: returns (direct_image, env_image, diag) — the images are
     (npix, 3) accumulators; diag counts rays whose result may be affected by
     tracer budget residue (0 in a healthy render; see ops/trace_api.py)."""
+    from ..ops.pallas_frame import fused_frame_supported, render_sample_fused
+
+    if cfg.fused_frame == "on" or (
+        cfg.fused_frame == "auto"
+        and jax.default_backend() != "cpu"
+        and cfg.tracer in ("auto", "resident")
+        and fused_frame_supported(scene, lights, env, cfg)
+    ):
+        return render_sample_fused(scene, lights, env, camera, sample_count, cfg)
+
     npix = cfg.frame_buffer_size
     paths = generate_camera_paths(camera, sample_count)
     direct = jnp.zeros((npix, 3), jnp.float32)

@@ -11,20 +11,25 @@ from ..core.rng import rnd2, tea
 from ..core.types import PathState
 
 
-def tiled_pixel_order(width: int, height: int, block: int = 16) -> jnp.ndarray:
-    """Pixel ids in block-major (block x block) order. Ray buffers ordered
-    this way give the tile tracer spatially coherent tiles; accumulation is
-    unaffected because paths carry their pixel_index."""
+def tiled_pixel_order_np(width: int, height: int, block: int = 16):
+    """Pixel ids in block-major (block x block) order, as a host numpy array
+    (static per (w, h) — safe to consume under jit tracing). Ray buffers
+    ordered this way give the tile tracer spatially coherent tiles;
+    accumulation is unaffected because paths carry their pixel_index."""
     import numpy as np
 
     if width % block or height % block:
-        return jnp.arange(width * height, dtype=jnp.int32)
+        return np.arange(width * height, dtype=np.int32)
     ids = np.arange(width * height)
     by, bx = ids // (width * block), ids % (width * block)
     blk, inner = bx // (block * block), bx % (block * block)
     rows = by * block + inner // block
     cols = blk * block + inner % block
-    return jnp.asarray((rows * width + cols).astype(np.int32))
+    return (rows * width + cols).astype(np.int32)
+
+
+def tiled_pixel_order(width: int, height: int, block: int = 16) -> jnp.ndarray:
+    return jnp.asarray(tiled_pixel_order_np(width, height, block))
 
 
 def generate_camera_paths(camera: Camera, sample_count, tile_block: int = 16) -> PathState:

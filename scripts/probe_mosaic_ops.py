@@ -120,3 +120,46 @@ def main2():
 
 
 main2()
+
+
+def k_layout(x_ref, o_ref):
+    x = x_ref[:]                       # (128, 8)
+    xt = jnp.transpose(x, (1, 0))      # (8, 128)
+    row = xt[0:1, :] + xt[1:2, :]      # (1, 128) row math
+    back = jnp.transpose(row * 2.0, (1, 0))  # (128, 1)
+    o_ref[:] = x + jnp.broadcast_to(back, (128, 8))
+
+
+def k_reshape(x_ref, o_ref):
+    x = x_ref[:]                       # (4, 128)
+    f = x.reshape(1, 512)              # row-major flatten
+    o_ref[:] = f
+
+
+def k_iota0(x_ref, o_ref):
+    idx = x_ref[:]                     # (1, 128) i32
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+          == jnp.broadcast_to(idx, (256, 128))).astype(jnp.float32)
+    o_ref[:] = oh
+
+
+def main3():
+    x = jax.random.uniform(jax.random.PRNGKey(2), (128, 8))
+    r = run("layout", k_layout, [x], jax.ShapeDtypeStruct((128, 8), jnp.float32))
+    if r is not None:
+        xn = np.asarray(x)
+        back = ((xn[:, 0] + xn[:, 1]) * 2.0)[:, None]
+        print("  layout max err:", np.abs(r - (xn + back)).max())
+    y = jnp.arange(512, dtype=jnp.float32).reshape(4, 128)
+    r = run("reshape", k_reshape, [y], jax.ShapeDtypeStruct((1, 512), jnp.float32))
+    if r is not None:
+        print("  reshape ok:", bool((np.asarray(r).ravel() == np.arange(512)).all()))
+    idx = jnp.arange(128, dtype=jnp.int32).reshape(1, 128) * 2
+    r = run("iota0", k_iota0, [idx], jax.ShapeDtypeStruct((256, 128), jnp.float32))
+    if r is not None:
+        ref = np.zeros((256, 128), np.float32)
+        ref[np.arange(128) * 2, np.arange(128)] = 1.0
+        print("  iota0 ok:", bool((np.asarray(r) == ref).all()))
+
+
+main3()

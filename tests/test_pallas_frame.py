@@ -1,0 +1,81 @@
+"""Whole-sample frame megakernel (ops/pallas_frame.py) vs the composed
+render_sample oracle, interpret mode on the CPU mesh."""
+import numpy as np
+import pytest
+
+from pg2024_dprt_tpu.core import Camera
+from pg2024_dprt_tpu.ops.pallas_frame import (
+    fused_frame_supported, render_sample_fused,
+)
+from pg2024_dprt_tpu.render import RenderConfig
+from pg2024_dprt_tpu.render.engine import render_sample
+from pg2024_dprt_tpu.scene import cornell_box, device_scene_from_meshes
+from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
+
+
+def _ab(scene, lights, env, camera, cfg, sample=0, tol=1e-3):
+    d0, e0, _ = render_sample(scene, lights, env, camera, sample, cfg)
+    d1, e1, _ = render_sample_fused(scene, lights, env, camera, sample, cfg,
+                                    interpret=True)
+    for a, b in ((d0, d1), (e0, e1)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-2)
+        assert rel.max() < tol, rel.max()
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    meshes, lights = cornell_box()
+    scene = device_scene_from_meshes(meshes)
+    env = EnvironmentMap.constant((0.2, 0.3, 0.4))
+    cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0],
+                         40.0, 32, 32)
+    return scene, lights, env, cam
+
+
+def test_fused_matches_composed(cornell):
+    scene, lights, env, cam = cornell
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    assert fused_frame_supported(scene, lights, env, cfg)
+    _ab(scene, lights, env, cam, cfg)
+
+
+def test_fused_water_bsdf():
+    meshes, lights = cornell_box(with_water_sphere=True)
+    scene = device_scene_from_meshes(meshes)
+    env = EnvironmentMap.constant((0.2, 0.3, 0.4))
+    cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0],
+                         40.0, 32, 32)
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    _ab(scene, lights, env, cam, cfg, sample=3)
+
+
+def test_fused_pad_multilight_envmap(cornell):
+    scene, lights, env, _ = cornell
+    # 24x24 = 576 rays: non-divisible tile padding; 3 lights: one-hot light
+    # selection; rotated lat-long env: polynomial atan2/acos lookup
+    tris = np.asarray([
+        [[0.3, 0.99, 0.3], [0.7, 0.99, 0.3], [0.7, 0.99, 0.7]],
+        [[0.1, 0.99, 0.1], [0.3, 0.99, 0.1], [0.3, 0.99, 0.3]],
+        [[0.7, 0.99, 0.7], [0.9, 0.99, 0.7], [0.9, 0.99, 0.9]],
+    ], np.float32)
+    lights3 = LightTable.from_arrays(
+        tris, np.asarray([[40, 40, 40], [10, 30, 10], [30, 10, 10]],
+                         np.float32))
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0.0, 1.0, (16, 32, 3)).astype(np.float32)) ** 2 * 2.0
+    env_ll = EnvironmentMap.from_image(img, rotation_offset=2.007)
+    cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0],
+                         40.0, 24, 24)
+    cfg = RenderConfig(width=24, height=24, spp=1, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    _ab(scene, lights3, env_ll, cam, cfg, sample=11, tol=2e-3)
+
+
+def test_fused_gate_rejects_textured(cornell):
+    scene, lights, env, _ = cornell
+    cfg = RenderConfig(width=32, height=32)
+    big_env = EnvironmentMap.constant((1, 1, 1), h=64, w=64)
+    assert not fused_frame_supported(scene, lights, big_env, cfg)
