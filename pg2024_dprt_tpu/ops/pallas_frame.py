@@ -190,21 +190,23 @@ def _to_local3(n, w):
     return (_dot3(w, t), _dot3(w, b), _dot3(w, n))
 
 
-def _col(a, i):
-    return a[:, i:i + 1]
+def _row(a, i):
+    return a[i:i + 1, :]
 
 
-def _vec(a, i):
-    return (_col(a, i), _col(a, i + 1), _col(a, i + 2))
+def _vecr(a, i):
+    return (_row(a, i), _row(a, i + 1), _row(a, i + 2))
 
 
-def _pack_ray_block(o, d, act, tmin_v, tmax_v, tm):
-    """(TM, 8) ray block in the pallas_resident convention:
-    [o(3), d(3), tmin | FMAX, tmax | 0]."""
-    return jnp.concatenate(
+def _pack_rays_rows(o, d, act, tmin_r, tmax_r):
+    """(N, 8) ray block in the pallas_resident convention ([o(3), d(3),
+    tmin | FMAX, tmax | 0]) from row-major (1, N) state — ONE transpose at
+    the shade/trace seam."""
+    rows = jnp.concatenate(
         [o[0], o[1], o[2], d[0], d[1], d[2],
-         jnp.where(act, tmin_v, jnp.float32(_FMAX)),
-         jnp.where(act, tmax_v, 0.0)], axis=1)
+         jnp.where(act, tmin_r, jnp.float32(_FMAX)),
+         jnp.where(act, tmax_r, 0.0)], axis=0)             # (8, N)
+    return jnp.transpose(rows, (1, 0))
 
 
 def _scene_exit_cap(o, d, lo, hi, tmax_raw):
@@ -226,10 +228,17 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                   c: int, tm: int, k: int, s: int, bounces: int, lp: int,
                   l_count: int, ep: int, eh: int, ew: int, eps: float,
                   hbm: bool, recull: int, orecull: int):
-    """One ray tile, all bounces.  rays cols (8): [o(3), d(3), pixel_f32,
-    act]; meta_i (1,8): per-bounce TEA salts; meta_f (1,8): [scene_lo(3),
-    scene_hi(3), env_rotation, pad]; out cols (8): [direct(3), env(3), 0, 0].
-    """
+    """One ray tile, all bounces.  rays ROWS (8, TM): [o(3), d(3),
+    pixel_f32, act]; meta_i (1,8): per-bounce TEA salts; meta_f (1,8):
+    [scene_lo(3), scene_hi(3), env_rotation, pad]; out ROWS (8, TM):
+    [direct(3), env(3), 0, 0].
+
+    Layout: ALL per-ray shade state is row-major (1, TM) — lanes carry
+    rays, so each op is ~1 VREG.  The first kernel draft used (TM, 1)
+    columns, which tile to 16 VREGs with one live lane each (~16x VPU
+    waste measured as ~40 ms of a 107 ms frame).  The trace loops
+    (pallas_resident) are column-major internally; the seams are 4
+    explicit transposes per bounce."""
     if hbm:
         tbuf, sem = scr[0], scr[1]
         scr = scr[2:]
@@ -240,40 +249,51 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
     skb_scr, slot_scr, vis_scr, keys_scr, occ_scr = scr[2:7]
     attr_scr, fetch_scr = scr[7], scr[8]
 
-    rays_in = rays_ref[:]
-    o = _vec(rays_in, 0)
-    d = _vec(rays_in, 3)
-    pix = _col(rays_in, 6).astype(jnp.int32)
-    act = _col(rays_in, 7) > 0.5
-    tp = tuple(jnp.ones((tm, 1), jnp.float32) for _ in range(3))
+    rays_in = rays_ref[:]                                  # (8, TM) rows
+    o = _vecr(rays_in, 0)
+    d = _vecr(rays_in, 3)
+    pix = _row(rays_in, 6).astype(jnp.int32)
+    act = _row(rays_in, 7) > 0.5
+    tp = tuple(jnp.ones((1, tm), jnp.float32) for _ in range(3))
 
     lo = tuple(meta_f_ref[0, ax] for ax in range(3))
     hi = tuple(meta_f_ref[0, 3 + ax] for ax in range(3))
     env_rot = meta_f_ref[0, 6]
 
-    direct = tuple(jnp.zeros((tm, 1), jnp.float32) for _ in range(3))
-    env_acc = tuple(jnp.zeros((tm, 1), jnp.float32) for _ in range(3))
+    direct = tuple(jnp.zeros((1, tm), jnp.float32) for _ in range(3))
+    env_acc = tuple(jnp.zeros((1, tm), jnp.float32) for _ in range(3))
 
-    lanes_c = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
-    eps_col = jnp.full((tm, 1), jnp.float32(eps))
-    fmax_col = jnp.full((tm, 1), jnp.float32(_FMAX))
+    stm = max(s, 1) * tm
+    eps_row = jnp.full((1, tm), jnp.float32(eps))
+    fmax_row = jnp.full((1, tm), jnp.float32(_FMAX))
+    eps_srow = jnp.full((1, stm), jnp.float32(eps))
+
+    def tile_s(x):
+        """(1, TM) -> (1, S*TM), sample-major (row j*TM+i = sample j of
+        ray i — matches the shadow block concat order).  Mosaic can't
+        reshape i1 vectors; bools round-trip through i32."""
+        if x.dtype == jnp.bool_:
+            return tile_s(x.astype(jnp.int32)) > 0
+        return jnp.broadcast_to(x, (s, tm)).reshape(1, stm)
 
     for b in range(bounces):
         salt = meta_i_ref[0, b]
 
         # ---- 1. closest hit ----
-        tmax_eff = _scene_exit_cap(o, d, lo, hi, fmax_col)
-        rays8 = _pack_ray_block(o, d, act, eps_col, tmax_eff, tm)
+        tmax_eff = _scene_exit_cap(o, d, lo, hi, fmax_row)
+        rays8 = _pack_rays_rows(o, d, act, eps_row, tmax_eff)
         _, s_slot, _ = _recull_loop(
             rays8, boxes_ref[:], table_ref, hbm_refs,
             (skb_scr, slot_scr, vis_scr, keys_scr),
             c=c, tm=tm, k=k, recull=recull)
-        hit = (s_slot >= 0) & act
+        slot_r = jnp.transpose(s_slot, (1, 0))             # (1, TM)
+        hit = (slot_r >= 0) & act
 
         # ---- 2. winner-attribute fetch (distinct clusters of the tile) ----
-        w_cl = jnp.where(hit, jax.lax.div(s_slot, jnp.int32(c)), jnp.int32(k))
-        w_ln = jnp.where(hit, s_slot - w_cl * jnp.int32(c), jnp.int32(0))
-        attr_scr[:] = jnp.zeros((tm, 40), jnp.float32)
+        w_cl = jnp.where(hit, jax.lax.div(slot_r, jnp.int32(c)), jnp.int32(k))
+        w_ln = jnp.where(hit, slot_r - w_cl * jnp.int32(c), jnp.int32(0))
+        attr_scr[:] = jnp.zeros((40, tm), jnp.float32)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (c, tm), 0)
 
         # round-crossing vector state (the fetched mask) lives in VMEM
         # scratch — the loop carries only the scalar target cluster (Mosaic
@@ -300,38 +320,36 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                 shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
                 ssem.at[0]).wait()
             sh = sbuf[0]
-            sel = w_cl == cur                                  # (TM, 1)
-            oh = ((lanes_c == jnp.broadcast_to(w_ln, (tm, c)))
-                  & jnp.broadcast_to(sel, (tm, c))).astype(jnp.float32)
+            sel = w_cl == cur                               # (1, TM)
+            oh = ((sub_c == jnp.broadcast_to(w_ln, (c, tm)))
+                  & jnp.broadcast_to(sel, (c, tm))).astype(jnp.float32)
             # HIGHEST precision makes the one-hot extraction EXACT (bf16
             # splits of 0/1 are exact; probe dotT_hi err == 0.0)
-            a_mt = jax.lax.dot_general(
-                oh, mt, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)            # (TM, 12)
-            a_sh = jax.lax.dot_general(
-                oh, sh, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)            # (TM, 24)
-            attr_scr[:, 0:12] = attr_scr[:, 0:12] + a_mt
-            attr_scr[:, 12:36] = attr_scr[:, 12:36] + a_sh
+            a_mt = jnp.dot(mt, oh,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)  # (12, TM)
+            a_sh = jnp.dot(sh, oh,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)  # (24, TM)
+            attr_scr[0:12, :] = attr_scr[0:12, :] + a_mt
+            attr_scr[12:36, :] = attr_scr[12:36, :] + a_sh
             fetch_scr[:] = fetch_scr[:] | sel.astype(jnp.int32)
             cur2 = jnp.min(
                 jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
-                axis=0, keepdims=True)[0, 0]
+                axis=1, keepdims=True)[0, 0]
             return cur2
 
         fetch_scr[:] = (~hit).astype(jnp.int32)
         cur0 = jnp.min(
             jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
-            axis=0, keepdims=True)[0, 0]
+            axis=1, keepdims=True)[0, 0]
         jax.lax.while_loop(fetch_cond, fetch_body, cur0)
         attr = attr_scr[:]
 
         # ---- 3. exact t/u/v refinement (pallas_resident epilogue math) ----
-        v0 = _vec(attr, 0)
-        e1 = _vec(attr, 3)
-        e2 = _vec(attr, 6)
+        v0 = _vecr(attr, 0)
+        e1 = _vecr(attr, 3)
+        e2 = _vecr(attr, 6)
         pv = _cross3(d, e2)
         det = _dot3(e1, pv)
         ok = jnp.abs(det) > 1e-12
@@ -347,21 +365,21 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
 
         # ---- 4. shade (render/shade.py math) ----
         w_bar = 1.0 - u - v
-        n0 = _vec(attr, 12)
-        n1 = _vec(attr, 15)
-        n2 = _vec(attr, 18)
+        n0 = _vecr(attr, 12)
+        n1 = _vecr(attr, 15)
+        n2 = _vecr(attr, 18)
         normal = _norm3(_add3(_add3(_scale3(n0, w_bar), _scale3(n1, u)),
                               _scale3(n2, v)))
-        albedo = _vec(attr, 27)
-        is_water = jnp.abs(_col(attr, 30) - jnp.float32(BSDF_WATER)) < 0.5
+        albedo = _vecr(attr, 27)
+        is_water = jnp.abs(_row(attr, 30) - jnp.float32(BSDF_WATER)) < 0.5
 
-        wo = _scale3(d, jnp.full((tm, 1), -1.0))
+        wo = _scale3(d, jnp.full((1, tm), -1.0))
         cosw = _dot3(normal, wo)
         is_inside = cosw < 0.0
-        normal = _where3(is_inside, _scale3(normal, jnp.full((tm, 1), -1.0)),
+        normal = _where3(is_inside, _scale3(normal, jnp.full((1, tm), -1.0)),
                          normal)
 
-        seed = _tea_i32(pix, jnp.full((tm, 1), salt, jnp.int32))
+        seed = _tea_i32(pix, jnp.full((1, tm), salt, jnp.int32))
         seed, xi1 = _rnd_i32(seed)
         seed, xi2 = _rnd_i32(seed)
 
@@ -403,7 +421,7 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         w_water = jnp.where(cos_wi_w == 0.0, 0.0, w_water)
 
         wi_local = _where3(is_water, wi_water, wi_diff)
-        weight = jnp.where(is_water, w_water, jnp.full((tm, 1), 2.0))
+        weight = jnp.where(is_water, w_water, jnp.full((1, tm), 2.0))
         is_delta = is_water
         wi_world = _norm3(_to_world3(normal, wi_local))
         cos_theta = jnp.abs(wi_local[2])
@@ -430,51 +448,54 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         x1i = jax.lax.rem(x0i + 1, jnp.int32(ew))
         y0i = jnp.clip(y0i, 0, eh - 1)
         y1i = jnp.clip(y0i + 1, 0, eh - 1)
-        lanes_e = jax.lax.broadcasted_iota(jnp.int32, (tm, ep), 1)
+        sub_e = jax.lax.broadcasted_iota(jnp.int32, (ep, tm), 0)
         Wm = None
         for (yy, xx, ww) in ((y0i, x0i, (1 - fx) * (1 - fy)),
                              (y0i, x1i, fx * (1 - fy)),
                              (y1i, x0i, (1 - fx) * fy),
                              (y1i, x1i, fx * fy)):
             idx = yy * ew + xx
-            oh_e = (lanes_e == jnp.broadcast_to(idx, (tm, ep))).astype(
-                jnp.float32) * jnp.broadcast_to(ww, (tm, ep))
+            oh_e = (sub_e == jnp.broadcast_to(idx, (ep, tm))).astype(
+                jnp.float32) * jnp.broadcast_to(ww, (ep, tm))
             Wm = oh_e if Wm is None else Wm + oh_e
-        env_rgb4 = jnp.dot(Wm, env_ref[:],
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)  # (TM, 4)
+        env_rgb = jnp.dot(env_ref[:], Wm,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)   # (4, TM)
         env_w = jnp.where(miss, 1.0, 0.0)
-        env_acc = _add3(env_acc, _mul3(tp, _scale3(
-            (_col(env_rgb4, 0), _col(env_rgb4, 1), _col(env_rgb4, 2)),
-            env_w)))
+        env_acc = _add3(env_acc, _mul3(tp, _scale3(_vecr(env_rgb, 0), env_w)))
 
-        # ---- 6. NEE shadow paths ----
-        shadow_valid = hit & (~is_delta)
-        sblocks = []
-        scontrib = []
-        svalids = []
-        for j in range(s):
-            sseed = _tea_i32(pix * jnp.int32(s) + jnp.int32(j),
-                             jnp.full((tm, 1), salt, jnp.int32))
+        # ---- 6. NEE shadow paths: ALL s samples batched as (1, S*TM) rows
+        # (sample-major: row-block j holds every ray's j-th sample) ----
+        if s > 0:
+            shadow_valid = hit & (~is_delta)
+            pix_s = (jnp.broadcast_to(pix * jnp.int32(s), (s, tm))
+                     + jax.lax.broadcasted_iota(jnp.int32, (s, tm), 0)
+                     ).reshape(1, stm)
+            sseed = _tea_i32(pix_s, jnp.full((1, stm), salt, jnp.int32))
             sseed, sx1 = _rnd_i32(sseed)
             sseed, sx2 = _rnd_i32(sseed)
             sseed, sx3 = _rnd_i32(sseed)
             if l_count == 1:
-                lrow = jnp.broadcast_to(ltab_ref[0:1, :], (tm, 16))
+                B1 = lambda r: jnp.broadcast_to(
+                    ltab_ref[r:r + 1, 0:1], (1, stm))
+                lp0 = (B1(0), B1(1), B1(2))
+                lp1 = (B1(3), B1(4), B1(5))
+                lp2 = (B1(6), B1(7), B1(8))
+                le = (B1(9), B1(10), B1(11))
             else:
                 li = jnp.minimum(
                     jnp.floor(sx1 * l_count).astype(jnp.int32),
                     jnp.int32(l_count - 1))
-                lanes_l = jax.lax.broadcasted_iota(jnp.int32, (tm, lp), 1)
-                oh_l = (lanes_l == jnp.broadcast_to(li, (tm, lp))).astype(
+                sub_l = jax.lax.broadcasted_iota(jnp.int32, (lp, stm), 0)
+                oh_l = (sub_l == jnp.broadcast_to(li, (lp, stm))).astype(
                     jnp.float32)
-                lrow = jnp.dot(oh_l, ltab_ref[:],
+                lrow = jnp.dot(ltab_ref[:], oh_l,
                                precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
-            lp0 = _vec(lrow, 0)
-            lp1 = _vec(lrow, 3)
-            lp2 = _vec(lrow, 6)
-            le = _vec(lrow, 9)
+                               preferred_element_type=jnp.float32)  # (16,STM)
+                lp0 = _vecr(lrow, 0)
+                lp1 = _vecr(lrow, 3)
+                lp2 = _vecr(lrow, 6)
+                le = _vecr(lrow, 9)
             # uniform_sample_triangle (core/math.py)
             su = jnp.sqrt(sx2)
             b0 = 1.0 - su
@@ -486,34 +507,37 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
             lnorm = _scale3(cr, 1.0 / jnp.maximum(2.0 * area, _EPS))
             area_pdf = 1.0 / jnp.maximum(area, _EPS) / l_count
 
-            to_l = _sub3(lpnt, point)
+            point_s = tuple(tile_s(q) for q in point)
+            normal_s = tuple(tile_s(q) for q in normal)
+            to_l = _sub3(lpnt, point_s)
             dist = jnp.sqrt(_dot3(to_l, to_l))
             wi_s = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-12))
             contrib_s = (
                 jnp.maximum(0.0, -_dot3(lnorm, wi_s))
-                * jnp.maximum(0.0, _dot3(wi_s, normal))
+                * jnp.maximum(0.0, _dot3(wi_s, normal_s))
                 / area_pdf
                 / jnp.maximum(dist * dist, 1e-12)
                 * jnp.float32(1.0 / _PI))
-            contrib = _mul3(_mul3(le, tp), _scale3(albedo, contrib_s))
+            beta = _mul3(tp, albedo)
+            beta_s = tuple(tile_s(q) for q in beta)
+            contrib = _mul3(_mul3(le, beta_s),
+                            (contrib_s, contrib_s, contrib_s))
 
-            stmax = dist * (1.0 - 1e-3)
-            sblocks.append(_pack_ray_block(point, wi_s, shadow_valid,
-                                           eps_col, stmax, tm))
-            scontrib.append(contrib)
-            svalids.append(shadow_valid)
-
-        if s > 0:
-            srays = jnp.concatenate(sblocks, axis=0)         # (S*TM, 8)
+            valid_s = tile_s(shadow_valid)
+            srays = _pack_rays_rows(point_s, wi_s, valid_s, eps_srow,
+                                    dist * (1.0 - 1e-3))     # (S*TM, 8)
             occ = _occl_recull_loop(
                 srays, boxes_ref[:], table_ref, hbm_refs,
                 (occ_scr, vis_scr, keys_scr),
-                c=c, tm=s * tm, k=k, recull=orecull)         # (S*TM, 1)
-            inv_s = jnp.float32(1.0 / s)
-            for j in range(s):
-                unocc = svalids[j] & (occ[j * tm:(j + 1) * tm] == 0)
-                wgt = jnp.where(unocc, inv_s, 0.0)
-                direct = _add3(direct, _scale3(scontrib[j], wgt))
+                c=c, tm=stm, k=k, recull=orecull)            # (S*TM, 1)
+            occ_r = jnp.transpose(occ, (1, 0))               # (1, S*TM)
+            wgt = jnp.where(valid_s & (occ_r == 0),
+                            jnp.float32(1.0 / s), 0.0)
+            direct = tuple(
+                direct[comp] + jnp.sum(
+                    (contrib[comp] * wgt).reshape(s, tm),
+                    axis=0, keepdims=True)
+                for comp in range(3))
 
         # ---- next bounce state ----
         tp = _mul3(tp, _scale3(albedo, weight * cos_theta))
@@ -522,13 +546,13 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         d = wi_world
         act = hit
 
-    out_ref[:, 0:1] = direct[0]
-    out_ref[:, 1:2] = direct[1]
-    out_ref[:, 2:3] = direct[2]
-    out_ref[:, 3:4] = env_acc[0]
-    out_ref[:, 4:5] = env_acc[1]
-    out_ref[:, 5:6] = env_acc[2]
-    out_ref[:, 6:8] = jnp.zeros((tm, 2), jnp.float32)
+    out_ref[0:1, :] = direct[0]
+    out_ref[1:2, :] = direct[1]
+    out_ref[2:3, :] = direct[2]
+    out_ref[3:4, :] = env_acc[0]
+    out_ref[4:5, :] = env_acc[1]
+    out_ref[5:6, :] = env_acc[2]
+    out_ref[6:8, :] = jnp.zeros((2, tm), jnp.float32)
 
 
 def fused_frame_supported(scene, lights, env, cfg) -> bool:
@@ -567,12 +591,12 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
     mp = n + pad
 
     rays = jnp.concatenate(
-        [paths.origin, paths.direction,
-         paths.pixel_index.astype(jnp.float32)[:, None],
-         jnp.ones((n, 1), jnp.float32)], axis=1)              # (n, 8)
+        [paths.origin.T, paths.direction.T,
+         paths.pixel_index.astype(jnp.float32)[None, :],
+         jnp.ones((1, n), jnp.float32)], axis=0)              # (8, n) rows
     if pad:
         rays = jnp.concatenate(
-            [rays, jnp.zeros((pad, 8), jnp.float32)], axis=0)
+            [rays, jnp.zeros((8, pad), jnp.float32)], axis=1)
 
     c = scene.tris_per_cluster
     k = scene.num_clusters
@@ -596,15 +620,16 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
     ltab = jnp.concatenate(
         [lights.p0, lights.p1, lights.p2, lights.radiance,
          jnp.zeros((l_count, 4), jnp.float32)], axis=1)
-    ltab = jnp.pad(ltab, ((0, lp - l_count), (0, 0)))         # (lp, 16)
+    ltab = jnp.pad(ltab, ((0, lp - l_count), (0, 0))).T       # (16, lp)
 
-    # flattened env image (rows rgb + pad)
+    # flattened env image, components as sublane rows: (4, ep)
     eh, ew = env.image.shape[0], env.image.shape[1]
     ehw = eh * ew
     ep = max(8, -(-ehw // 8) * 8)
     env_flat = jnp.concatenate(
-        [env.image.reshape(ehw, 3), jnp.zeros((ehw, 1), jnp.float32)], axis=1)
-    env_flat = jnp.pad(env_flat, ((0, ep - ehw), (0, 0)))     # (ep, 4)
+        [env.image.reshape(ehw, 3).T, jnp.zeros((1, ehw), jnp.float32)],
+        axis=0)
+    env_flat = jnp.pad(env_flat, ((0, 0), (0, ep - ehw)))     # (4, ep)
 
     boxes = scene.cl_boxes
     table = scene.cl_mt_table.reshape(k, 12, c)
@@ -623,8 +648,8 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pl.ANY if hbm else pltpu.VMEM)
     shade_spec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -640,8 +665,8 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
         pltpu.VMEM((1, k), jnp.int32),        # vis
         pltpu.VMEM((1, k), jnp.int32),        # keys
         pltpu.VMEM((max(s, 1) * tm, 1), jnp.int32),   # occ
-        pltpu.VMEM((tm, 40), jnp.float32),    # attr rows
-        pltpu.VMEM((tm, 1), jnp.int32),       # attr-fetch done mask
+        pltpu.VMEM((40, tm), jnp.float32),    # attr rows
+        pltpu.VMEM((1, tm), jnp.int32),       # attr-fetch done mask
     ]
 
     (out,) = pl.pallas_call(
@@ -652,7 +677,7 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
         in_specs=[ray_spec, vmem, table_spec, shade_spec, vmem, vmem,
                   smem, smem],
         out_specs=[out_spec],
-        out_shape=[jax.ShapeDtypeStruct((mp, 8), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((8, mp), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
     )(rays, boxes, table, shade_t, ltab, env_flat, salts, meta_f)
@@ -661,7 +686,7 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
     order = tiled_pixel_order_np(cfg.width, cfg.height)
     inv = np.zeros((npix,), np.int32)
     inv[order] = np.arange(npix, dtype=np.int32)
-    out = jnp.take(out[:n], jnp.asarray(inv), axis=0)
+    out = jnp.take(out[:, :n].T, jnp.asarray(inv), axis=0)
     direct = out[:, 0:3]
     env_img = out[:, 3:6]
     return direct, env_img, jnp.int32(0)
