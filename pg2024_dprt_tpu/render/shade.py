@@ -215,7 +215,10 @@ def shade(
         / jnp.pi
     )
 
-    shadow_valid = rep(hit & (~is_delta))
+    # zero-contribution samples (light behind the surface / surface behind
+    # the light / black throughput) need no occlusion trace — all factors
+    # are nonnegative, so a zero sum means the add is zero either way
+    shadow_valid = rep(hit & (~is_delta)) & (jnp.sum(contribution, axis=-1) > 0.0)
     shadow_paths = PathState(
         origin=origin_s,
         direction=wi,
