@@ -67,8 +67,9 @@ TILE_RAYS = 128
 _ENV_ROWS_LIMIT = 2048
 _LIGHT_ROWS_LIMIT = 64
 # per-ray re-cull enter matrices must fit in VMEM: (TM, K) for the closest
-# loop + (S*TM, K) for the occlusion loop
-_RECULL_BYTES_LIMIT = 6 * 2**20
+# loop + (S*TM, K) for the occlusion loop (they are live in DISJOINT phases,
+# so the budget is on the larger of the two plus working temporaries)
+_RECULL_BYTES_LIMIT = 8 * 2**20
 
 
 def _i32c(x):
@@ -313,7 +314,7 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                 pltpu.make_async_copy(
                     table_ref.at[jnp.minimum(cur, k - 1)], tbuf.at[0],
                     sem.at[0]).wait()
-                mt = tbuf[0]
+                mt = tbuf[0][0:12, :]   # rows 12..15 are DMA-alignment pad
             else:
                 mt = table_ref[cur]
             pltpu.make_async_copy(
@@ -580,9 +581,11 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
     return True
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile_rays", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "tile_rays", "interpret",
+                                   "recull", "orecull"))
 def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
-                        tile_rays: int = TILE_RAYS, interpret: bool = None):
+                        tile_rays: int = TILE_RAYS, interpret: bool = None,
+                        recull: int = 8, orecull: int = 8):
     """One spp with the whole-sample megakernel.  Same contract as
     render/engine.py render_sample: (direct (npix,3), env (npix,3), diag)."""
     from ..render.pathgen import generate_camera_paths, tiled_pixel_order_np
@@ -647,6 +650,10 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
         c_k = -(-c // 128) * 128
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
         shade_t = jnp.pad(shade_t, ((0, 0), (0, 0), (0, c_k - c)))
+    if hbm:
+        # HBM DMA slices must be sublane-aligned: 12 MT rows pad to 16
+        # (shade's 24 rows are already aligned)
+        table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -660,7 +667,7 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
 
     scratch = []
     if hbm:
-        scratch += [pltpu.VMEM((2, 12, c_k), jnp.float32),
+        scratch += [pltpu.VMEM((2, 16, c_k), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,))]
     scratch += [
         pltpu.VMEM((1, 24, c_k), jnp.float32),
@@ -677,7 +684,7 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
     (out,) = pl.pallas_call(
         partial(_frame_kernel, c=c_k, tm=tm, k=k, s=s, bounces=bounces,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
-                eps=cfg.t_epsilon, hbm=hbm, recull=8, orecull=8),
+                eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull),
         grid=(mp // tm,),
         in_specs=[ray_spec, vmem, table_spec, shade_spec, vmem, vmem,
                   smem, smem],

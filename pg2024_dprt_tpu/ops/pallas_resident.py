@@ -866,11 +866,15 @@ def trace_resident(
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
     # the HBM kernel's per-cluster DMA slices the table's lane dim, which
     # Mosaic requires 128-aligned; pad with degenerate triangles (zero
-    # normal -> rejected in-kernel), epilogue remaps the winner slot
+    # normal -> rejected in-kernel), epilogue remaps the winner slot.
+    # The sublane (row) dim of the slice must likewise be 8-aligned, so the
+    # 12 MT rows pad to 16 (the kernels read rows 0..11 only).
     c_k = c
     if hbm_table and c % 128:
         c_k = -(-c // 128) * 128
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
+    if hbm_table:
+        table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
     if exact_cull is None:
         # scattered (sorted) wavefronts need the per-ray cull at ANY K —
         # the interval bound degenerates to a full-scene sweep for them
@@ -909,7 +913,7 @@ def trace_resident(
     if hbm_table:
         kern = _occl_kernel_hbm if any_hit else _kernel_hbm
         scratch = [
-            pltpu.VMEM((2, 12, c_k), jnp.float32),
+            pltpu.VMEM((2, 16, c_k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:

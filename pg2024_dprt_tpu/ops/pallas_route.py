@@ -444,6 +444,9 @@ def route_fused(
     if hbm_table and c % 128:
         c_k = -(-c // 128) * 128
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
+    if hbm_table:
+        # HBM DMA slices must be sublane-aligned: 12 MT rows pad to 16
+        table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
 
     names = _param_names(cfg)
     wv = [models.vis_params[nm].astype(
@@ -470,7 +473,7 @@ def route_fused(
     scratch = []
     if hbm_table:
         scratch += [
-            pltpu.VMEM((2, 12, c_k), jnp.float32),
+            pltpu.VMEM((2, 16, c_k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     scratch += [

@@ -39,12 +39,20 @@ def main():
         b = int(kv.get("b", 4))
         s = int(kv.get("s", 4))
         tm = int(kv.get("tm", 128))
+        rc = int(kv.get("rc", 8))
+        oc = int(kv.get("oc", 8))
         cfg = RenderConfig(width=size, height=size, spp=1, bounces=b,
                            shadow_path_count=s)
-        fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm: render_sample_fused(
-            sc, lights, env, camera, smp, cfg, tile_rays=tm))
+        fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm, rc=rc, oc=oc:
+                     render_sample_fused(sc, lights, env, camera, smp, cfg,
+                                         tile_rays=tm, recull=rc, orecull=oc))
         t0 = time.time()
-        out = fn(scene, 0)
+        try:
+            out = fn(scene, 0)
+        except Exception as e:
+            print(f"{spec:16s} FAIL {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
         jax.block_until_ready(out)
         compile_s = time.time() - t0
         iters = 5
