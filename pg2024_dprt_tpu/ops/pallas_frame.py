@@ -224,15 +224,23 @@ def _scene_exit_cap(o, d, lo, hi, tmax_raw):
     return jnp.minimum(tmax_raw, jnp.maximum(exit_t, 0.0) * 1.001 + 1e-4)
 
 
-def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
+def _frame_kernel(pix_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                   env_ref, meta_i_ref, meta_f_ref, out_ref, *scr,
                   c: int, tm: int, k: int, s: int, bounces: int, lp: int,
                   l_count: int, ep: int, eh: int, ew: int, eps: float,
-                  hbm: bool, recull: int, orecull: int):
-    """One ray tile, all bounces.  rays ROWS (8, TM): [o(3), d(3),
-    pixel_f32, act]; meta_i (1,8): per-bounce TEA salts; meta_f (1,8):
-    [scene_lo(3), scene_hi(3), env_rotation, pad]; out ROWS (8, TM):
-    [direct(3), env(3), 0, 0].
+                  hbm: bool, recull: int, orecull: int,
+                  width: int, height: int):
+    """One (ray tile, sample) grid step, all bounces.  The grid is
+    (tiles, spp) with spp innermost: consecutive sample steps revisit the
+    same out block, accumulating in place (the matmul-k reduction pattern)
+    — a whole multi-spp frame is ONE kernel launch.
+
+    pix (1, TM) i32: tiled pixel ids (-1 = padding lane); camera rays are
+    generated IN-KERNEL (pathgen.py math) from meta_f.  meta_i (SPP, 16)
+    i32: cols 0..7 per-bounce TEA salts, col 8 the sample id.  meta_f
+    (1, 24) f32: [scene_lo(3), scene_hi(3), env_rotation, pad, cam_origin
+    (3), forward(3), right(3), up(3), tan_half_fov, tan_half_fov*aspect,
+    pad2].  out ROWS (8, TM): [direct(3), env(3), 0, 0] summed over spp.
 
     Layout: ALL per-ray shade state is row-major (1, TM) — lanes carry
     rays, so each op is ~1 VREG.  The first kernel draft used (TM, 1)
@@ -250,16 +258,35 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
     skb_scr, slot_scr, vis_scr, keys_scr, occ_scr = scr[2:7]
     attr_scr, fetch_scr = scr[7], scr[8]
 
-    rays_in = rays_ref[:]                                  # (8, TM) rows
-    o = _vecr(rays_in, 0)
-    d = _vecr(rays_in, 3)
-    pix = _row(rays_in, 6).astype(jnp.int32)
-    act = _row(rays_in, 7) > 0.5
-    tp = tuple(jnp.ones((1, tm), jnp.float32) for _ in range(3))
+    s_idx = pl.program_id(1)
 
     lo = tuple(meta_f_ref[0, ax] for ax in range(3))
     hi = tuple(meta_f_ref[0, 3 + ax] for ax in range(3))
     env_rot = meta_f_ref[0, 6]
+
+    # ---- 0. in-kernel camera path generation (render/pathgen.py) ----
+    pix = pix_ref[:]                                       # (1, TM) i32
+    act = pix >= 0
+    pixc = jnp.maximum(pix, 0)
+    sample_id = meta_i_ref[s_idx, 8]
+    rows_p = jax.lax.div(pixc, jnp.int32(width))
+    cols_p = pixc - rows_p * jnp.int32(width)
+    cseed = _tea_i32(pixc, jnp.full((1, tm), sample_id, jnp.int32))
+    cseed, cx1 = _rnd_i32(cseed)
+    cseed, cx2 = _rnd_i32(cseed)
+    px = (cols_p.astype(jnp.float32) + cx1) * jnp.float32(2.0 / width) - 1.0
+    py = 1.0 - (rows_p.astype(jnp.float32) + cx2) * jnp.float32(2.0 / height)
+    cam_o = tuple(meta_f_ref[0, 8 + ax] for ax in range(3))
+    fwd = tuple(meta_f_ref[0, 11 + ax] for ax in range(3))
+    rgt = tuple(meta_f_ref[0, 14 + ax] for ax in range(3))
+    upv = tuple(meta_f_ref[0, 17 + ax] for ax in range(3))
+    thf = meta_f_ref[0, 20]
+    thf_a = meta_f_ref[0, 21]
+    d = _norm3(tuple(
+        fwd[ax] + px * (thf_a * rgt[ax]) + py * (thf * upv[ax])
+        for ax in range(3)))
+    o = tuple(jnp.full((1, tm), 0.0) + cam_o[ax] for ax in range(3))
+    tp = tuple(jnp.ones((1, tm), jnp.float32) for _ in range(3))
 
     direct = tuple(jnp.zeros((1, tm), jnp.float32) for _ in range(3))
     env_acc = tuple(jnp.zeros((1, tm), jnp.float32) for _ in range(3))
@@ -278,7 +305,7 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         return jnp.broadcast_to(x, (s, tm)).reshape(1, stm)
 
     for b in range(bounces):
-        salt = meta_i_ref[0, b]
+        salt = meta_i_ref[s_idx, b]
 
         # ---- 1. closest hit ----
         tmax_eff = _scene_exit_cap(o, d, lo, hi, fmax_row)
@@ -552,13 +579,16 @@ def _frame_kernel(rays_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         d = wi_world
         act = hit
 
-    out_ref[0:1, :] = direct[0]
-    out_ref[1:2, :] = direct[1]
-    out_ref[2:3, :] = direct[2]
-    out_ref[3:4, :] = env_acc[0]
-    out_ref[4:5, :] = env_acc[1]
-    out_ref[5:6, :] = env_acc[2]
-    out_ref[6:8, :] = jnp.zeros((2, tm), jnp.float32)
+    # spp accumulation: the innermost grid dim revisits this out block
+    @pl.when(s_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros((8, tm), jnp.float32)
+
+    acc = jnp.concatenate(
+        [direct[0], direct[1], direct[2],
+         env_acc[0], env_acc[1], env_acc[2],
+         jnp.zeros((2, tm), jnp.float32)], axis=0)
+    out_ref[:] = out_ref[:] + acc
 
 
 def fused_frame_supported(scene, lights, env, cfg) -> bool:
@@ -581,46 +611,54 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
     return True
 
 
-@partial(jax.jit, static_argnames=("cfg", "tile_rays", "interpret",
+@partial(jax.jit, static_argnames=("cfg", "spp", "tile_rays", "interpret",
                                    "recull", "orecull"))
-def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
-                        tile_rays: int = TILE_RAYS, interpret: bool = None,
-                        recull: int = 8, orecull: int = 8):
-    """One spp with the whole-sample megakernel.  Same contract as
-    render/engine.py render_sample: (direct (npix,3), env (npix,3), diag)."""
-    from ..render.pathgen import generate_camera_paths, tiled_pixel_order_np
+def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
+                       spp: int = 1,
+                       tile_rays: int = TILE_RAYS, interpret: bool = None,
+                       recull: int = 8, orecull: int = 8):
+    """`spp` samples of the whole-frame megakernel in ONE kernel launch
+    (grid (tiles, spp), sample accumulation in the revisited out block).
+    Returns summed (direct (npix,3), env (npix,3), diag) — divide by spp
+    for the frame average.  Camera paths are generated in-kernel."""
+    from ..render.pathgen import tiled_pixel_order_np
     from ..core.rng import tea
 
     tm = tile_rays
     npix = cfg.frame_buffer_size
-    paths = generate_camera_paths(camera, sample_count)
     n = npix
     pad = (-n) % tm
     mp = n + pad
 
-    rays = jnp.concatenate(
-        [paths.origin.T, paths.direction.T,
-         paths.pixel_index.astype(jnp.float32)[None, :],
-         jnp.ones((1, n), jnp.float32)], axis=0)              # (8, n) rows
-    if pad:
-        rays = jnp.concatenate(
-            [rays, jnp.zeros((8, pad), jnp.float32)], axis=1)
+    order = tiled_pixel_order_np(cfg.width, cfg.height)
+    pix_ids = jnp.asarray(
+        np.concatenate([order, np.full((pad,), -1, np.int32)])[None, :])
 
     c = scene.tris_per_cluster
     k = scene.num_clusters
     s = cfg.shadow_path_count
     bounces = cfg.bounces
 
-    # per-bounce TEA salts (render/shade.py bounce_salt)
+    # per-(sample, bounce) TEA salts (render/shade.py bounce_salt) + the
+    # sample id for in-kernel camera jitter: (SPP, 16) i32
+    sample_ids = jnp.asarray(base_sample, jnp.int32) + jnp.arange(
+        spp, dtype=jnp.int32)
     salts = jnp.stack(
-        [tea(jnp.uint32(sample_count), jnp.uint32(b)).astype(jnp.int32)
+        [tea(sample_ids.astype(jnp.uint32), jnp.uint32(b)).astype(jnp.int32)
          for b in range(bounces)]
-        + [jnp.int32(0)] * (8 - bounces))[None, :]            # (1, 8) i32
+        + [jnp.zeros((spp,), jnp.int32)] * (8 - bounces)
+        + [sample_ids]
+        + [jnp.zeros((spp,), jnp.int32)] * 7, axis=1)         # (SPP, 16)
 
+    aspect = jnp.float32(cfg.width / cfg.height)
     meta_f = jnp.concatenate(
         [scene.scene_aabb[0], scene.scene_aabb[1],
          jnp.asarray(env.rotation_offset, jnp.float32)[None],
-         jnp.zeros((1,), jnp.float32)])[None, :]              # (1, 8) f32
+         jnp.zeros((1,), jnp.float32),
+         camera.origin, camera.forward, camera.right, camera.up,
+         jnp.asarray(camera.tan_half_fov, jnp.float32)[None],
+         (jnp.asarray(camera.tan_half_fov, jnp.float32) * aspect)[None],
+         jnp.zeros((2,), jnp.float32)])[None, :]              # (1, 24) f32
 
     # light table rows [p0, p1, p2, radiance, pad4]
     l_count = lights.count
@@ -660,8 +698,12 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ray_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
+    # grid (tiles, spp), spp innermost: consecutive sample steps see the
+    # SAME pix/out block (the out revisit accumulates)
+    pix_spec = pl.BlockSpec((1, tm), lambda i, si: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((8, tm), lambda i, si: (0, i),
+                            memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pl.ANY if hbm else pltpu.VMEM)
     shade_spec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -684,21 +726,31 @@ def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
     (out,) = pl.pallas_call(
         partial(_frame_kernel, c=c_k, tm=tm, k=k, s=s, bounces=bounces,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
-                eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull),
-        grid=(mp // tm,),
-        in_specs=[ray_spec, vmem, table_spec, shade_spec, vmem, vmem,
+                eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
+                width=cfg.width, height=cfg.height),
+        grid=(mp // tm, spp),
+        in_specs=[pix_spec, vmem, table_spec, shade_spec, vmem, vmem,
                   smem, smem],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((8, mp), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(rays, boxes, table, shade_t, ltab, env_flat, salts, meta_f)
+    )(pix_ids, boxes, table, shade_t, ltab, env_flat, salts, meta_f)
 
     # ray order -> pixel order (tiled_pixel_order is a static permutation)
-    order = tiled_pixel_order_np(cfg.width, cfg.height)
     inv = np.zeros((npix,), np.int32)
     inv[order] = np.arange(npix, dtype=np.int32)
     out = jnp.take(out[:, :n].T, jnp.asarray(inv), axis=0)
     direct = out[:, 0:3]
     env_img = out[:, 3:6]
     return direct, env_img, jnp.int32(0)
+
+
+def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
+                        tile_rays: int = TILE_RAYS, interpret: bool = None,
+                        recull: int = 8, orecull: int = 8):
+    """One spp — same contract as render/engine.py render_sample:
+    (direct (npix,3), env (npix,3), diag)."""
+    return render_frame_fused(scene, lights, env, camera, sample_count, cfg,
+                              spp=1, tile_rays=tile_rays, interpret=interpret,
+                              recull=recull, orecull=orecull)

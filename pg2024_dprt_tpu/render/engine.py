@@ -122,16 +122,30 @@ def render_sample(
 def render_image(scene, lights, env, camera, cfg: RenderConfig, base_sample: int = 0,
                  return_stats: bool = False):
     """Full frame: average over spp. Returns (height, width, 3) float32, or
-    (image, stats) with stats = {"tracer_diag": int} when return_stats."""
+    (image, stats) with stats = {"tracer_diag": int} when return_stats.
+
+    On the megakernel path ALL spp run in ONE kernel launch (the grid's
+    inner dim; ops/pallas_frame.render_frame_fused)."""
+    from ..ops.pallas_frame import fused_frame_supported, render_frame_fused
+
     npix = cfg.frame_buffer_size
-    direct = jnp.zeros((npix, 3), jnp.float32)
-    env_img = jnp.zeros((npix, 3), jnp.float32)
-    diag = jnp.int32(0)
-    for s in range(cfg.spp):
-        d, e, dg = render_sample(scene, lights, env, camera, base_sample + s, cfg)
-        direct = direct + d
-        env_img = env_img + e
-        diag = diag + dg
+    if cfg.fused_frame == "on" or (
+        cfg.fused_frame == "auto"
+        and jax.default_backend() != "cpu"
+        and cfg.tracer in ("auto", "resident")
+        and fused_frame_supported(scene, lights, env, cfg)
+    ):
+        direct, env_img, diag = render_frame_fused(
+            scene, lights, env, camera, base_sample, cfg, spp=cfg.spp)
+    else:
+        direct = jnp.zeros((npix, 3), jnp.float32)
+        env_img = jnp.zeros((npix, 3), jnp.float32)
+        diag = jnp.int32(0)
+        for s in range(cfg.spp):
+            d, e, dg = render_sample(scene, lights, env, camera, base_sample + s, cfg)
+            direct = direct + d
+            env_img = env_img + e
+            diag = diag + dg
     img = ((direct + env_img) / cfg.spp).reshape(cfg.height, cfg.width, 3)
     if return_stats:
         return img, {"tracer_diag": int(diag)}

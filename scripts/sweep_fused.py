@@ -16,7 +16,7 @@ import numpy as np
 
 from pg2024_dprt_tpu.core import Camera
 from pg2024_dprt_tpu.render import RenderConfig
-from pg2024_dprt_tpu.ops.pallas_frame import render_sample_fused
+from pg2024_dprt_tpu.ops.pallas_frame import render_frame_fused
 from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
 from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
 
@@ -41,11 +41,13 @@ def main():
         tm = int(kv.get("tm", 128))
         rc = int(kv.get("rc", 8))
         oc = int(kv.get("oc", 8))
-        cfg = RenderConfig(width=size, height=size, spp=1, bounces=b,
+        spp = int(kv.get("spp", 1))
+        cfg = RenderConfig(width=size, height=size, spp=spp, bounces=b,
                            shadow_path_count=s)
-        fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm, rc=rc, oc=oc:
-                     render_sample_fused(sc, lights, env, camera, smp, cfg,
-                                         tile_rays=tm, recull=rc, orecull=oc))
+        fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm, rc=rc, oc=oc, spp=spp:
+                     render_frame_fused(sc, lights, env, camera, smp, cfg,
+                                        spp=spp, tile_rays=tm,
+                                        recull=rc, orecull=oc))
         t0 = time.time()
         try:
             out = fn(scene, 0)

@@ -74,6 +74,26 @@ def test_fused_pad_multilight_envmap(cornell):
     _ab(scene, lights3, env_ll, cam, cfg, sample=11, tol=2e-3)
 
 
+def test_fused_spp_batch(cornell):
+    """spp>1 in ONE kernel launch == the sum of composed per-sample renders
+    (grid-inner sample accumulation + in-kernel camera generation)."""
+    from pg2024_dprt_tpu.ops.pallas_frame import render_frame_fused
+
+    scene, lights, env, cam = cornell
+    cfg = RenderConfig(width=32, height=32, spp=3, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    d0 = e0 = 0.0
+    for s in range(3):
+        d, e, _ = render_sample(scene, lights, env, cam, 5 + s, cfg)
+        d0 = d0 + np.asarray(d)
+        e0 = e0 + np.asarray(e)
+    d1, e1, _ = render_frame_fused(scene, lights, env, cam, 5, cfg, spp=3,
+                                   interpret=True)
+    for a, b in ((d0, d1), (e0, e1)):
+        rel = np.abs(a - np.asarray(b)) / np.maximum(np.abs(a), 1e-2)
+        assert rel.max() < 1e-3, rel.max()
+
+
 def test_fused_gate_rejects_textured(cornell):
     scene, lights, env, _ = cornell
     cfg = RenderConfig(width=32, height=32)
