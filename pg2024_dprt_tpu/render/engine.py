@@ -30,6 +30,21 @@ from .pathgen import generate_camera_paths
 from .shade import shade
 
 
+def _fused_active(scene, lights, env, cfg: RenderConfig) -> bool:
+    """Static gate for the whole-sample megakernel (ops/pallas_frame.py):
+    "on" forces it (interpret mode off-accelerator); "auto" requires an
+    accelerator backend, a resident-family tracer selection, and a scene
+    within the kernel's static limits."""
+    from ..ops.pallas_frame import fused_frame_supported
+
+    return cfg.fused_frame == "on" or (
+        cfg.fused_frame == "auto"
+        and jax.default_backend() != "cpu"
+        and cfg.tracer in ("auto", "resident")
+        and fused_frame_supported(scene, lights, env, cfg)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_sample(
     scene: DeviceScene,
@@ -42,14 +57,9 @@ def render_sample(
     """One spp: returns (direct_image, env_image, diag) — the images are
     (npix, 3) accumulators; diag counts rays whose result may be affected by
     tracer budget residue (0 in a healthy render; see ops/trace_api.py)."""
-    from ..ops.pallas_frame import fused_frame_supported, render_sample_fused
+    from ..ops.pallas_frame import render_sample_fused
 
-    if cfg.fused_frame == "on" or (
-        cfg.fused_frame == "auto"
-        and jax.default_backend() != "cpu"
-        and cfg.tracer in ("auto", "resident")
-        and fused_frame_supported(scene, lights, env, cfg)
-    ):
+    if _fused_active(scene, lights, env, cfg):
         return render_sample_fused(scene, lights, env, camera, sample_count, cfg)
 
     npix = cfg.frame_buffer_size
@@ -126,15 +136,10 @@ def render_image(scene, lights, env, camera, cfg: RenderConfig, base_sample: int
 
     On the megakernel path ALL spp run in ONE kernel launch (the grid's
     inner dim; ops/pallas_frame.render_frame_fused)."""
-    from ..ops.pallas_frame import fused_frame_supported, render_frame_fused
+    from ..ops.pallas_frame import render_frame_fused
 
     npix = cfg.frame_buffer_size
-    if cfg.fused_frame == "on" or (
-        cfg.fused_frame == "auto"
-        and jax.default_backend() != "cpu"
-        and cfg.tracer in ("auto", "resident")
-        and fused_frame_supported(scene, lights, env, cfg)
-    ):
+    if _fused_active(scene, lights, env, cfg):
         direct, env_img, diag = render_frame_fused(
             scene, lights, env, camera, base_sample, cfg, spp=cfg.spp)
     else:
