@@ -8,4 +8,4 @@ from .geometry import (
 )
 from .lights import LightTable, EnvironmentMap
 from .partition import partition_meshes, build_partitioned_scene, PartitionedScene
-from .procedural import cornell_box, random_tri_soup, two_room_scene
+from .procedural import city_scene, cornell_box, random_tri_soup, two_room_scene

@@ -110,6 +110,56 @@ def random_tri_soup(n: int, seed: int = 0, extent: float = 1.0, jitter: float = 
     return MeshGeometry(v0=base, v1=base + e1, v2=base + e2, name=f"soup{n}")
 
 
+def city_scene(n: int, seed: int = 0, extent: float = 1.0):
+    """~n-triangle architectural stand-in: a displaced terrain grid plus box
+    "buildings" — the surface statistics of the reference's target scenes
+    (Bistro / San Miguel / City, /root/reference/src/render/renderer.cpp:
+    1726-1796) rather than the volumetric worst case of random_tri_soup.
+    Rays hit a surface and stop; cluster AABBs tile the surface instead of
+    overlapping everywhere.  Deterministic in (n, seed); triangle count is
+    within ~12 tris of n."""
+    rng = np.random.RandomState(seed)
+    n_build = max(1, n // 24)           # each box = 12 tris, half the budget
+    n_terrain = max(2, n - 12 * n_build)
+
+    # terrain: jittered heightfield grid of g x g cells, 2 tris per cell
+    g = max(1, int(np.sqrt(n_terrain / 2)))
+    xs = np.linspace(0.0, extent, g + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    h = rng.rand(g + 1, g + 1).astype(np.float32)
+    # smooth the noise a little so the surface is rolling, not spiky
+    for _ in range(2):
+        h = 0.25 * (np.roll(h, 1, 0) + np.roll(h, -1, 0)
+                    + np.roll(h, 1, 1) + np.roll(h, -1, 1))
+    gy = h * (0.15 * extent)
+    p = np.stack([gx, gy, gz], axis=-1)                       # (g+1, g+1, 3)
+    a = p[:-1, :-1].reshape(-1, 3)
+    b = p[1:, :-1].reshape(-1, 3)
+    c = p[1:, 1:].reshape(-1, 3)
+    d = p[:-1, 1:].reshape(-1, 3)
+    v0 = np.concatenate([a, a])
+    v1 = np.concatenate([b, c])
+    v2 = np.concatenate([c, d])
+
+    # buildings: axis-aligned boxes scattered on the terrain
+    bs = []
+    for _ in range(n_build):
+        cx, cz = rng.rand(2).astype(np.float32) * extent * 0.9 + 0.05 * extent
+        w, dep = (rng.rand(2).astype(np.float32) * 0.02 + 0.004) * extent
+        ht = (rng.rand() * 0.12 + 0.02) * extent
+        y0 = 0.0
+        bs.append(_box([cx - w, y0, cz - dep], [cx + w, y0 + ht, cz + dep]))
+    if bs:
+        bv0 = np.concatenate([q[0] for q in bs])
+        bv1 = np.concatenate([q[1] for q in bs])
+        bv2 = np.concatenate([q[2] for q in bs])
+        v0 = np.concatenate([v0, bv0])
+        v1 = np.concatenate([v1, bv1])
+        v2 = np.concatenate([v2, bv2])
+    return MeshGeometry(v0=v0.astype(np.float32), v1=v1.astype(np.float32),
+                        v2=v2.astype(np.float32), name=f"city{n}")
+
+
 def two_room_scene(num_rooms: int = 2, tris_per_room: int = 512, seed: int = 1):
     """Spatially separated clusters of geometry — the canonical multi-partition
     test (each room maps naturally to one partition). Returns (meshes, lights)."""

@@ -27,31 +27,13 @@ from pg2024_dprt_tpu.ops.pallas_resident import trace_resident, resident_table_b
 from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
 
 
-def chained_mrays(trace_fn, o, d, tmx, act, n, short=2, long=12, reps=3):
-    """Slope-timed chained throughput in Mrays/s (see module docstring)."""
-    @jax.jit
-    def chain(o, d, tmx, act, nc):
-        def step(i, carry):
-            o_c, acc = carry
-            h = trace_fn(o_c, d, tmx, act)
-            s = h[0] * 1e-30
-            return o_c + s, acc + h[0]
-        _, acc = jax.lax.fori_loop(0, nc, step, (o, jnp.float32(0)))
-        return acc
+def chained_mrays(trace_fn, o, d, tmx, act, n):
+    """Slope-timed chained throughput in Mrays/s via the HONEST bounded
+    bit-changing fold (utils/benchmarking.chained_time — the local naive
+    `t*1e-30` fold this replaces read ~10x fast, see CLAUDE.md)."""
+    from pg2024_dprt_tpu.utils.benchmarking import chained_time
 
-    rng = np.random.RandomState(int(time.time() * 1e6) % 2**31)
-    ts = {}
-    for nc in (short, long):
-        best = float("inf")
-        for _ in range(reps):
-            oo = o + jnp.asarray(rng.rand(1).astype(np.float32) * 1e-5)
-            float(np.asarray(chain(oo, d, tmx, act, 1)))  # warm path
-            t0 = time.time()
-            acc = chain(oo, d, tmx, act, nc)
-            float(np.asarray(acc))                         # force execution
-            best = min(best, time.time() - t0)
-        ts[nc] = best
-    per_call = (ts[long] - ts[short]) / (long - short)
+    per_call = chained_time(trace_fn, o, d, tmx, act)
     return n / per_call / 1e6, per_call
 
 

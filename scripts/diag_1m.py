@@ -34,11 +34,13 @@ def main():
     rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
 
     for rc in (8, 16, 32):
-        def f(o, d, tmx, act, rc=rc):
-            return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128,
+        def f(o, d, tmx, act, scn, rc=rc):
+            # scene rides *args: a closure would embed the 1M-tri tables as
+            # HLO constants and overflow the relay's compile-request limit
+            return trace_resident(scn, o, d, 1e-3, tmx, act, tile_rays=128,
                                   sort_rays=True, exact_cull=True,
                                   recull=rc)[0].t
-        per = chained_time(f, ro, rd, tmx, act, short=1, long=3, reps=2)
+        per = chained_time(f, ro, rd, tmx, act, scene, short=1, long=3, reps=2)
         print(f"incoherent_1m recull={rc}: {per*1e3:8.2f} ms "
               f"({n/per/1e6:.3f} Mrays/s)", flush=True)
 
@@ -56,11 +58,11 @@ def main():
                                jnp.zeros(n), jnp.zeros(n))
 
     for ec, rc in ((False, 0), (True, 0), (True, 8)):
-        def f(o, d, tmx, act, ec=ec, rc=rc):
-            return trace_resident(scene, o, d, 1e-3, tmx, act, tile_rays=128,
+        def f(o, d, tmx, act, scn, ec=ec, rc=rc):
+            return trace_resident(scn, o, d, 1e-3, tmx, act, tile_rays=128,
                                   sort_rays=False, exact_cull=ec,
                                   recull=rc)[0].t
-        per = chained_time(f, co, cd, tmx, act, short=1, long=3, reps=2)
+        per = chained_time(f, co, cd, tmx, act, scene, short=1, long=3, reps=2)
         print(f"camera_1m exact={ec} recull={rc}: {per*1e3:8.2f} ms "
               f"({n/per/1e6:.3f} Mrays/s)", flush=True)
 
