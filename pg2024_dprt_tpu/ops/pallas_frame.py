@@ -709,8 +709,8 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
 
     scratch = []
     if hbm:
-        scratch += [pltpu.VMEM((2, 16, c_k), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,))]
+        scratch += [pltpu.VMEM((3, 16, c_k), jnp.float32),
+                    pltpu.SemaphoreType.DMA((3,))]
     scratch += [
         pltpu.VMEM((1, 24, c_k), jnp.float32),
         pltpu.SemaphoreType.DMA((1,)),

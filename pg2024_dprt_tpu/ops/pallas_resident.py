@@ -289,23 +289,29 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
         keys_in = keys_scr[:]
         s_kb_in = skb_scr[:]
         s_slot_in = slot_scr[:]
+        # depth-2 pipelining (see _kernel): the carry holds the indices of
+        # the current AND next visit so each extract->dynamic-slice chain
+        # gets ~two triangle bodies of slack; HBM prefetches ride a
+        # TRIPLE-buffered scratch (two DMAs in flight)
+        sel_b0, keys_in2 = _next_cluster(keys_in)
         if hbm_refs is not None:
             # outer_cond held, so sel_in is viable: start this round's chain
-            dma(sel_in & cmask, jax.lax.rem(j0, 2)).start()
+            dma(sel_in & cmask, jax.lax.rem(j0, 3)).start()
+            dma(sel_b0 & cmask, jax.lax.rem(j0 + 1, 3)).start()
 
         def inner_cond(c2):
-            j, sel, keys, s_kb, worst, s_slot = c2
+            j, sel, sel_b, keys, s_kb, worst, s_slot = c2
             return (j - j0 < recull) & ((sel & ~cmask) < worst)
 
         def inner_body(c2):
-            j, sel, keys, s_kb, worst, s_slot = c2
-            sel2, keys2 = _next_cluster(keys)
+            j, sel, sel_b, keys, s_kb, worst, s_slot = c2
+            sel2, keys2 = _next_cluster(keys)       # visit after next
             worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
             idx = sel & cmask
             vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
             if hbm_refs is not None:
-                slot = jax.lax.rem(j, 2)
-                dma(sel2 & cmask, 1 - slot).start()
+                slot = jax.lax.rem(j, 3)
+                dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
                 dma(idx, slot).wait()
                 tri = tbuf[slot]
             else:
@@ -326,18 +332,237 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
                 t_scr[:] = jnp.where(improved, t_exact, t_scr[:])
             s_kb = jnp.where(improved, kmin, s_kb)
             s_slot = jnp.where(improved, slot_w, s_slot)
-            return j + 1, sel2, keys2, s_kb, worst2, s_slot
+            return j + 1, sel_b, sel2, keys2, s_kb, worst2, s_slot
 
-        j_end, _, _, s_kb, _, s_slot = jax.lax.while_loop(
+        j_end, _, _, _, s_kb, _, s_slot = jax.lax.while_loop(
             inner_cond, inner_body,
-            (j0, sel_in, keys_in, s_kb_in, worst_in, s_slot_in))
+            (j0, sel_in, sel_b0, keys_in2, s_kb_in, worst_in, s_slot_in))
 
         if hbm_refs is not None:
-            # drain the last outstanding prefetch of this round
+            # drain the two outstanding prefetches of this round
+            dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
+            dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
+
+        skb_scr[:] = s_kb
+        slot_scr[:] = s_slot
+        sel3, keys3 = _next_cluster(rekeys(s_kb))
+        keys_scr[:] = keys3
+        worst3 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+        return j_end, sel3, worst3
+
+    jax.lax.while_loop(outer_cond, outer_body,
+                       (jnp.int32(0), sel0, worst0))
+    return skb_scr[:], slot_scr[:], kb0
+
+
+def _next_member(mkeys):
+    """Column-layout selection-sort step on (G, 1) packed member keys."""
+    kv = jnp.min(mkeys, axis=0, keepdims=True)               # (1, 1)
+    mkeys = jnp.where(mkeys == jnp.broadcast_to(kv, mkeys.shape),
+                      jnp.int32(0x7FFFFFFF), mkeys)
+    return kv[0, 0], mkeys
+
+
+def _member_enters(rows8, inv_rows, tmax_row, mb, g: int, tm: int):
+    """(G, TM) exact slab enters of the ray block against ONE group's member
+    clusters, in the row-major (members on sublanes, rays on lanes) layout —
+    every op is ~1 VREG.  rows8 = the transposed (8, TM) ray block; mb =
+    (G, 8) member boxes [minx..z, maxx..z, count, pad].  +inf where a ray
+    provably does not enter a member before its tmax."""
+    inf = jnp.float32(float("inf"))
+    B = lambda a: jnp.broadcast_to(a, (g, tm))
+    en = jnp.zeros((g, tm), jnp.float32)
+    ex = jnp.full((g, tm), inf)
+    for ax in range(3):
+        lo = B(mb[:, ax:ax + 1])
+        hi = B(mb[:, 3 + ax:4 + ax])
+        o = B(rows8[ax:ax + 1, :])
+        iv = B(inv_rows[ax:ax + 1, :])
+        t0 = (lo - o) * iv
+        t1 = (hi - o) * iv
+        en = jnp.maximum(en, jnp.minimum(t0, t1))
+        ex = jnp.minimum(ex, jnp.maximum(t0, t1))
+    exg = ex * (1.0 + 4e-7) + 1e-7                           # rounding guard
+    ok = ((B(mb[:, 6:7]) > 0.0) & (en <= exg) & (exg > 0.0)
+          & (en < B(tmax_row)))
+    return jnp.where(ok, jnp.maximum(en, 0.0), inf)
+
+
+def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
+                         *, c: int, tm: int, k: int, kg: int, g: int,
+                         recull: int, t_scr=None):
+    """Two-level (group -> member cluster) selection loop with per-ray
+    horizon re-culling at GROUP granularity.
+
+    The flat exact cull is (TM, K) work and dominates coherent tiles
+    (~2.9 us of a 7.5 us camera tile at K=735; scripts/ablate_visit_cost.py
+    puts the whole per-visit machinery at ~free and the triangle test at
+    ~0.35 us/visit — the cull is the remaining term).  Grouping CL_GROUP
+    SAH-consecutive clusters cuts the per-ray cull and every rekeys round
+    to (TM, Kg): the outer selection walks GROUPS front-to-back by exact
+    per-ray group enters; each selected group refines its members with one
+    (G, TM) row-major slab test (~30 single-VREG ops) and an inner
+    selection visits members front-to-back with the standard dense MT
+    body.  Same conservative horizon guarantees as _recull_loop: group
+    enter lower-bounds member enters, the block worst is stale by at most
+    one visit, and a member skipped against the current worst can never
+    become viable again (worst only decreases).
+
+    HBM mode streams ONE WHOLE GROUP per DMA (table reshaped
+    (Kg, G, 16, C); (G*16, C) contiguous slice) into a double-buffered
+    scratch — 8x fewer, 8x larger transfers than the flat loop.
+
+    scr = (skb (TM,1), slot (TM,1), vis (1,Kg), keys (1,Kg)) i32 VMEM."""
+    skb_scr, slot_scr, vis_scr, keys_scr = scr
+    SAT = jnp.int32(0x7FFFFFFF)
+    inf = jnp.float32(float("inf"))
+    tmax = rays[:, 7:8]
+    lb = _lane_bits(c)
+    gb = _lane_bits(kg)
+    mb_bits = _lane_bits(g)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    gmask = jnp.int32((1 << gb) - 1)
+    mmask = jnp.int32((1 << mb_bits) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+    lanes_kg = jax.lax.broadcasted_iota(jnp.int32, (1, kg), 1)
+    miota = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+
+    en_pr = _cluster_enters(rays, gboxes, kg, tm, exact=True, keep_rows=True)
+
+    # row-major ray views for the in-group member cull
+    rows8 = jnp.transpose(rays, (1, 0))                      # (8, TM)
+    d_rows = rows8[3:6, :]
+    inv_rows = 1.0 / jnp.where(
+        jnp.abs(d_rows) < 1e-12,
+        jnp.where(d_rows >= 0, 1e-12, -1e-12), d_rows)
+    tmax_row = rows8[7:8, :]
+
+    kb0 = (
+        jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+        & ~lane_mask
+    ) | lane_mask
+
+    def rekeys(s_kb):
+        t_best = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
+        t_g = t_best * (1.0 + 1e-4) + 1e-7
+        en_eff = jnp.where(en_pr <= jnp.broadcast_to(t_g, (tm, kg)),
+                           en_pr, inf)
+        en_min = jnp.min(en_eff, axis=0, keepdims=True)
+        return jnp.where(vis_scr[:] > 0, SAT,
+                         _selection_keys(en_min, kg, gb))
+
+    if hbm_refs is not None:
+        gbuf, sem = hbm_refs
+
+        def dma(gidx, slot):
+            safe = jnp.minimum(gidx, kg - 1)
+            return pltpu.make_async_copy(
+                table_ref.at[safe], gbuf.at[slot], sem.at[slot])
+
+    if t_scr is not None:
+        t_scr[:] = jnp.broadcast_to(tmax, (tm, 1))
+
+    skb_scr[:] = kb0
+    slot_scr[:] = jnp.full((tm, 1), -1, jnp.int32)
+    vis_scr[:] = jnp.zeros((1, kg), jnp.int32)
+    sel0, keys0 = _next_cluster(rekeys(kb0))
+    keys_scr[:] = keys0
+    worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
+
+    def outer_cond(carry):
+        j, sel, worst = carry
+        return (sel & ~gmask) < worst
+
+    def outer_body(carry):
+        j0, sel_in, worst_in = carry
+        keys_in = keys_scr[:]
+        s_kb_in = skb_scr[:]
+        s_slot_in = slot_scr[:]
+        t_in = t_scr[:] if t_scr is not None else jnp.zeros((1, 1))
+        if hbm_refs is not None:
+            dma(sel_in & gmask, jax.lax.rem(j0, 2)).start()
+
+        def inner_cond(c2):
+            j, sel, keys, s_kb, worst, s_slot, t_c = c2
+            return (j - j0 < recull) & ((sel & ~gmask) < worst)
+
+        def inner_body(c2):
+            j, sel, keys, s_kb, worst, s_slot, t_c = c2
+            sel2, keys2 = _next_cluster(keys)
+            gidx = sel & gmask
+            vis_scr[:] = vis_scr[:] | (lanes_kg == gidx).astype(jnp.int32)
+            if hbm_refs is not None:
+                slot = jax.lax.rem(j, 2)
+                dma(sel2 & gmask, 1 - slot).start()
+                dma(gidx, slot).wait()
+
+            # member refinement: one (G, TM) slab test, then front-to-back
+            # member visits with the standard dense MT body.  Member enters
+            # are masked by each ray's CURRENT committed t (one (TM,1) ->
+            # (1,TM) transpose per group visit) — without this the member
+            # gate only prunes at block granularity and the extra visits
+            # eat the cull saving (measured: camera 64k wash).
+            mbx = mboxes_ref[gidx]                           # (G, 8)
+            en_m = _member_enters(rows8, inv_rows, tmax_row, mbx, g, tm)
+            t_best = jax.lax.bitcast_convert_type(
+                s_kb & ~lane_mask, jnp.float32)              # (TM, 1)
+            t_row = jnp.transpose(t_best, (1, 0)) * (1.0 + 1e-4) + 1e-7
+            en_m = jnp.where(en_m <= jnp.broadcast_to(t_row, (g, tm)),
+                             en_m, inf)
+            en_col = jnp.min(en_m, axis=1, keepdims=True)    # (G, 1)
+            mbits = jax.lax.bitcast_convert_type(en_col, jnp.int32)
+            mkeys0 = jnp.where(
+                jnp.isfinite(en_col), (mbits & ~mmask) | miota, SAT)
+            msel0, mkeys1 = _next_member(mkeys0)
+
+            def mcond(mc):
+                msel, _, _, worst_m, _, _ = mc
+                return (msel & ~mmask) < worst_m
+
+            def mbody(mc):
+                msel, mkeys, s_kb_m, worst_m, s_slot_m, t_m = mc
+                msel2, mkeys2 = _next_member(mkeys)
+                worst_m2 = jnp.max(s_kb_m, axis=0, keepdims=True)[0, 0]
+                midx = msel & mmask
+                idx = jnp.minimum(gidx * g + midx, k - 1)
+                if hbm_refs is not None:
+                    tri = gbuf[slot, midx][0:12, :]
+                else:
+                    tri = table_ref[idx]
+                t, tri_ok = _mt_body(rays, tri, c, tm)
+                tb = jax.lax.bitcast_convert_type(
+                    jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38),
+                    jnp.int32,
+                )
+                key = (tb & ~lane_mask) | lanes
+                kmin = jnp.min(key, axis=1, keepdims=True)
+                improved = kmin < s_kb_m
+                slot_w = idx * c + (kmin & lane_mask)
+                if t_scr is not None:
+                    win = (lanes == jnp.broadcast_to(kmin & lane_mask,
+                                                     (tm, c))) & tri_ok
+                    t_exact = jnp.min(jnp.where(win, t, 3.402823466e38),
+                                      axis=1, keepdims=True)
+                    t_m = jnp.where(improved, t_exact, t_m)
+                s_kb_m = jnp.where(improved, kmin, s_kb_m)
+                s_slot_m = jnp.where(improved, slot_w, s_slot_m)
+                return msel2, mkeys2, s_kb_m, worst_m2, s_slot_m, t_m
+
+            _, _, s_kb, worst2, s_slot, t_c = jax.lax.while_loop(
+                mcond, mbody, (msel0, mkeys1, s_kb, worst, s_slot, t_c))
+            return j + 1, sel2, keys2, s_kb, worst2, s_slot, t_c
+
+        j_end, _, _, s_kb, _, s_slot, t_c = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (j0, sel_in, keys_in, s_kb_in, worst_in, s_slot_in, t_in))
+
+        if hbm_refs is not None:
             dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
 
         skb_scr[:] = s_kb
         slot_scr[:] = s_slot
+        if t_scr is not None:
+            t_scr[:] = t_c
         sel3, keys3 = _next_cluster(rekeys(s_kb))
         keys_scr[:] = keys3
         worst3 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
@@ -405,24 +630,28 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
         j0, sel_in, worst_in = carry
         keys_in = keys_scr[:]
         occ_in = occ_scr[:]
+        # depth-2 pipelining + triple-buffered HBM prefetch (see
+        # _recull_loop)
+        sel_b0, keys_in2 = _next_cluster(keys_in)
         if hbm_refs is not None:
-            dma(sel_in & cmask, jax.lax.rem(j0, 2)).start()
+            dma(sel_in & cmask, jax.lax.rem(j0, 3)).start()
+            dma(sel_b0 & cmask, jax.lax.rem(j0 + 1, 3)).start()
 
         def inner_cond(c2):
-            j, sel, keys, occ, worst = c2
+            j, sel, sel_b, keys, occ, worst = c2
             return (j - j0 < recull) & ((sel & ~cmask) < worst)
 
         def inner_body(c2):
-            j, sel, keys, occ, _ = c2
-            sel2, keys2 = _next_cluster(keys)
+            j, sel, sel_b, keys, occ, _ = c2
+            sel2, keys2 = _next_cluster(keys)       # visit after next
             worst2 = jnp.max(
                 jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
             )[0, 0]
             idx = sel & cmask
             vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
             if hbm_refs is not None:
-                slot = jax.lax.rem(j, 2)
-                dma(sel2 & cmask, 1 - slot).start()
+                slot = jax.lax.rem(j, 3)
+                dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
                 dma(idx, slot).wait()
                 tri = tbuf[slot]
             else:
@@ -431,14 +660,15 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
             tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
             hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
             occ = jnp.maximum(occ, hit)
-            return j + 1, sel2, keys2, occ, worst2
+            return j + 1, sel_b, sel2, keys2, occ, worst2
 
-        j_end, _, _, occ, _ = jax.lax.while_loop(
+        j_end, _, _, _, occ, _ = jax.lax.while_loop(
             inner_cond, inner_body,
-            (j0, sel_in, keys_in, occ_in, worst_in))
+            (j0, sel_in, sel_b0, keys_in2, occ_in, worst_in))
 
         if hbm_refs is not None:
-            dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+            dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
+            dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
 
         occ_scr[:] = occ
         # re-keys: occluded rays' enter rows masked out, visited clusters
@@ -452,6 +682,158 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
 
     jax.lax.while_loop(outer_cond, outer_body, (jnp.int32(0), sel0, worst0))
     return occ_scr[:]
+
+
+def _grouped_occl_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
+                       *, c: int, tm: int, k: int, kg: int, g: int,
+                       recull: int):
+    """Any-hit variant of _grouped_recull_loop: two-level group -> member
+    selection with per-ray OCCLUSION re-culling at group granularity.
+    Returns the (TM, 1) i32 occlusion mask.
+
+    scr = (occ (TM,1), vis (1,Kg), keys (1,Kg)) i32 VMEM."""
+    occ_scr, vis_scr, keys_scr = scr
+    SAT = jnp.int32(0x7FFFFFFF)
+    inf = jnp.float32(float("inf"))
+    tmax = rays[:, 7:8]
+    gb = _lane_bits(kg)
+    mb_bits = _lane_bits(g)
+    gmask = jnp.int32((1 << gb) - 1)
+    mmask = jnp.int32((1 << mb_bits) - 1)
+    lanes_kg = jax.lax.broadcasted_iota(jnp.int32, (1, kg), 1)
+    miota = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+
+    en_pr = _cluster_enters(rays, gboxes, kg, tm, exact=True, keep_rows=True)
+    rows8 = jnp.transpose(rays, (1, 0))
+    d_rows = rows8[3:6, :]
+    inv_rows = 1.0 / jnp.where(
+        jnp.abs(d_rows) < 1e-12,
+        jnp.where(d_rows >= 0, 1e-12, -1e-12), d_rows)
+    tmax_row = rows8[7:8, :]
+    tmax_bits = jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+
+    def rekeys(occ):
+        en_eff = jnp.where(jnp.broadcast_to(occ > 0, (tm, kg)), inf, en_pr)
+        en_min = jnp.min(en_eff, axis=0, keepdims=True)
+        return jnp.where(vis_scr[:] > 0, SAT,
+                         _selection_keys(en_min, kg, gb))
+
+    if hbm_refs is not None:
+        gbuf, sem = hbm_refs
+
+        def dma(gidx, slot):
+            safe = jnp.minimum(gidx, kg - 1)
+            return pltpu.make_async_copy(
+                table_ref.at[safe], gbuf.at[slot], sem.at[slot])
+
+    occ0 = jnp.zeros((tm, 1), jnp.int32)
+    occ_scr[:] = occ0
+    vis_scr[:] = jnp.zeros((1, kg), jnp.int32)
+    sel0, keys0 = _next_cluster(rekeys(occ0))
+    keys_scr[:] = keys0
+    worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
+
+    def outer_cond(carry):
+        j, sel, worst = carry
+        return (sel & ~gmask) < worst
+
+    def outer_body(carry):
+        j0, sel_in, worst_in = carry
+        keys_in = keys_scr[:]
+        occ_in = occ_scr[:]
+        if hbm_refs is not None:
+            dma(sel_in & gmask, jax.lax.rem(j0, 2)).start()
+
+        def inner_cond(c2):
+            j, sel, keys, occ, worst = c2
+            return (j - j0 < recull) & ((sel & ~gmask) < worst)
+
+        def inner_body(c2):
+            j, sel, keys, occ, worst = c2
+            sel2, keys2 = _next_cluster(keys)
+            gidx = sel & gmask
+            vis_scr[:] = vis_scr[:] | (lanes_kg == gidx).astype(jnp.int32)
+            if hbm_refs is not None:
+                slot = jax.lax.rem(j, 2)
+                dma(sel2 & gmask, 1 - slot).start()
+                dma(gidx, slot).wait()
+
+            mbx = mboxes_ref[gidx]                           # (G, 8)
+            en_m = _member_enters(rows8, inv_rows, tmax_row, mbx, g, tm)
+            # mask already-occluded rays out of the member gate (the
+            # any-hit analogue of the per-ray t-row masking above)
+            occ_row = jnp.transpose(occ, (1, 0))             # (1, TM)
+            en_m = jnp.where(jnp.broadcast_to(occ_row > 0, (g, tm)),
+                             inf, en_m)
+            en_col = jnp.min(en_m, axis=1, keepdims=True)
+            mbits2 = jax.lax.bitcast_convert_type(en_col, jnp.int32)
+            mkeys0 = jnp.where(
+                jnp.isfinite(en_col), (mbits2 & ~mmask) | miota, SAT)
+            msel0, mkeys1 = _next_member(mkeys0)
+
+            def mcond(mc):
+                msel, _, _, worst_m = mc
+                return (msel & ~mmask) < worst_m
+
+            def mbody(mc):
+                msel, mkeys, occ_m, _ = mc
+                msel2, mkeys2 = _next_member(mkeys)
+                worst_m2 = jnp.max(
+                    jnp.where(occ_m > 0, 0, tmax_bits), axis=0, keepdims=True
+                )[0, 0]
+                midx = msel & mmask
+                idx = jnp.minimum(gidx * g + midx, k - 1)
+                if hbm_refs is not None:
+                    tri = gbuf[slot, midx][0:12, :]
+                else:
+                    tri = table_ref[idx]
+                t, tri_ok = _mt_body(rays, tri, c, tm)
+                tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
+                hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
+                occ_m = jnp.maximum(occ_m, hit)
+                return msel2, mkeys2, occ_m, worst_m2
+
+            _, _, occ, worst2 = jax.lax.while_loop(
+                mcond, mbody, (msel0, mkeys1, occ, worst))
+            return j + 1, sel2, keys2, occ, worst2
+
+        j_end, _, _, occ, _ = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (j0, sel_in, keys_in, occ_in, worst_in))
+
+        if hbm_refs is not None:
+            dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+
+        occ_scr[:] = occ
+        sel3, keys3 = _next_cluster(rekeys(occ))
+        keys_scr[:] = keys3
+        worst3 = jnp.max(
+            jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
+        )[0, 0]
+        return j_end, sel3, worst3
+
+    jax.lax.while_loop(outer_cond, outer_body, (jnp.int32(0), sel0, worst0))
+    return occ_scr[:]
+
+
+def _occl_kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref,
+                         out_ref, *scr, c: int, tm: int, k: int, kg: int,
+                         g: int, recull: int):
+    """Any-hit via the two-level grouped loop (VMEM table)."""
+    occ = _grouped_occl_loop(rays_ref[:], gboxes_ref[:], mboxes_ref,
+                             table_ref, None, scr, c=c, tm=tm, k=k, kg=kg,
+                             g=g, recull=recull)
+    out_ref[:, 0:1] = occ.astype(jnp.float32)
+
+
+def _occl_kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm,
+                             out_ref, gbuf, sem, *scr, c: int, tm: int,
+                             k: int, kg: int, g: int, recull: int):
+    """Any-hit grouped loop with whole-group HBM streaming."""
+    occ = _grouped_occl_loop(rays_ref[:], gboxes_ref[:], mboxes_ref,
+                             table_hbm, (gbuf, sem), scr, c=c, tm=tm, k=k,
+                             kg=kg, g=g, recull=recull)
+    out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
 def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
@@ -497,20 +879,25 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
     ) | lane_mask
     worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
     sel0, keys1 = _next_cluster(keys0)
+    sel1, keys2_init = _next_cluster(keys1)
 
-    # Software pipelining: the vector->scalar extracts (next-cluster
-    # selection, horizon) are the dominant per-iteration overhead when they
-    # sit on the critical path.  The body therefore issues them FIRST — the
-    # selection for the NEXT iteration and a one-iteration-STALE horizon
-    # (stale worst is only larger -> conservative, never skips a viable
-    # cluster) — so their latency overlaps the VPU triangle test.
+    # Software pipelining, DEPTH 2: the dominant per-visit overhead is the
+    # dependent chain vector-min -> scalar extract -> dynamic VMEM slice
+    # address (measured ~0.9 us/visit vs ~0.6 us for the triangle test:
+    # scripts/ablate_visit_cost.py).  The carry therefore holds the indices
+    # of the CURRENT visit and the next one, and the body extracts the
+    # visit-after-next — every extract gets ~two triangle-test bodies of
+    # slack before its address is consumed.  The horizon stays stale by
+    # one (stale worst is only larger -> conservative, never skips a
+    # viable cluster); termination checks the actually-visited index, so
+    # the lookahead adds NO extra visits.
     def cond(carry):
-        sel, _, _, worst, _ = carry
+        sel, _, _, _, worst, _ = carry
         return (sel & ~cmask) < worst
 
     def body(carry):
-        sel, keys, s_kb, worst, s_slot = carry
-        sel2, keys2 = _next_cluster(keys)            # for the NEXT iteration
+        sel, sel_b, keys, s_kb, worst, s_slot = carry
+        sel2, keys2 = _next_cluster(keys)         # for the visit after next
         worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]  # stale by one
         idx = sel & cmask
         tri = table_ref[idx]                         # (12, C) resident slice
@@ -529,11 +916,12 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
         slot_w = idx * c + (kmin & lane_mask)
         s_kb = jnp.where(improved, kmin, s_kb)
         s_slot = jnp.where(improved, slot_w, s_slot)
-        return sel2, keys2, s_kb, worst2, s_slot
+        return sel_b, sel2, keys2, s_kb, worst2, s_slot
 
-    _, _, s_kb, _, s_slot = jax.lax.while_loop(
+    _, _, _, s_kb, _, s_slot = jax.lax.while_loop(
         cond, body,
-        (sel0, keys1, kb0, worst0, jnp.full((tm, 1), -1, jnp.int32)),
+        (sel0, sel1, keys2_init, kb0, worst0,
+         jnp.full((tm, 1), -1, jnp.int32)),
     )
     t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 0:1] = t_approx
@@ -546,12 +934,14 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
     one-iteration lookahead that software-pipelines the selection extracts
     also provides the NEXT cluster index early, so its (12, C) slice is
-    DMA'd into a double-buffered VMEM scratch while the current cluster's
-    triangle test runs — the DMA latency hides under the VPU body.
+    DMA'd into a triple-buffered VMEM scratch while the current cluster's
+    triangle test runs (depth-2 lookahead -> two prefetches in flight) —
+    the DMA latency hides under the VPU body.
 
-    Semaphore hygiene: every iteration starts exactly one prefetch and waits
-    exactly one; the final outstanding prefetch is drained after the loop
-    (scratch and semaphores persist across sequential grid steps).
+    Semaphore hygiene: every iteration starts exactly one prefetch and
+    waits exactly one; the two outstanding prefetches are drained after
+    the loop (scratch and semaphores persist across sequential grid
+    steps).
 
     recull > 0 (exact mode only): per-ray horizon rounds — see _kernel."""
     rays = rays_ref[:]
@@ -582,29 +972,29 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     ) | lane_mask
     worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
     sel0, keys1 = _next_cluster(keys0)
+    sel1, keys2_init = _next_cluster(keys1)
 
     def dma(idx, slot):
         safe = jnp.minimum(idx, k - 1)
         return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
 
-    run0 = (sel0 & ~cmask) < worst0
-
-    @pl.when(run0)
-    def _():
-        dma(sel0 & cmask, 0).start()
+    # depth-2 pipelining + triple-buffered prefetch (see _kernel): both
+    # preamble DMAs start unconditionally (safe index) and are drained
+    # unconditionally after the loop — starts and waits stay balanced on
+    # every path
+    dma(sel0 & cmask, 0).start()
+    dma(sel1 & cmask, 1).start()
 
     def cond(carry):
-        j, sel, keys, s_kb, worst, s_slot = carry
+        j, sel, sel_b, keys, s_kb, worst, s_slot = carry
         return (sel & ~cmask) < worst
 
     def body(carry):
-        j, sel, keys, s_kb, worst, s_slot = carry
-        sel2, keys2 = _next_cluster(keys)
+        j, sel, sel_b, keys, s_kb, worst, s_slot = carry
+        sel2, keys2 = _next_cluster(keys)       # visit after next
         worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
-        slot = jax.lax.rem(j, 2)
-        # prefetch the next cluster before touching this one (started even
-        # when the loop is about to end — drained after the loop)
-        dma(sel2 & cmask, 1 - slot).start()
+        slot = jax.lax.rem(j, 3)
+        dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
         idx = sel & cmask
         dma(idx, slot).wait()
         tri = tbuf[slot]
@@ -618,20 +1008,49 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
         slot_w = idx * c + (kmin & lane_mask)
         s_kb = jnp.where(improved, kmin, s_kb)
         s_slot = jnp.where(improved, slot_w, s_slot)
-        return j + 1, sel2, keys2, s_kb, worst2, s_slot
+        return j + 1, sel_b, sel2, keys2, s_kb, worst2, s_slot
 
-    j_end, _, _, s_kb, _, s_slot = jax.lax.while_loop(
+    j_end, _, _, _, s_kb, _, s_slot = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), sel0, keys1, kb0, worst0, jnp.full((tm, 1), -1, jnp.int32)),
+        (jnp.int32(0), sel0, sel1, keys2_init, kb0, worst0,
+         jnp.full((tm, 1), -1, jnp.int32)),
     )
 
-    # drain the last outstanding prefetch (iteration j started one for j+1)
-    @pl.when(j_end > 0)
-    def _():
-        dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+    # drain the two outstanding prefetches
+    dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
+    dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
 
     t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 0:1] = t_approx
+    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+
+
+def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
+                    *scr, c: int, tm: int, k: int, kg: int, g: int,
+                    recull: int):
+    """Closest hit via the two-level grouped selection loop (VMEM table)."""
+    lb = _lane_bits(c)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    s_kb, s_slot, _ = _grouped_recull_loop(
+        rays_ref[:], gboxes_ref[:], mboxes_ref, table_ref, None, scr,
+        c=c, tm=tm, k=k, kg=kg, g=g, recull=recull)
+    out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+        s_kb & ~lane_mask, jnp.float32)
+    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+
+
+def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
+                        gbuf, sem, *scr, c: int, tm: int, k: int, kg: int,
+                        g: int, recull: int):
+    """Closest hit via the grouped loop with whole-group HBM streaming
+    (table reshaped (Kg, G, 16, C); one (G*16, C) DMA per group visit)."""
+    lb = _lane_bits(c)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    s_kb, s_slot, _ = _grouped_recull_loop(
+        rays_ref[:], gboxes_ref[:], mboxes_ref, table_hbm, (gbuf, sem), scr,
+        c=c, tm=tm, k=k, kg=kg, g=g, recull=recull)
+    out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+        s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
@@ -654,28 +1073,28 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
     sel0, keys1 = _next_cluster(keys0)
+    sel1, keys2_init = _next_cluster(keys1)
     worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
 
     def dma(idx, slot):
         safe = jnp.minimum(idx, k - 1)
         return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
 
-    @pl.when((sel0 & ~cmask) < worst0)
-    def _():
-        dma(sel0 & cmask, 0).start()
+    dma(sel0 & cmask, 0).start()
+    dma(sel1 & cmask, 1).start()
 
     def cond(carry):
-        j, sel, keys, occ, worst = carry
+        j, sel, sel_b, keys, occ, worst = carry
         return (sel & ~cmask) < worst
 
     def body(carry):
-        j, sel, keys, occ, _ = carry
-        sel2, keys2 = _next_cluster(keys)
+        j, sel, sel_b, keys, occ, _ = carry
+        sel2, keys2 = _next_cluster(keys)       # visit after next
         worst2 = jnp.max(
             jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
         )[0, 0]
-        slot = jax.lax.rem(j, 2)
-        dma(sel2 & cmask, 1 - slot).start()
+        slot = jax.lax.rem(j, 3)
+        dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
         idx = sel & cmask
         dma(idx, slot).wait()
         tri = tbuf[slot]
@@ -683,15 +1102,16 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
         tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
         hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
         occ = jnp.maximum(occ, hit)
-        return j + 1, sel2, keys2, occ, worst2
+        return j + 1, sel_b, sel2, keys2, occ, worst2
 
-    j_end, _, _, occ, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), sel0, keys1, jnp.zeros((tm, 1), jnp.int32), worst0)
+    j_end, _, _, _, occ, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), sel0, sel1, keys2_init,
+         jnp.zeros((tm, 1), jnp.int32), worst0)
     )
 
-    @pl.when(j_end > 0)
-    def _():
-        dma(jnp.int32(0), jax.lax.rem(j_end, 2)).wait()
+    dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
+    dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
 
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
@@ -716,16 +1136,16 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
     en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
     keys0 = _selection_keys(en0, k, cb)
     sel0, keys1 = _next_cluster(keys0)
+    sel1, keys2_init = _next_cluster(keys1)
     worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
 
     def cond(carry):
-        sel, _, _, worst = carry
+        sel, _, _, _, worst = carry
         return (sel & ~cmask) < worst
 
     def body(carry):
-        sel, keys, occ, _ = carry
-        # software pipelining, same scheme as _kernel: next selection and a
-        # one-iteration-stale horizon issue before the triangle test
+        sel, sel_b, keys, occ, _ = carry
+        # depth-2 software pipelining, same scheme as _kernel
         sel2, keys2 = _next_cluster(keys)
         worst2 = jnp.max(
             jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
@@ -736,10 +1156,11 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
         tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
         hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
         occ = jnp.maximum(occ, hit)
-        return sel2, keys2, occ, worst2
+        return sel_b, sel2, keys2, occ, worst2
 
-    _, _, occ, _ = jax.lax.while_loop(
-        cond, body, (sel0, keys1, jnp.zeros((tm, 1), jnp.int32), worst0)
+    _, _, _, occ, _ = jax.lax.while_loop(
+        cond, body,
+        (sel0, sel1, keys2_init, jnp.zeros((tm, 1), jnp.int32), worst0)
     )
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
@@ -759,7 +1180,7 @@ VMEM_TABLE_LIMIT = 8 * 2**20
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "interpret"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "interpret"),
 )
 def trace_resident(
     scene: DeviceScene,
@@ -770,6 +1191,7 @@ def trace_resident(
     hbm_table: bool = None,
     exact_cull: bool = None,
     recull: int = None,
+    grouped: bool = None,
     interpret: bool = None,
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
@@ -875,29 +1297,49 @@ def trace_resident(
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
     if hbm_table:
         table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
+    # two-level grouped dispatch: the exact per-ray cull and the rekeys
+    # rounds run over GROUPS of CL_GROUP SAH-consecutive clusters — (TM, Kg)
+    # instead of (TM, K) work — with a cheap (G, TM) member refinement per
+    # selected group.  Measured policy (this file's git history): grouping
+    # WINS exactly where the flat (TM, K) cull is unaffordable (camera at
+    # 1M tris: 11.3 ms interval -> 7.4 ms grouped) and LOSES where flat
+    # per-cluster per-ray re-culling fits (sorted incoherent 64k: 18 ms
+    # flat vs 45 ms grouped — group-level pruning is too coarse; camera
+    # 64k: wash).  So: grouped only when the flat exact matrix exceeds its
+    # footprint cap.
+    can_group = scene.cl_gboxes is not None
+    kg = scene.cl_gboxes.shape[1] if can_group else k
+    grp = scene.cl_mboxes.shape[1] if can_group else 1
+    flat_exact_ok = tm * k * 4 <= 2 * 2**20
+    flat_recull_ok = tm * k * 4 <= 8 * 2**20
+    group_ok = can_group and tm * kg * 4 <= 8 * 2**20
+
+    if grouped is None:
+        grouped = group_ok and (
+            (not sort_rays and not flat_exact_ok)   # camera-like, giant K
+            or (sort_rays and not flat_recull_ok)   # scattered, enormous K
+        )
+    grouped = grouped and can_group
     if exact_cull is None:
         # scattered (sorted) wavefronts need the per-ray cull at ANY K —
         # the interval bound degenerates to a full-scene sweep for them
         # (diag_1m, K=11437: 5.6 s vs 1.9 s even without the horizon work).
-        # For coherent camera tiles exact wins at moderate K
-        # (sweep_recull, K=512: 3.6 ms vs 4.5-4.9 interval) but its
-        # (TM, K) cost overtakes the ~free interval bound at giant K
-        # (diag_1m: 17.9 ms vs 13.6): gate by the per-tile cull footprint.
-        exact_cull = sort_rays or tm * k * 4 <= 2 * 2**20
+        # For coherent camera tiles exact wins when the per-tile cull
+        # matrix is affordable (flat or grouped).
+        exact_cull = sort_rays or grouped or flat_exact_ok
     if recull is None:
-        # per-ray horizon rounds need the (TM, K) enter matrix resident in
-        # VMEM (chunk-built, but kept live across the loop).  Re-culling is
-        # THE lever on scattered wavefronts at scale — diag_1m at 1M tris:
-        # 94 ms vs 1016 ms, flat in the round length over 8..32 — so the
-        # footprint cap sits as high as VMEM allows (the 4 MiB cap this
-        # replaces disabled re-culling exactly where it mattered most).
-        # Camera tiles gain ~nothing but lose nothing (17.9 -> 16.9 ms).
+        # per-ray horizon rounds need the (TM, Kcull) enter matrix resident
+        # in VMEM (chunk-built, but kept live across the loop).  Re-culling
+        # is THE lever on scattered wavefronts at scale — diag_1m at 1M
+        # tris: 94 ms vs 1016 ms, flat in the round length over 8..32.
         # Any-hit re-culls the OCCLUSION mask (_occl_recull_loop): dense-
         # scene NEE blocks otherwise keep visiting every cluster the block's
         # last open ray allows (measured 24 ms -> see bench_frame_stages).
-        recull = 8 if (exact_cull and tm * k * 4 <= 8 * 2**20) else 0
+        kx = kg if grouped else k
+        recull = 8 if (exact_cull and tm * kx * 4 <= 8 * 2**20) else 0
     if not exact_cull:
         recull = 0
+    grouped = grouped and exact_cull and bool(recull)
 
     ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -910,42 +1352,80 @@ def trace_resident(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if hbm_table:
-        kern = _occl_kernel_hbm if any_hit else _kernel_hbm
-        scratch = [
-            pltpu.VMEM((2, 16, c_k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    else:
-        kern = _occl_kernel if any_hit else _kernel
-        scratch = []
-    kern = partial(kern, recull=recull)
-    if recull:
-        # round-crossing vector state of the re-cull loops (see
-        # _recull_loop / _occl_recull_loop: the outer while carries only
-        # scalars)
+    if grouped:
+        if hbm_table:
+            # whole-group streaming: (Kg, G, 16, C) — pad K to full groups
+            table = jnp.pad(table, ((0, kg * grp - k), (0, 0), (0, 0)))
+            table = table.reshape(kg, grp, 16, c_k)
+            kern = _occl_kernel_grouped_hbm if any_hit else _kernel_grouped_hbm
+            scratch = [
+                pltpu.VMEM((2, grp, 16, c_k), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kern = _occl_kernel_grouped if any_hit else _kernel_grouped
+            scratch = []
         if any_hit:
             scratch = scratch + [
                 pltpu.VMEM((tm, 1), jnp.int32),
-                pltpu.VMEM((1, k), jnp.int32),
-                pltpu.VMEM((1, k), jnp.int32),
+                pltpu.VMEM((1, kg), jnp.int32),
+                pltpu.VMEM((1, kg), jnp.int32),
             ]
         else:
             scratch = scratch + [
                 pltpu.VMEM((tm, 1), jnp.int32),
                 pltpu.VMEM((tm, 1), jnp.int32),
-                pltpu.VMEM((1, k), jnp.int32),
-                pltpu.VMEM((1, k), jnp.int32),
+                pltpu.VMEM((1, kg), jnp.int32),
+                pltpu.VMEM((1, kg), jnp.int32),
             ]
-    (packed_out,) = pl.pallas_call(
-        partial(kern, c=c_k, tm=tm, k=k, exact=exact_cull),
-        grid=(tiles,),
-        in_specs=[ray_spec, boxes_spec, table_spec],
-        out_specs=[out_spec],
-        out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(rays_packed, boxes, table)
+        (packed_out,) = pl.pallas_call(
+            partial(kern, c=c_k, tm=tm, k=k, kg=kg, g=grp, recull=recull),
+            grid=(tiles,),
+            in_specs=[ray_spec, boxes_spec, boxes_spec, table_spec],
+            out_specs=[out_spec],
+            out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
+    else:
+        if hbm_table:
+            kern = _occl_kernel_hbm if any_hit else _kernel_hbm
+            scratch = [
+                # TRIPLE-buffered cluster stream: depth-2 pipelining keeps
+                # two prefetches in flight
+                pltpu.VMEM((3, 16, c_k), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ]
+        else:
+            kern = _occl_kernel if any_hit else _kernel
+            scratch = []
+        kern = partial(kern, recull=recull)
+        if recull:
+            # round-crossing vector state of the re-cull loops (see
+            # _recull_loop / _occl_recull_loop: the outer while carries only
+            # scalars)
+            if any_hit:
+                scratch = scratch + [
+                    pltpu.VMEM((tm, 1), jnp.int32),
+                    pltpu.VMEM((1, k), jnp.int32),
+                    pltpu.VMEM((1, k), jnp.int32),
+                ]
+            else:
+                scratch = scratch + [
+                    pltpu.VMEM((tm, 1), jnp.int32),
+                    pltpu.VMEM((tm, 1), jnp.int32),
+                    pltpu.VMEM((1, k), jnp.int32),
+                    pltpu.VMEM((1, k), jnp.int32),
+                ]
+        (packed_out,) = pl.pallas_call(
+            partial(kern, c=c_k, tm=tm, k=k, exact=exact_cull),
+            grid=(tiles,),
+            in_specs=[ray_spec, boxes_spec, table_spec],
+            out_specs=[out_spec],
+            out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(rays_packed, boxes, table)
 
     dropped = jnp.int32(0)
 

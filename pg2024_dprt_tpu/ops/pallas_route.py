@@ -473,8 +473,8 @@ def route_fused(
     scratch = []
     if hbm_table:
         scratch += [
-            pltpu.VMEM((2, 16, c_k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, 16, c_k), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ]
     scratch += [
         pltpu.VMEM((tm, 1), jnp.float32),

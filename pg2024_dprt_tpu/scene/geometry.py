@@ -23,6 +23,10 @@ from ..core.types import BSDF_DIFFUSE
 from .bvh import FlatBVH, build_bvh
 
 
+# cluster-group fan-out of the two-level in-kernel cull (pallas_resident)
+CL_GROUP = 8
+
+
 @dataclass
 class MeshGeometry:
     """One logical object: triangle soup + per-mesh material."""
@@ -159,6 +163,15 @@ class DeviceScene(NamedTuple):
     cl_mt_table: jnp.ndarray = None   # (K, 12*C) f32
     cl_boxes: jnp.ndarray = None      # (8, K) f32
     scene_aabb: jnp.ndarray = None    # (2, 3) f32
+    # Two-level cull tables (ops/pallas_resident.py grouped dispatch):
+    # clusters are grouped CL_GROUP (=8) SAH-consecutive at a time, so the
+    # in-kernel per-ray exact cull runs at (TM, Kg) instead of (TM, K) —
+    # ~8x less cull work — and each selected group refines its members with
+    # one (G, TM) slab test.  cl_gboxes rows mirror cl_boxes at group
+    # granularity; cl_mboxes[g, m] = [minx..z, maxx..z, count, pad] of
+    # member m (zero/empty members carry count 0).
+    cl_gboxes: jnp.ndarray = None     # (8, Kg) f32
+    cl_mboxes: jnp.ndarray = None     # (Kg, G, 8) f32
     # Wide per-triangle attribute rows (BVH order, same index space as v0).
     # Launch count dominates this backend: a dozen narrow XLA gathers per
     # shading stage (n0/n1/n2/uv/material hops) each pay an entry-op launch,
@@ -344,6 +357,24 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     # (padding lanes zero; their mt rows have n = 0 so they can never win)
     shade_cl = tri_shade[safe].reshape(kc, c, 24).transpose(0, 2, 1).copy()
     shade_cl[np.broadcast_to((tri_map < 0).reshape(kc, 1, c), shade_cl.shape)] = 0.0
+    # group tables for the two-level cull (CL_GROUP SAH-consecutive
+    # clusters per group; K padded to a full final group with empty boxes)
+    kgc = -(-kc // CL_GROUP)
+    bpad = np.zeros((8, kgc * CL_GROUP), np.float32)
+    bpad[:, :kc] = boxes
+    b3 = bpad.reshape(8, kgc, CL_GROUP)                      # (8, Kg, G)
+    m_ok = b3[6] > 0.0                                       # (Kg, G)
+    big = np.float32(3.4e38)
+    gmin = np.where(m_ok[None], b3[0:3], big).min(axis=2)    # (3, Kg)
+    gmax = np.where(m_ok[None], b3[3:6], -big).max(axis=2)
+    g_any = m_ok.any(axis=1)
+    gmin = np.where(g_any[None], gmin, 0.0)
+    gmax = np.where(g_any[None], gmax, 0.0)
+    gboxes = np.concatenate(
+        [gmin, gmax, g_any.astype(np.float32)[None],
+         np.zeros((1, kgc), np.float32)], axis=0).astype(np.float32)
+    mboxes = b3.transpose(1, 2, 0).astype(np.float32).copy()  # (Kg, G, 8)
+
     nonempty = cl_cnt > 0
     if nonempty.any():
         s_lo = cl_min[nonempty].min(axis=0)
@@ -382,6 +413,8 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_mt_table=jnp.asarray(mt_table.reshape(kc, 12 * c)),
         cl_boxes=jnp.asarray(boxes),
         scene_aabb=jnp.asarray(scene_aabb),
+        cl_gboxes=jnp.asarray(gboxes),
+        cl_mboxes=jnp.asarray(mboxes),
         tri_verts=jnp.asarray(tri_verts),
         tri_shade=jnp.asarray(tri_shade),
         cl_shade_table=jnp.asarray(shade_cl.reshape(kc, 24 * c)),

@@ -117,7 +117,7 @@ def city_scene(n: int, seed: int = 0, extent: float = 1.0):
     1726-1796) rather than the volumetric worst case of random_tri_soup.
     Rays hit a surface and stop; cluster AABBs tile the surface instead of
     overlapping everywhere.  Deterministic in (n, seed); triangle count is
-    within ~12 tris of n."""
+    within a few percent of n (grid quantization)."""
     rng = np.random.RandomState(seed)
     n_build = max(1, n // 24)           # each box = 12 tris, half the budget
     n_terrain = max(2, n - 12 * n_build)

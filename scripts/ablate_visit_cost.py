@@ -1,17 +1,24 @@
 """Decompose the resident tracer's per-visit cost on the real chip.
 
-Three kernels over the same 64k sorted-incoherent wavefront (tpc=128,
-tile=128, VMEM-resident table):
-  * full        — production _kernel (cull + selection loop + MT)
-  * sel_only    — selection loop with the MT body stubbed (t=+inf): cost of
-                  cull + per-visit argmin/extract machinery alone
-  * fixed_only  — NO selection: fixed sequential visit of the first J
-                  clusters per tile (J = the measured mean union), MT body
-                  live: per-visit cost when the visit order is precomputed
+Five kernels over the same 64k sorted-incoherent wavefront (tpc=128,
+tile=128, VMEM-resident table), the first four doing EXACTLY fixed_j visits
+per tile (fori_loop, no early termination) so their deltas are per-visit
+component costs:
 
-If sel_only >> full - sel_only, the scalar-extract selection dominates and
-a planned-visit design (order computed in XLA, scalar-prefetch walk) is the
-right round-3 lever.
+  * fixed_mt      — visit clusters 0..J-1 in order, dense MT only
+  * fixed_chain   — + the selection-sort vector chain (min + mask per
+                    visit), result consumed only at the end
+  * fixed_extract — + a per-visit vector->scalar extract of the selection
+                    (used arithmetically, NOT for addressing)
+  * fixed_dynaddr — + the extracted index drives table_ref[idx] (the real
+                    selection-ordered visit sequence)
+  * full          — the production while_loop (early termination, per-visit
+                    stale horizon) — fewer visits but all machinery
+
+Deltas:  chain = fixed_chain - fixed_mt;  extract = fixed_extract -
+fixed_chain;  dyn-addressing = fixed_dynaddr - fixed_extract;  the
+while/horizon machinery and the early-termination win show up in full vs
+fixed_dynaddr.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ablate_visit_cost.py
 """
@@ -52,29 +59,48 @@ def _kernel_var(rays_ref, boxes_ref, table_ref, out_ref, *, c, tm, k,
         & ~lane_mask
     ) | lane_mask
 
-    if mode == "fixed_only":
+    en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=True)
+    keys0 = _selection_keys(en0, k, cb)
+
+    if mode != "full":
         def body(j, carry):
-            s_kb, s_slot = carry
-            tri = table_ref[j]
+            s_kb, s_slot, keys = carry
+            if mode == "fixed_mt":
+                idx = j
+            else:
+                kv = jnp.min(keys, axis=1, keepdims=True)
+                keys = jnp.where(keys == jnp.broadcast_to(kv, keys.shape),
+                                 jnp.int32(0x7FFFFFFF), keys)
+                if mode == "fixed_chain":
+                    idx = j
+                else:
+                    sel = kv[0, 0]                     # the extract
+                    if mode == "fixed_extract":
+                        idx = j                        # extract unused for
+                        extra = sel & cmask            # addressing
+                    else:                              # fixed_dynaddr
+                        idx = jnp.minimum(sel & cmask, k - 1)
+            tri = table_ref[idx]
             t, tri_ok = _mt_body(rays, tri, c, tm)
             tb = jax.lax.bitcast_convert_type(
                 jnp.where(tri_ok, jnp.maximum(t, 0.0), _F32_MAX), jnp.int32)
             key = (tb & ~lane_mask) | lanes
             kmin = jnp.min(key, axis=1, keepdims=True)
             improved = kmin < s_kb
-            slot_w = j * c + (kmin & lane_mask)
+            slot_w = idx * c + (kmin & lane_mask)
+            if mode == "fixed_extract":
+                slot_w = slot_w | (extra & 0)          # keep extract live
             return (jnp.where(improved, kmin, s_kb),
-                    jnp.where(improved, slot_w, s_slot))
+                    jnp.where(improved, slot_w, s_slot), keys)
 
-        s_kb, s_slot = jax.lax.fori_loop(
-            0, fixed_j, body, (kb0, jnp.full((tm, 1), -1, jnp.int32)))
+        s_kb, s_slot, _ = jax.lax.fori_loop(
+            0, fixed_j, body,
+            (kb0, jnp.full((tm, 1), -1, jnp.int32), keys0))
         out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
             s_kb & ~lane_mask, jnp.float32)
         out_ref[:, 1:2] = s_slot.astype(jnp.float32)
         return
 
-    en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=True)
-    keys0 = _selection_keys(en0, k, cb)
     worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
     sel0, keys1 = _next_cluster(keys0)
 
@@ -88,11 +114,7 @@ def _kernel_var(rays_ref, boxes_ref, table_ref, out_ref, *, c, tm, k,
         worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
         idx = sel & cmask
         tri = table_ref[idx]
-        if mode == "full":
-            t, tri_ok = _mt_body(rays, tri, c, tm)
-        else:                                     # sel_only: stub the MT
-            t = jnp.broadcast_to(tri[0:1, :], (tm, c))
-            tri_ok = t > _F32_MAX                 # never true
+        t, tri_ok = _mt_body(rays, tri, c, tm)
         tb = jax.lax.bitcast_convert_type(
             jnp.where(tri_ok, jnp.maximum(t, 0.0), _F32_MAX), jnp.int32)
         key = (tb & ~lane_mask) | lanes
@@ -172,11 +194,16 @@ def main():
     tmx = jnp.full((n,), 3.4e38, jnp.float32)
     act = jnp.ones((n,), bool)
 
-    for mode in ("full", "sel_only", "fixed_only"):
-        def f(o, d, tmx, act, mode=mode):
-            return run_variant(scene, o, d, tmx, act, mode)
-        per = chained_time(f, o, d, tmx, act, short=2, long=8, reps=2)
-        print(f"{mode:10s}: {per*1e3:8.2f} ms", flush=True)
+    prev = None
+    for mode in ("fixed_mt", "fixed_chain", "fixed_extract", "fixed_dynaddr",
+                 "full"):
+        def f(o, d, tmx, act, sc, mode=mode):
+            return run_variant(sc, o, d, tmx, act, mode)
+        per = chained_time(f, o, d, tmx, act, scene, short=2, long=8, reps=2)
+        delta = "" if prev is None else f"  (+{(per - prev)*1e3:6.2f})"
+        print(f"{mode:14s}: {per*1e3:8.2f} ms{delta}", flush=True)
+        if mode != "full":
+            prev = per
 
 
 if __name__ == "__main__":

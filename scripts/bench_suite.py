@@ -98,7 +98,8 @@ def main():
     # win at this scale (scripts/diag_1m.py: 94 ms vs 1016 ms at K=11437)
     per = chained_time(t_res, co, cd, tmx, act, scene1m, short=2, long=7)
     row("camera_1m", n / per / 1e6, "Mrays/s",
-        f"{per*1e3:.2f} ms/wavefront, 1M tris, HBM-streaming resident kernel")
+        f"{per*1e3:.2f} ms/wavefront, 1M tris, grouped two-level cull + "
+        "whole-group HBM streaming")
 
     # incoherent rays over the 1M scene: morton-sorted, short chain (an
     # unsorted long chain exceeds the device watchdog on this relay)
@@ -107,7 +108,11 @@ def main():
     row("incoherent_1m", n / per / 1e6, "Mrays/s",
         f"{per*1e3:.2f} ms/wavefront, 1M tris, morton-sorted")
 
-    # full exact frame
+    # full exact frame — packed at the frame megakernel's tuned cluster
+    # size (tpc=512 -> K=128: fewer, larger front-to-back visits; the
+    # tpc=128 tracer packing costs the same frame ~30% more, measured)
+    scene_f = device_scene_from_meshes(
+        [random_tri_soup(65536, seed=0)], tris_per_cluster=512)
     lt = np.asarray([[[0.3, 2.0, 0.3], [0.7, 2.0, 0.3], [0.7, 2.0, 0.7]]], np.float32)
     lights = LightTable.from_arrays(lt, np.asarray([[60.0, 60.0, 60.0]], np.float32))
     env = EnvironmentMap.constant((0.4, 0.5, 0.7))
@@ -116,7 +121,7 @@ def main():
 
     def frame(seed_f):
         direct, env_img, _diag = render_sample(
-            scene, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
+            scene_f, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
         return jnp.sum(direct + env_img).reshape(1)
 
     @jax.jit

@@ -42,6 +42,10 @@ def compare(name, scene, o, d, tmax, act, results):
             scene, o, d, 1e-3, tmax, act, sort_rays=True)),
         ("resident_hbm", lambda: trace_resident(
             scene, o, d, 1e-3, tmax, act, hbm_table=True)),
+        ("resident_grouped", lambda: trace_resident(
+            scene, o, d, 1e-3, tmax, act, grouped=True)),
+        ("resident_grouped_hbm", lambda: trace_resident(
+            scene, o, d, 1e-3, tmax, act, grouped=True, hbm_table=True)),
         ("streaming", lambda: trace_pallas(scene, o, d, 1e-3, tmax, act,
                                            tile_rays=256, region=64)),
     ):
@@ -98,13 +102,21 @@ def main():
     act = jnp.asarray(rng.rand(n) > 0.2)
     compare("soup_incoherent", scene2, ro, rd, tmax, act, results)
 
-    # any-hit kernels vs the oracle's is_hit
+    # any-hit kernels vs the oracle's is_hit (incl. the grouped variant)
+    occ_g, dr_g = trace_resident(scene2, ro, rd, 1e-3, tmax, act,
+                                 any_hit=True, grouped=True)
     occ, dr = trace_resident(scene2, ro, rd, 1e-3, tmax, act, any_hit=True)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         want = traverse_bvh(jax.device_put(scene2, cpu), jax.device_put(ro, cpu),
                             jax.device_put(rd, cpu), 1e-3,
                             jax.device_put(tmax, cpu), jax.device_put(act, cpu))
+    occ_gm = int((np.asarray(occ_g) == np.asarray(want.is_hit)).sum())
+    row_g = {"scene": "soup_incoherent", "kernel": "resident_anyhit_grouped",
+             "rays": n, "is_hit_match": occ_gm, "dropped": int(dr_g),
+             "pass": occ_gm == n and int(dr_g) == 0}
+    results.append(row_g)
+    print(json.dumps(row_g), flush=True)
     occ_match = int((np.asarray(occ) == np.asarray(want.is_hit)).sum())
     row = {"scene": "soup_incoherent", "kernel": "resident_anyhit", "rays": n,
            "is_hit_match": occ_match, "dropped": int(dr),

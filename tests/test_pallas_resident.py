@@ -220,3 +220,53 @@ def test_resident_hbm_unaligned_cluster_width():
     d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
     _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool),
            tile_rays=128, hbm_table=True)
+
+
+def test_resident_grouped_matches_oracle():
+    """Two-level grouped dispatch (grouped=True forces the path the auto
+    policy reserves for giant K) vs the brute-force oracle, closest hit."""
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=31)],
+                                     tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(32)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
+           jnp.ones((n,), bool), tile_rays=128, grouped=True)
+    # sorted + grouped
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
+           jnp.ones((n,), bool), tile_rays=128, grouped=True, sort_rays=True)
+
+
+def test_resident_grouped_hbm_matches_oracle():
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=33)],
+                                     tris_per_cluster=64)
+    n = 512
+    rng = np.random.RandomState(34)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
+           jnp.ones((n,), bool), tile_rays=128, grouped=True, hbm_table=True)
+
+
+def test_resident_grouped_any_hit():
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=35)],
+                                     tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(36)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.full((n,), 0.6, jnp.float32)
+    act = jnp.ones((n,), bool)
+    got, dropped = trace_resident(scene, o, d, 1e-3, tmax, act,
+                                  tile_rays=128, any_hit=True, grouped=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want.is_hit))
+    # and the HBM grouped any-hit
+    got2, _ = trace_resident(scene, o, d, 1e-3, tmax, act, tile_rays=128,
+                             any_hit=True, grouped=True, hbm_table=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want.is_hit))
