@@ -390,7 +390,7 @@ def _member_enters(rows8, inv_rows, tmax_row, mb, g: int, tm: int):
 
 def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
                          *, c: int, tm: int, k: int, kg: int, g: int,
-                         recull: int, t_scr=None):
+                         recull: int, gcull_exact: bool = True, t_scr=None):
     """Two-level (group -> member cluster) selection loop with per-ray
     horizon re-culling at GROUP granularity.
 
@@ -412,8 +412,18 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
     (Kg, G, 16, C); (G*16, C) contiguous slice) into a double-buffered
     scratch — 8x fewer, 8x larger transfers than the flat loop.
 
+    gcull_exact=False builds the group selection keys from the ~free
+    INTERVAL group cull instead of the exact per-ray (TM, Kg) matrix and
+    runs without rekeys rounds (the masked key chain persists) — the
+    member gate stays exact per-ray (t_row masking), so only the group
+    VISIT ORDER loosens.  For coherent camera tiles the interval group
+    bound is nearly as tight as the exact union at ~zero cull cost.
+
     scr = (skb (TM,1), slot (TM,1), vis (1,Kg), keys (1,Kg)) i32 VMEM."""
     skb_scr, slot_scr, vis_scr, keys_scr = scr
+    per_ray = gcull_exact
+    if not per_ray:
+        recull = kg + g                    # a single round, no rekeys
     SAT = jnp.int32(0x7FFFFFFF)
     inf = jnp.float32(float("inf"))
     tmax = rays[:, 7:8]
@@ -427,7 +437,11 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
     lanes_kg = jax.lax.broadcasted_iota(jnp.int32, (1, kg), 1)
     miota = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
 
-    en_pr = _cluster_enters(rays, gboxes, kg, tm, exact=True, keep_rows=True)
+    if per_ray:
+        en_pr = _cluster_enters(rays, gboxes, kg, tm, exact=True,
+                                keep_rows=True)
+    else:
+        en_blk = _cluster_enters(rays, gboxes, kg, tm, exact=False)
 
     # row-major ray views for the in-group member cull
     rows8 = jnp.transpose(rays, (1, 0))                      # (8, TM)
@@ -465,7 +479,9 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
     skb_scr[:] = kb0
     slot_scr[:] = jnp.full((tm, 1), -1, jnp.int32)
     vis_scr[:] = jnp.zeros((1, kg), jnp.int32)
-    sel0, keys0 = _next_cluster(rekeys(kb0))
+    keys00 = (rekeys(kb0) if per_ray
+              else _selection_keys(en_blk, kg, gb))
+    sel0, keys0 = _next_cluster(keys00)
     keys_scr[:] = keys0
     worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
 
@@ -490,7 +506,9 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
             j, sel, keys, s_kb, worst, s_slot, t_c = c2
             sel2, keys2 = _next_cluster(keys)
             gidx = sel & gmask
-            vis_scr[:] = vis_scr[:] | (lanes_kg == gidx).astype(jnp.int32)
+            if per_ray:
+                vis_scr[:] = (vis_scr[:]
+                              | (lanes_kg == gidx).astype(jnp.int32))
             if hbm_refs is not None:
                 slot = jax.lax.rem(j, 2)
                 dma(sel2 & gmask, 1 - slot).start()
@@ -552,7 +570,7 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
                 mcond, mbody, (msel0, mkeys1, s_kb, worst, s_slot, t_c))
             return j + 1, sel2, keys2, s_kb, worst2, s_slot, t_c
 
-        j_end, _, _, s_kb, _, s_slot, t_c = jax.lax.while_loop(
+        j_end, _, keys_out, s_kb, _, s_slot, t_c = jax.lax.while_loop(
             inner_cond, inner_body,
             (j0, sel_in, keys_in, s_kb_in, worst_in, s_slot_in, t_in))
 
@@ -563,7 +581,7 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
         slot_scr[:] = s_slot
         if t_scr is not None:
             t_scr[:] = t_c
-        sel3, keys3 = _next_cluster(rekeys(s_kb))
+        sel3, keys3 = _next_cluster(rekeys(s_kb) if per_ray else keys_out)
         keys_scr[:] = keys3
         worst3 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
         return j_end, sel3, worst3
@@ -1027,13 +1045,14 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
 
 def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
                     *scr, c: int, tm: int, k: int, kg: int, g: int,
-                    recull: int):
+                    recull: int, gcull_exact: bool = True):
     """Closest hit via the two-level grouped selection loop (VMEM table)."""
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
     s_kb, s_slot, _ = _grouped_recull_loop(
         rays_ref[:], gboxes_ref[:], mboxes_ref, table_ref, None, scr,
-        c=c, tm=tm, k=k, kg=kg, g=g, recull=recull)
+        c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
+        gcull_exact=gcull_exact)
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
@@ -1041,14 +1060,15 @@ def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
 
 def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
                         gbuf, sem, *scr, c: int, tm: int, k: int, kg: int,
-                        g: int, recull: int):
+                        g: int, recull: int, gcull_exact: bool = True):
     """Closest hit via the grouped loop with whole-group HBM streaming
     (table reshaped (Kg, G, 16, C); one (G*16, C) DMA per group visit)."""
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
     s_kb, s_slot, _ = _grouped_recull_loop(
         rays_ref[:], gboxes_ref[:], mboxes_ref, table_hbm, (gbuf, sem), scr,
-        c=c, tm=tm, k=k, kg=kg, g=g, recull=recull)
+        c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
+        gcull_exact=gcull_exact)
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
@@ -1339,7 +1359,14 @@ def trace_resident(
         recull = 8 if (exact_cull and tm * kx * 4 <= 8 * 2**20) else 0
     if not exact_cull:
         recull = 0
-    grouped = grouped and exact_cull and bool(recull)
+    # grouped modes: exact group cull + per-ray rekeys rounds (needs
+    # recull), or interval group keys when exact_cull=False (closest hit
+    # only — the member gate stays exact per-ray either way)
+    if grouped and exact_cull and not recull:
+        recull = 8
+    if any_hit and not exact_cull:
+        grouped = False
+    grouped = grouped and (exact_cull or not any_hit)
 
     ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1378,6 +1405,8 @@ def trace_resident(
                 pltpu.VMEM((1, kg), jnp.int32),
                 pltpu.VMEM((1, kg), jnp.int32),
             ]
+        if not any_hit:
+            kern = partial(kern, gcull_exact=exact_cull)
         (packed_out,) = pl.pallas_call(
             partial(kern, c=c_k, tm=tm, k=k, kg=kg, g=grp, recull=recull),
             grid=(tiles,),

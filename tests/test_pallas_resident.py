@@ -270,3 +270,21 @@ def test_resident_grouped_any_hit():
     got2, _ = trace_resident(scene, o, d, 1e-3, tmax, act, tile_rays=128,
                              any_hit=True, grouped=True, hbm_table=True)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want.is_hit))
+
+
+def test_resident_grouped_interval_matches_oracle():
+    """Interval group keys + exact per-ray member gate (grouped=True,
+    exact_cull=False) vs the oracle — the camera-wavefront fast path."""
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=41)],
+                                     tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(42)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
+           jnp.ones((n,), bool), tile_rays=128, grouped=True,
+           exact_cull=False)
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
+           jnp.ones((n,), bool), tile_rays=128, grouped=True,
+           exact_cull=False, hbm_table=True)
