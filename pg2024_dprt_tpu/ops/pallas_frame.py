@@ -55,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import BSDF_WATER
 from .pallas_resident import (
-    VMEM_TABLE_LIMIT, _lane_bits, _occl_recull_loop, _recull_loop,
-    resident_table_bytes,
+    VMEM_TABLE_LIMIT, _grouped_occl_loop, _grouped_recull_loop, _lane_bits,
+    _occl_recull_loop, _recull_loop, resident_table_bytes,
 )
 
 _FMAX = 3.402823466e38
@@ -224,9 +224,11 @@ def _scene_exit_cap(o, d, lo, hi, tmax_raw):
     return jnp.minimum(tmax_raw, jnp.maximum(exit_t, 0.0) * 1.001 + 1e-4)
 
 
-def _frame_kernel(pix_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
+def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
+                  shade_ref, ltab_ref,
                   env_ref, meta_i_ref, meta_f_ref, out_ref, *scr,
-                  c: int, tm: int, k: int, s: int, bounces: int, lp: int,
+                  c: int, tm: int, k: int, kg: int, grp: int,
+                  grouped: bool, s: int, bounces: int, lp: int,
                   l_count: int, ep: int, eh: int, ew: int, eps: float,
                   hbm: bool, recull: int, orecull: int,
                   width: int, height: int):
@@ -310,10 +312,18 @@ def _frame_kernel(pix_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
         # ---- 1. closest hit ----
         tmax_eff = _scene_exit_cap(o, d, lo, hi, fmax_row)
         rays8 = _pack_rays_rows(o, d, act, eps_row, tmax_eff)
-        _, s_slot, _ = _recull_loop(
-            rays8, boxes_ref[:], table_ref, hbm_refs,
-            (skb_scr, slot_scr, vis_scr, keys_scr),
-            c=c, tm=tm, k=k, recull=recull)
+        if grouped:
+            # two-level group dispatch at giant K (pallas_resident; cull +
+            # selection at (TM, Kg), whole-group HBM DMAs)
+            _, s_slot, _ = _grouped_recull_loop(
+                rays8, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
+                (skb_scr, slot_scr, vis_scr, keys_scr),
+                c=c, tm=tm, k=k, kg=kg, g=grp, recull=recull)
+        else:
+            _, s_slot, _ = _recull_loop(
+                rays8, boxes_ref[:], table_ref, hbm_refs,
+                (skb_scr, slot_scr, vis_scr, keys_scr),
+                c=c, tm=tm, k=k, recull=recull)
         slot_r = jnp.transpose(s_slot, (1, 0))             # (1, TM)
         hit = (slot_r >= 0) & act
 
@@ -330,18 +340,26 @@ def _frame_kernel(pix_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
             return cur < k
 
         def fetch_body(cur):
+            safe = jnp.minimum(cur, k - 1)
             if hbm:
-                pltpu.make_async_copy(
-                    table_ref.at[jnp.minimum(cur, k - 1)], tbuf.at[0],
-                    sem.at[0]).start()
+                if grouped:
+                    # table is (Kg, G, 16, C); one member slice
+                    src_t = table_ref.at[safe // grp, jax.lax.rem(safe, grp)]
+                    dst_t = tbuf.at[0, 0]
+                    sem_t = sem.at[0]
+                else:
+                    src_t = table_ref.at[safe]
+                    dst_t = tbuf.at[0]
+                    sem_t = sem.at[0]
+                pltpu.make_async_copy(src_t, dst_t, sem_t).start()
             pltpu.make_async_copy(
-                shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
+                shade_ref.at[safe], sbuf.at[0],
                 ssem.at[0]).start()
             if hbm:
-                pltpu.make_async_copy(
-                    table_ref.at[jnp.minimum(cur, k - 1)], tbuf.at[0],
-                    sem.at[0]).wait()
-                mt = tbuf[0][0:12, :]   # rows 12..15 are DMA-alignment pad
+                pltpu.make_async_copy(src_t, dst_t, sem_t).wait()
+                # rows 12..15 are DMA-alignment pad
+                mt = (tbuf[0, 0][0:12, :] if grouped
+                      else tbuf[0][0:12, :])
             else:
                 mt = table_ref[cur]
             pltpu.make_async_copy(
@@ -559,10 +577,17 @@ def _frame_kernel(pix_ref, boxes_ref, table_ref, shade_ref, ltab_ref,
                        & ((beta_s[0] + beta_s[1] + beta_s[2]) > 0.0))
             srays = _pack_rays_rows(point_s, wi_s, valid_s, eps_srow,
                                     dist * (1.0 - 1e-3))     # (S*TM, 8)
-            occ = _occl_recull_loop(
-                srays, boxes_ref[:], table_ref, hbm_refs,
-                (occ_scr, vis_scr, keys_scr),
-                c=c, tm=stm, k=k, recull=orecull)            # (S*TM, 1)
+            if grouped:
+                occ = _grouped_occl_loop(
+                    srays, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
+                    (occ_scr, vis_scr, keys_scr),
+                    c=c, tm=stm, k=k, kg=kg, g=grp,
+                    recull=orecull)                          # (S*TM, 1)
+            else:
+                occ = _occl_recull_loop(
+                    srays, boxes_ref[:], table_ref, hbm_refs,
+                    (occ_scr, vis_scr, keys_scr),
+                    c=c, tm=stm, k=k, recull=orecull)        # (S*TM, 1)
             occ_r = jnp.transpose(occ, (1, 0))               # (1, S*TM)
             wgt = jnp.where(valid_s & (occ_r == 0),
                             jnp.float32(1.0 / s), 0.0)
@@ -606,17 +631,22 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
         return False
     k = scene.num_clusters
     s = cfg.shadow_path_count
+    # grouped dispatch shrinks the per-ray matrices to (., Kg) at giant K
+    # (same gate as render_frame_fused)
+    if scene.cl_gboxes is not None and (1 + s) * TILE_RAYS * k * 4 > 4 * 2**20:
+        k = scene.cl_gboxes.shape[1]
     if (1 + s) * TILE_RAYS * k * 4 > _RECULL_BYTES_LIMIT:
         return False
     return True
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp", "tile_rays", "interpret",
-                                   "recull", "orecull"))
+                                   "recull", "orecull", "grouped"))
 def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                        spp: int = 1,
                        tile_rays: int = TILE_RAYS, interpret: bool = None,
-                       recull: int = 8, orecull: int = 8):
+                       recull: int = 8, orecull: int = 8,
+                       grouped: bool = None):
     """`spp` samples of the whole-frame megakernel in ONE kernel launch
     (grid (tiles, spp), sample accumulation in the revisited out block).
     Returns summed (direct (npix,3), env (npix,3), diag) — divide by spp
@@ -681,6 +711,21 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
     table = scene.cl_mt_table.reshape(k, 12, c)
     shade_t = scene.cl_shade_table.reshape(k, 24, c)
 
+    # two-level grouped dispatch at giant K (pallas_resident policy): the
+    # flat (., K) cull/rekeys matrices of the trace and occlusion loops
+    # dominate large scenes; grouped runs them at (., Kg)
+    can_group = scene.cl_gboxes is not None
+    if grouped is None:
+        # the binding matrix is the OCCLUSION loop's ((1+s)*TM, K) per-ray
+        # enter/rekeys state, not the closest loop's (TM, K)
+        grouped = can_group and (1 + s) * tm * k * 4 > 4 * 2**20
+    grouped = grouped and can_group
+    kg = scene.cl_gboxes.shape[1] if can_group else k
+    grp = scene.cl_mboxes.shape[1] if can_group else 1
+    gboxes = scene.cl_gboxes if can_group else boxes
+    mboxes = scene.cl_mboxes if can_group else jnp.zeros((1, 1, 8), jnp.float32)
+    k_scr = kg if grouped else k
+
     hbm = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
     c_k = c
     if c % 128:
@@ -692,6 +737,10 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
         # HBM DMA slices must be sublane-aligned: 12 MT rows pad to 16
         # (shade's 24 rows are already aligned)
         table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
+        if grouped:
+            # whole-group streaming layout (Kg, G, 16, C)
+            table = jnp.pad(table, ((0, kg * grp - k), (0, 0), (0, 0)))
+            table = table.reshape(kg, grp, 16, c_k)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -709,33 +758,39 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
 
     scratch = []
     if hbm:
-        scratch += [pltpu.VMEM((3, 16, c_k), jnp.float32),
-                    pltpu.SemaphoreType.DMA((3,))]
+        if grouped:
+            scratch += [pltpu.VMEM((2, grp, 16, c_k), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))]
+        else:
+            scratch += [pltpu.VMEM((3, 16, c_k), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))]
     scratch += [
         pltpu.VMEM((1, 24, c_k), jnp.float32),
         pltpu.SemaphoreType.DMA((1,)),
         pltpu.VMEM((tm, 1), jnp.int32),       # skb
         pltpu.VMEM((tm, 1), jnp.int32),       # slot
-        pltpu.VMEM((1, k), jnp.int32),        # vis
-        pltpu.VMEM((1, k), jnp.int32),        # keys
+        pltpu.VMEM((1, k_scr), jnp.int32),    # vis
+        pltpu.VMEM((1, k_scr), jnp.int32),    # keys
         pltpu.VMEM((max(s, 1) * tm, 1), jnp.int32),   # occ
         pltpu.VMEM((40, tm), jnp.float32),    # attr rows
         pltpu.VMEM((1, tm), jnp.int32),       # attr-fetch done mask
     ]
 
     (out,) = pl.pallas_call(
-        partial(_frame_kernel, c=c_k, tm=tm, k=k, s=s, bounces=bounces,
+        partial(_frame_kernel, c=c_k, tm=tm, k=k, kg=kg, grp=grp,
+                grouped=grouped, s=s, bounces=bounces,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
                 width=cfg.width, height=cfg.height),
         grid=(mp // tm, spp),
-        in_specs=[pix_spec, vmem, table_spec, shade_spec, vmem, vmem,
-                  smem, smem],
+        in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
+                  vmem, vmem, smem, smem],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((8, mp), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(pix_ids, boxes, table, shade_t, ltab, env_flat, salts, meta_f)
+    )(pix_ids, boxes, gboxes, mboxes, table, shade_t, ltab, env_flat,
+      salts, meta_f)
 
     # ray order -> pixel order (tiled_pixel_order is a static permutation)
     inv = np.zeros((npix,), np.int32)

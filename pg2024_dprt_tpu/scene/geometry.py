@@ -214,12 +214,20 @@ def device_scene_from_meshes(
     meshes: list,
     node_capacity: Optional[int] = None,
     tri_capacity: Optional[int] = None,
-    tris_per_cluster: int = 128,
+    tris_per_cluster: Optional[int] = None,
     cluster_capacity: Optional[int] = None,
     textures: Optional[list] = None,
 ) -> DeviceScene:
-    """Build a single-partition DeviceScene (BVH + reordered triangles)."""
+    """Build a single-partition DeviceScene (BVH + reordered triangles).
+
+    tris_per_cluster=None scales the cluster size with the scene: big
+    scenes pay per-CLUSTER costs (cull, selection, rekeys) proportional to
+    K, so wider clusters win there even though each visit tests more lanes
+    (measured at 1M tris: sorted-incoherent 103 ms @128 -> 62 ms @512,
+    camera 7.5 -> 6.7-7.3 ms; at 64k tris 128 is best — sweep_resident)."""
     host = concat_geometry(meshes)
+    if tris_per_cluster is None:
+        tris_per_cluster = 512 if host["v0"].shape[0] > 262144 else 128
     bvh = build_bvh(host["v0"], host["v1"], host["v2"])
     return _pack_device_scene(
         host, bvh, node_capacity, tri_capacity,

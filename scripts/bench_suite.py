@@ -91,7 +91,9 @@ def main():
 
     # 1M-triangle scene -> resident tracer auto-selects the HBM-streaming
     # kernel (89 MiB cluster table, double-buffered in-kernel DMA)
-    scene1m = device_scene_from_meshes([random_tri_soup(1 << 20, seed=3)], tris_per_cluster=128)
+    # auto cluster width (512 at this scale: sorted-incoherent 103 -> 62 ms
+    # vs the 64k rows' tpc=128 — scene/geometry.py device_scene_from_meshes)
+    scene1m = device_scene_from_meshes([random_tri_soup(1 << 20, seed=3)])
 
     # tile_rays=128 (not 256): the per-ray horizon re-cull needs the
     # (TM, K) enter matrix within its VMEM cap, and re-culling is a 10.8x

@@ -99,3 +99,20 @@ def test_fused_gate_rejects_textured(cornell):
     cfg = RenderConfig(width=32, height=32)
     big_env = EnvironmentMap.constant((1, 1, 1), h=64, w=64)
     assert not fused_frame_supported(scene, lights, big_env, cfg)
+
+
+def test_fused_grouped_matches_composed(cornell):
+    """The grouped (two-level cull) frame path vs the composed oracle —
+    grouped=True forces the giant-K dispatch on a small scene."""
+    from pg2024_dprt_tpu.ops.pallas_frame import render_frame_fused
+
+    scene, lights, env, cam = cornell
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    d0, e0, _ = render_sample(scene, lights, env, cam, 0, cfg)
+    d1, e1, _ = render_frame_fused(scene, lights, env, cam, 0, cfg,
+                                   interpret=True, grouped=True)
+    for a, b in ((d0, d1), (e0, e1)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-2)
+        assert rel.max() < 1e-3, rel.max()
