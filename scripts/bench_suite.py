@@ -100,8 +100,8 @@ def main():
     # win at this scale (scripts/diag_1m.py: 94 ms vs 1016 ms at K=11437)
     per = chained_time(t_res, co, cd, tmx, act, scene1m, short=2, long=7)
     row("camera_1m", n / per / 1e6, "Mrays/s",
-        f"{per*1e3:.2f} ms/wavefront, 1M tris, grouped two-level cull + "
-        "whole-group HBM streaming")
+        f"{per*1e3:.2f} ms/wavefront, 1M tris, adaptive 512-tri clusters, "
+        "HBM-streaming resident kernel")
 
     # incoherent rays over the 1M scene: morton-sorted, short chain (an
     # unsorted long chain exceeds the device watchdog on this relay)
