@@ -5,10 +5,14 @@ vs_baseline relative to the 100 Mrays/s/chip north star
 (/root/repo/BASELINE.json). Runs on whatever platform jax selects (real TPU
 under the driver).
 
-Workload: a full camera wavefront (primary rays, the renderer's hottest
-launch) over a 64k-triangle scene, traced by the production resident-table
-Pallas tracer (ops/pallas_resident.py — the trace_api "auto" selection for
-scenes of this size).
+Workload: the BASELINE.json traversal config — "single-node 1-bounce
+primary-ray trace + BVH traversal (Cornell-box-scale scene)" — as a full
+256x256 camera wavefront over the cornell test scene, traced by the
+production resident-table Pallas tracer (ops/pallas_resident.py, the
+trace_api "auto" selection).  Harder workloads (64k/1M-triangle soups,
+sorted-incoherent bounce distributions, any-hit, whole frames, neural
+routing) are recorded separately in artifacts/bench_suite.json
+(scripts/bench_suite.py).
 
 Methodology (see CLAUDE.md): the axon relay defers/merges unfetched work, so
 throughput is measured as the slope of a chained sequence of traces (each
@@ -28,17 +32,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 def main():
     from pg2024_dprt_tpu.core import Camera
     from pg2024_dprt_tpu.ops.trace_api import trace_closest_checked
-    from pg2024_dprt_tpu.scene import device_scene_from_meshes, random_tri_soup
+    from pg2024_dprt_tpu.scene import cornell_box, device_scene_from_meshes
     from pg2024_dprt_tpu.utils.benchmarking import chained_time
 
-    n_tris = 65536
     n = 65536
     side = 256
 
-    scene = device_scene_from_meshes(
-        [random_tri_soup(n_tris, seed=0)], tris_per_cluster=128
-    )
-    cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, side, side)
+    meshes, _ = cornell_box()
+    scene = device_scene_from_meshes(meshes, tris_per_cluster=128)
+    cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0], 40.0, side, side)
     # tiled pixel order: 16x16 blocks -> spatially coherent ray tiles
     bs = 16
     ids = np.arange(n)
