@@ -328,8 +328,10 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
         hit = (slot_r >= 0) & act
 
         # ---- 2. winner-attribute fetch (distinct clusters of the tile) ----
-        w_cl = jnp.where(hit, jax.lax.div(slot_r, jnp.int32(c)), jnp.int32(k))
-        w_ln = jnp.where(hit, slot_r - w_cl * jnp.int32(c), jnp.int32(0))
+        # slot encoding: (cluster << lane_bits(C)) | lane (pallas_resident)
+        lbw = _lane_bits(c)
+        w_cl = jnp.where(hit, slot_r >> lbw, jnp.int32(k))
+        w_ln = jnp.where(hit, slot_r & jnp.int32((1 << lbw) - 1), jnp.int32(0))
         attr_scr[:] = jnp.zeros((40, tm), jnp.float32)
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (c, tm), 0)
 
@@ -361,7 +363,7 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                 mt = (tbuf[0, 0][0:12, :] if grouped
                       else tbuf[0][0:12, :])
             else:
-                mt = table_ref[cur]
+                mt = table_ref[cur][0:12, :]
             pltpu.make_async_copy(
                 shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
                 ssem.at[0]).wait()
@@ -708,7 +710,7 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
     env_flat = jnp.pad(env_flat, ((0, 0), (0, ep - ehw)))     # (4, ep)
 
     boxes = scene.cl_boxes
-    table = scene.cl_mt_table.reshape(k, 12, c)
+    table = scene.cl_mt_table.reshape(k, 16, c)
     shade_t = scene.cl_shade_table.reshape(k, 24, c)
 
     # two-level grouped dispatch at giant K (pallas_resident policy): the
@@ -734,9 +736,8 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
         shade_t = jnp.pad(shade_t, ((0, 0), (0, 0), (0, c_k - c)))
     if hbm:
-        # HBM DMA slices must be sublane-aligned: 12 MT rows pad to 16
+        # 16-row pack-time layout keeps the HBM DMA slices sublane-aligned
         # (shade's 24 rows are already aligned)
-        table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
         if grouped:
             # whole-group streaming layout (Kg, G, 16, C)
             table = jnp.pad(table, ((0, kg * grp - k), (0, 0), (0, 0)))

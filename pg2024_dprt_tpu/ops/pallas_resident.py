@@ -215,6 +215,97 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
+def _refine_winners(rays, s_slot, out_ref, fetch, *, c: int, tm: int):
+    """In-kernel winner refinement: for each DISTINCT winning cluster of the
+    block (coherent tiles have 1-5), fetch its (16, C) table slice and
+    extract every winning ray's MT components + canonical triangle index
+    with ONE one-hot MXU matmul at HIGHEST precision (exact — bf16 splits
+    of 0/1; same pattern as the frame megakernel's attribute fetch,
+    ops/pallas_frame.py), then recompute the exact Moller-Trumbore t/u/v in
+    row-major (1, TM) layout.
+
+    This kills the ENTIRE per-trace XLA epilogue (2 gathers + cross-product
+    custom calls + refinement fusion + un-pad remap) — which DOMINATES
+    small/medium traces on this backend (launch count, CLAUDE.md; measured:
+    cornell-scale closest 2.44 ms vs 0.67 ms for the same kernel work with
+    a bare epilogue).
+
+    s_slot encodes the winner as (cluster << lane_bits(C)) | lane, -1 on
+    miss.  fetch(cur) -> the (16, C) table slice of cluster `cur` (rows:
+    v0 xyz, e1 xyz, e2 xyz, n xyz, canon, pad x3).
+
+    out_ref rows (8, TM): 0 = exact t (F32_MAX miss), 1 = u, 2 = v,
+    3 = canonical triangle index (f32, -1 miss), 4 = hit flag,
+    5 = fetched/done scratch mask, 6..7 = zero."""
+    SATK = jnp.int32(0x7FFFFFFF)
+    lb = _lane_bits(c)
+    lane_mask = jnp.int32((1 << lb) - 1)
+
+    hit_col = s_slot >= 0                                    # (TM, 1)
+    # (no i1 transposes on Mosaic: the miss/done row is built from an f32
+    # transpose instead)
+    hitf_row = jnp.transpose(hit_col.astype(jnp.float32), (1, 0))
+    cl_r = jnp.transpose(
+        jnp.where(hit_col, s_slot >> lb, SATK), (1, 0))      # (1, TM)
+    ln_r = jnp.transpose(s_slot & lane_mask, (1, 0))
+    rows8 = jnp.transpose(rays, (1, 0))                      # (8, TM)
+    o_r = rows8[0:3, :]
+    d_r = rows8[3:6, :]
+    sub_c = jax.lax.broadcasted_iota(jnp.int32, (c, tm), 0)
+
+    def crossr(a, b):
+        return jnp.concatenate([
+            a[1:2] * b[2:3] - a[2:3] * b[1:2],
+            a[2:3] * b[0:1] - a[0:1] * b[2:3],
+            a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+
+    def dotr(a, b):
+        return jnp.sum(a * b, axis=0, keepdims=True)
+
+    zero = jnp.zeros((1, tm), jnp.float32)
+    out_ref[:] = jnp.concatenate(
+        [jnp.full((1, tm), 3.402823466e38, jnp.float32), zero, zero,
+         jnp.full((1, tm), -1.0, jnp.float32), zero,
+         1.0 - hitf_row,
+         zero, zero], axis=0)
+
+    def next_cur():
+        return jnp.min(jnp.where(out_ref[5:6, :] > 0.0, SATK, cl_r),
+                       axis=1, keepdims=True)[0, 0]
+
+    def cond(cur):
+        return cur < SATK
+
+    def body(cur):
+        tri = fetch(cur)                                     # (16, C)
+        sel_r = cl_r == cur                                  # (1, TM)
+        oh = ((sub_c == jnp.broadcast_to(ln_r, (c, tm)))
+              & jnp.broadcast_to(sel_r, (c, tm))).astype(jnp.float32)
+        ext = jnp.dot(tri, oh,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)    # (16, TM)
+        v0 = ext[0:3]
+        e1 = ext[3:6]
+        e2 = ext[6:9]
+        canon = ext[12:13]
+        tv = o_r - v0
+        pv = crossr(d_r, e2)
+        det = dotr(e1, pv)
+        ok = jnp.abs(det) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        qv = crossr(tv, e1)
+        good = sel_r & ok
+        out_ref[0:1, :] = jnp.where(good, dotr(e2, qv) * inv, out_ref[0:1, :])
+        out_ref[1:2, :] = jnp.where(good, dotr(tv, pv) * inv, out_ref[1:2, :])
+        out_ref[2:3, :] = jnp.where(good, dotr(d_r, qv) * inv, out_ref[2:3, :])
+        out_ref[3:4, :] = jnp.where(good, canon, out_ref[3:4, :])
+        out_ref[4:5, :] = jnp.where(good, 1.0, out_ref[4:5, :])
+        out_ref[5:6, :] = jnp.where(sel_r, 1.0, out_ref[5:6, :])
+        return next_cur()
+
+    jax.lax.while_loop(cond, body, next_cur())
+
+
 def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
                  tm: int, k: int, recull: int, t_scr=None):
     """Selection loop in rounds of `recull` visits with PER-RAY horizon
@@ -324,7 +415,7 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
             key = (tb & ~lane_mask) | lanes
             kmin = jnp.min(key, axis=1, keepdims=True)
             improved = kmin < s_kb
-            slot_w = idx * c + (kmin & lane_mask)
+            slot_w = (idx << lb) | (kmin & lane_mask)
             if t_scr is not None:
                 win = (lanes == jnp.broadcast_to(kmin & lane_mask, (tm, c))) & tri_ok
                 t_exact = jnp.min(jnp.where(win, t, 3.402823466e38),
@@ -555,7 +646,7 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
                 key = (tb & ~lane_mask) | lanes
                 kmin = jnp.min(key, axis=1, keepdims=True)
                 improved = kmin < s_kb_m
-                slot_w = idx * c + (kmin & lane_mask)
+                slot_w = (idx << lb) | (kmin & lane_mask)
                 if t_scr is not None:
                     win = (lanes == jnp.broadcast_to(kmin & lane_mask,
                                                      (tm, c))) & tri_ok
@@ -855,9 +946,10 @@ def _occl_kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm,
 
 
 def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
-            k: int, exact: bool, recull: int = 0):
+            k: int, exact: bool, recull: int = 0, rich: bool = False):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
-    (t_bits | lane) key; out = [t_approx, table_slot] per ray.
+    (t_bits | lane) key; out = [t_approx, table_slot] per ray, or the
+    refined row-major record (_refine_winners) when rich=True.
 
     recull > 0 (exact mode only): PER-RAY horizon.  The block-min selection
     keys prune a cluster only when NO ray's committed t allows it — but the
@@ -880,6 +972,10 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
     if recull and exact:
         s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_ref, None,
                                        scr, c=c, tm=tm, k=k, recull=recull)
+        if rich:
+            _refine_winners(rays, s_slot, out_ref,
+                            lambda cur: table_ref[cur], c=c, tm=tm)
+            return
         lb = _lane_bits(c)
         lane_mask = jnp.int32((1 << lb) - 1)
         out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
@@ -931,7 +1027,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
         key = (tb & ~lane_mask) | lanes
         kmin = jnp.min(key, axis=1, keepdims=True)   # (TM, 1)
         improved = kmin < s_kb
-        slot_w = idx * c + (kmin & lane_mask)
+        slot_w = (idx << lb) | (kmin & lane_mask)
         s_kb = jnp.where(improved, kmin, s_kb)
         s_slot = jnp.where(improved, slot_w, s_slot)
         return sel_b, sel2, keys2, s_kb, worst2, s_slot
@@ -941,13 +1037,18 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
         (sel0, sel1, keys2_init, kb0, worst0,
          jnp.full((tm, 1), -1, jnp.int32)),
     )
+    if rich:
+        _refine_winners(rays, s_slot, out_ref,
+                        lambda cur: table_ref[cur], c=c, tm=tm)
+        return
     t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 0:1] = t_approx
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
 def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
-                c: int, tm: int, k: int, exact: bool, recull: int = 0):
+                c: int, tm: int, k: int, exact: bool, recull: int = 0,
+                rich: bool = False):
     """Closest hit with the cluster table in HBM (scenes too big for a
     VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
     one-iteration lookahead that software-pipelines the selection extracts
@@ -965,10 +1066,20 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     rays = rays_ref[:]
     tmax = rays[:, 7:8]
 
+    def fetch_hbm(cur):
+        cp = pltpu.make_async_copy(
+            table_hbm.at[jnp.minimum(cur, k - 1)], tbuf.at[0], sem.at[0])
+        cp.start()
+        cp.wait()
+        return tbuf[0]
+
     if recull and exact:
         s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_hbm,
                                        (tbuf, sem), scr, c=c, tm=tm, k=k,
                                        recull=recull)
+        if rich:
+            _refine_winners(rays, s_slot, out_ref, fetch_hbm, c=c, tm=tm)
+            return
         lb = _lane_bits(c)
         lane_mask = jnp.int32((1 << lb) - 1)
         out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
@@ -1023,7 +1134,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
         key = (tb & ~lane_mask) | lanes
         kmin = jnp.min(key, axis=1, keepdims=True)
         improved = kmin < s_kb
-        slot_w = idx * c + (kmin & lane_mask)
+        slot_w = (idx << lb) | (kmin & lane_mask)
         s_kb = jnp.where(improved, kmin, s_kb)
         s_slot = jnp.where(improved, slot_w, s_slot)
         return j + 1, sel_b, sel2, keys2, s_kb, worst2, s_slot
@@ -1038,6 +1149,9 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
     dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
 
+    if rich:
+        _refine_winners(rays, s_slot, out_ref, fetch_hbm, c=c, tm=tm)
+        return
     t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 0:1] = t_approx
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
@@ -1045,7 +1159,8 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
 
 def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
                     *scr, c: int, tm: int, k: int, kg: int, g: int,
-                    recull: int, gcull_exact: bool = True):
+                    recull: int, gcull_exact: bool = True,
+                    rich: bool = False):
     """Closest hit via the two-level grouped selection loop (VMEM table)."""
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
@@ -1053,6 +1168,10 @@ def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
         rays_ref[:], gboxes_ref[:], mboxes_ref, table_ref, None, scr,
         c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
         gcull_exact=gcull_exact)
+    if rich:
+        _refine_winners(rays_ref[:], s_slot, out_ref,
+                        lambda cur: table_ref[cur], c=c, tm=tm)
+        return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
@@ -1060,7 +1179,8 @@ def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
 
 def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
                         gbuf, sem, *scr, c: int, tm: int, k: int, kg: int,
-                        g: int, recull: int, gcull_exact: bool = True):
+                        g: int, recull: int, gcull_exact: bool = True,
+                        rich: bool = False):
     """Closest hit via the grouped loop with whole-group HBM streaming
     (table reshaped (Kg, G, 16, C); one (G*16, C) DMA per group visit)."""
     lb = _lane_bits(c)
@@ -1069,6 +1189,18 @@ def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
         rays_ref[:], gboxes_ref[:], mboxes_ref, table_hbm, (gbuf, sem), scr,
         c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
         gcull_exact=gcull_exact)
+    if rich:
+        def fetch(cur):
+            cp = pltpu.make_async_copy(
+                table_hbm.at[jax.lax.div(cur, jnp.int32(g)),
+                             jax.lax.rem(cur, jnp.int32(g))],
+                gbuf.at[0, 0], sem.at[0])
+            cp.start()
+            cp.wait()
+            return gbuf[0, 0]
+
+        _refine_winners(rays_ref[:], s_slot, out_ref, fetch, c=c, tm=tm)
+        return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
@@ -1200,18 +1332,19 @@ VMEM_TABLE_LIMIT = 8 * 2**20
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "interpret"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "rich", "interpret"),
 )
 def trace_resident(
     scene: DeviceScene,
     origin, direction, t_min, t_max, active,
-    tile_rays: int = TILE_RAYS,
+    tile_rays: int = None,
     sort_rays: bool = False,
     any_hit: bool = False,
     hbm_table: bool = None,
     exact_cull: bool = None,
     recull: int = None,
     grouped: bool = None,
+    rich: bool = None,
     interpret: bool = None,
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
@@ -1223,6 +1356,12 @@ def trace_resident(
     VMEM-resident; larger ones stream each selected cluster from HBM through
     a double-buffered scratch (_kernel_hbm)."""
     n = origin.shape[0]
+    if tile_rays is None:
+        # tiny scenes (a handful of clusters) are bound by per-grid-step
+        # overhead, not by tile-union MT waste — run 4x wider tiles there
+        # (measured: cornell rich closest 0.94 ms @128 -> 0.80 @512; 64k+
+        # tri scenes: tm=128 optimal, sweep_resident)
+        tile_rays = 512 if scene.num_clusters <= 4 else TILE_RAYS
     tm = tile_rays
     pad = (-n) % tm
     mp = n + pad
@@ -1294,29 +1433,38 @@ def trace_resident(
         boxes = jnp.where(jnp.isfinite(boxes), boxes, 0.0)
 
     if scene.cl_mt_table is not None:
-        table = scene.cl_mt_table.reshape(k, 12, c)
+        table = scene.cl_mt_table.reshape(k, 16, c)
     else:
         src = scene.cl_tri_table.reshape(k, 10, c)
         v0 = src[:, 0:3]
         e1 = src[:, 3:6] - v0
         e2 = src[:, 6:9] - v0
         table = jnp.concatenate(
-            [v0, e1, e2, jnp.cross(e1, e2, axis=1)], axis=1
-        )  # (K, 12, C)
+            [v0, e1, e2, jnp.cross(e1, e2, axis=1),
+             scene.cl_tri_map.astype(jnp.float32).reshape(k, 1, c),
+             jnp.zeros((k, 3, c), jnp.float32)], axis=1
+        )  # (K, 16, C): MT rows, canon row 12, pad rows 13..15
 
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    if rich is None:
+        # in-kernel winner refinement kills the XLA epilogue chain — a
+        # measured 2.6x on cornell-scale and 1.6x on 64k camera wavefronts.
+        # Morton-SORTED (scattered) wavefronts are the one case where the
+        # per-distinct-winner refinement loop costs about what the epilogue
+        # saves (18.1 -> 19.7 ms at 64k incoherent): keep the classic
+        # epilogue there.
+        rich = not sort_rays
+    rich = rich and not any_hit
     # the HBM kernel's per-cluster DMA slices the table's lane dim, which
     # Mosaic requires 128-aligned; pad with degenerate triangles (zero
     # normal -> rejected in-kernel), epilogue remaps the winner slot.
-    # The sublane (row) dim of the slice must likewise be 8-aligned, so the
-    # 12 MT rows pad to 16 (the kernels read rows 0..11 only).
+    # The 16-row layout (12 MT rows + canon + pad) keeps the DMA slice
+    # sublane-8-aligned at pack time.
     c_k = c
     if hbm_table and c % 128:
         c_k = -(-c // 128) * 128
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
-    if hbm_table:
-        table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
     # two-level grouped dispatch: the exact per-ray cull and the rekeys
     # rounds run over GROUPS of CL_GROUP SAH-consecutive clusters — (TM, Kg)
     # instead of (TM, K) work — with a cheap (G, TM) member refinement per
@@ -1373,8 +1521,16 @@ def trace_resident(
     table_spec = pl.BlockSpec(
         memory_space=pl.ANY if hbm_table else pltpu.VMEM
     )
-    out_cols = 1 if any_hit else 2
-    out_spec = pl.BlockSpec((tm, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if rich:
+        # row-major refined record (t/u/v/canon/hit rows; _refine_winners)
+        out_spec = pl.BlockSpec((8, tm), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_struct = jax.ShapeDtypeStruct((8, mp), jnp.float32)
+    else:
+        out_cols = 1 if any_hit else 2
+        out_spec = pl.BlockSpec((tm, out_cols), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_struct = jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1406,13 +1562,13 @@ def trace_resident(
                 pltpu.VMEM((1, kg), jnp.int32),
             ]
         if not any_hit:
-            kern = partial(kern, gcull_exact=exact_cull)
+            kern = partial(kern, gcull_exact=exact_cull, rich=rich)
         (packed_out,) = pl.pallas_call(
             partial(kern, c=c_k, tm=tm, k=k, kg=kg, g=grp, recull=recull),
             grid=(tiles,),
             in_specs=[ray_spec, boxes_spec, boxes_spec, table_spec],
             out_specs=[out_spec],
-            out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
+            out_shape=[out_struct],
             scratch_shapes=scratch,
             interpret=interpret,
         )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
@@ -1429,6 +1585,8 @@ def trace_resident(
             kern = _occl_kernel if any_hit else _kernel
             scratch = []
         kern = partial(kern, recull=recull)
+        if not any_hit:
+            kern = partial(kern, rich=rich)
         if recull:
             # round-crossing vector state of the re-cull loops (see
             # _recull_loop / _occl_recull_loop: the outer while carries only
@@ -1451,7 +1609,7 @@ def trace_resident(
             grid=(tiles,),
             in_specs=[ray_spec, boxes_spec, table_spec],
             out_specs=[out_spec],
-            out_shape=[jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)],
+            out_shape=[out_struct],
             scratch_shapes=scratch,
             interpret=interpret,
         )(rays_packed, boxes, table)
@@ -1465,13 +1623,35 @@ def trace_resident(
             occ = jnp.take(occ, inv_perm, axis=0)
         return occ, dropped
 
-    slot = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
-    if c_k != c:
-        # un-pad: kernel slots index the lane-padded table (padding lanes
-        # never win: zero normal -> det 0 -> rejected)
-        slot = jnp.where(
-            slot >= 0, (slot // c_k) * c + jnp.minimum(slot % c_k, c - 1), slot
+    if rich:
+        # the kernel already refined the winner (exact t/u/v + canonical
+        # index, _refine_winners): one slice/select fusion and we're done —
+        # no gathers, no un-pad remap, no XLA recompute
+        is_hit = (packed_out[4, :n] > 0.5) & active[:n]
+        hits = HitRecord(
+            t=jnp.where(is_hit, packed_out[0, :n], _F32_MAX),
+            tri_index=jnp.where(is_hit,
+                                packed_out[3, :n].astype(jnp.int32), -1),
+            u=jnp.where(is_hit, packed_out[1, :n], 0.0),
+            v=jnp.where(is_hit, packed_out[2, :n], 0.0),
+            is_hit=is_hit,
         )
+        if sort_rays:
+            inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+                jnp.arange(n, dtype=jnp.int32))
+            hits = HitRecord(*(jnp.take(a, inv_perm, axis=0) for a in hits))
+        return hits, dropped
+
+    slot = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
+    # decode the packed (cluster << lane_bits) | lane winner slot into the
+    # canonical cluster-major index (padding lanes never win: zero normal
+    # -> det 0 -> rejected)
+    lbk = _lane_bits(c_k)
+    slot = jnp.where(
+        slot >= 0,
+        (slot >> lbk) * c + jnp.minimum(slot & ((1 << lbk) - 1), c - 1),
+        slot,
+    )
     is_hit = (slot >= 0) & active[:n]
 
     # XLA refinement: recompute exact t/u/v for each ray's winning triangle

@@ -430,23 +430,24 @@ def route_fused(
     # triangle table (lane-padded when HBM-streamed; pallas_resident.py
     # convention, precomputed at scene-pack time)
     if scene.cl_mt_table is not None:
-        table = scene.cl_mt_table.reshape(k, 12, c)
+        table = scene.cl_mt_table.reshape(k, 16, c)
     else:
         src = scene.cl_tri_table.reshape(k, 10, c)
         v0 = src[:, 0:3]
         e1 = src[:, 3:6] - v0
         e2 = src[:, 6:9] - v0
+        # 16-row layout (12 MT rows + canon + pad: pallas_resident
+        # convention; sublane-aligned HBM DMA slices)
         table = jnp.concatenate(
-            [v0, e1, e2, jnp.cross(e1, e2, axis=1)], axis=1)
+            [v0, e1, e2, jnp.cross(e1, e2, axis=1),
+             scene.cl_tri_map.astype(jnp.float32).reshape(k, 1, c),
+             jnp.zeros((k, 3, c), jnp.float32)], axis=1)
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
     c_k = c
     if hbm_table and c % 128:
         c_k = -(-c // 128) * 128
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
-    if hbm_table:
-        # HBM DMA slices must be sublane-aligned: 12 MT rows pad to 16
-        table = jnp.pad(table, ((0, 0), (0, 4), (0, 0)))
 
     names = _param_names(cfg)
     wv = [models.vis_params[nm].astype(

@@ -157,10 +157,12 @@ class DeviceScene(NamedTuple):
     # XLA prologue hoisted to build time (entry-op/launch count dominates
     # this backend, see CLAUDE.md). cl_mt_table rows per cluster: v0 xyz,
     # e1 xyz, e2 xyz, n = e1 x e2 xyz (padding tris all-zero -> n = 0 ->
-    # rejected in-kernel). cl_boxes rows: minx..z, maxx..z, nonempty flag,
+    # rejected in-kernel), row 12 = canonical triangle index as f32 (-1 on
+    # padding lanes; exact below 2^24), rows 13..15 zero (sublane-8-aligned
+    # HBM DMA slices). cl_boxes rows: minx..z, maxx..z, nonempty flag,
     # pad — non-finite (empty-cluster) entries zeroed. scene_aabb is the
     # union AABB over non-empty clusters.
-    cl_mt_table: jnp.ndarray = None   # (K, 12*C) f32
+    cl_mt_table: jnp.ndarray = None   # (K, 16*C) f32
     cl_boxes: jnp.ndarray = None      # (8, K) f32
     scene_aabb: jnp.ndarray = None    # (2, 3) f32
     # Two-level cull tables (ops/pallas_resident.py grouped dispatch):
@@ -352,8 +354,10 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     e1t = table[:, 3:6, :] - v0t
     e2t = table[:, 6:9, :] - v0t
     mt_table = np.concatenate(
-        [v0t, e1t, e2t, np.cross(e1t, e2t, axis=1)], axis=1
-    ).astype(np.float32)                                     # (kc, 12, c)
+        [v0t, e1t, e2t, np.cross(e1t, e2t, axis=1),
+         tri_map.reshape(kc, 1, c).astype(np.float32),       # row 12: canon
+         np.zeros((kc, 3, c), np.float32)], axis=1           # rows 13..15 pad
+    ).astype(np.float32)                                     # (kc, 16, c)
     boxes = np.concatenate(
         [cl_min.T, cl_max.T,
          (cl_cnt > 0).astype(np.float32)[None, :],
@@ -418,7 +422,7 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
         cl_woop_table=jnp.asarray(woop.reshape(kc, 4 * 4 * c)),
-        cl_mt_table=jnp.asarray(mt_table.reshape(kc, 12 * c)),
+        cl_mt_table=jnp.asarray(mt_table.reshape(kc, 16 * c)),
         cl_boxes=jnp.asarray(boxes),
         scene_aabb=jnp.asarray(scene_aabb),
         cl_gboxes=jnp.asarray(gboxes),
