@@ -977,6 +977,66 @@ def _occl_kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm,
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
+# scenes with at most this many clusters take the straight-line kernels
+# below: no cull, no selection sort, no while_loop.  Measured on the cornell
+# headline config (K=1, C=128, tm=512): the selection/cull machinery costs
+# +0.23 ms per 64k wavefront on top of a 0.60 ms load+MT+refine floor
+# (scripts/ablate_cornell_step.py) — pure waste when every cluster is
+# visited anyway.  Unconditional visits cost ~0.56 ms per cluster per 64k
+# wavefront, so the break-even vs culled selection is ~K<=2..4.
+TINY_K = 4
+
+
+def _kernel_tiny(rays_ref, boxes_ref, table_ref, out_ref, *, c: int,
+                 tm: int, k: int, rich: bool = False):
+    """Closest hit for tiny scenes (k <= TINY_K): visit EVERY cluster in a
+    statically unrolled straight line.  Correctness needs no cull: padding
+    triangles have n = 0 -> det = 0 -> rejected, the tmax test rides the
+    packed-key init, inactive rays carry tmin = +inf.  The headline
+    cornell trace (bench.py) runs here: 0.79 -> 0.61 ms per 64k wavefront."""
+    rays = _load_rays(rays_ref, boxes_ref, tm)
+    tmax = rays[:, 7:8]
+    lb = _lane_bits(c)
+    lane_mask = jnp.int32((1 << lb) - 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
+
+    s_kb = (
+        jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
+        & ~lane_mask
+    ) | lane_mask
+    s_slot = jnp.full((tm, 1), -1, jnp.int32)
+    for idx in range(k):
+        t, tri_ok = _mt_body(rays, table_ref[idx], c, tm)
+        tb = jax.lax.bitcast_convert_type(
+            jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38), jnp.int32)
+        key = (tb & ~lane_mask) | lanes
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        improved = kmin < s_kb
+        s_kb = jnp.where(improved, kmin, s_kb)
+        s_slot = jnp.where(improved, (idx << lb) | (kmin & lane_mask), s_slot)
+    if rich:
+        _refine_winners(rays, s_slot, out_ref,
+                        lambda cur: table_ref[cur], c=c, tm=tm)
+        return
+    out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+        s_kb & ~lane_mask, jnp.float32)
+    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+
+
+def _occl_kernel_tiny(rays_ref, boxes_ref, table_ref, out_ref, *, c: int,
+                      tm: int, k: int):
+    """Any-hit for tiny scenes: statically unrolled unconditional visits."""
+    rays = _load_rays(rays_ref, boxes_ref, tm)
+    tmax = rays[:, 7:8]
+    occ = jnp.zeros((tm, 1), jnp.int32)
+    for idx in range(k):
+        t, tri_ok = _mt_body(rays, table_ref[idx], c, tm)
+        tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
+        occ = jnp.maximum(occ, jnp.max(jnp.where(tri_ok, 1, 0),
+                                       axis=1, keepdims=True))
+    out_ref[:, 0:1] = occ.astype(jnp.float32)
+
+
 def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
             k: int, exact: bool, recull: int = 0, rich: bool = False):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
@@ -1597,6 +1657,19 @@ def trace_resident(
             scratch_shapes=scratch,
             interpret=interpret,
         )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
+    elif not hbm_table and k <= TINY_K:
+        # straight-line tiny-scene kernels: no cull/selection machinery
+        kern = _occl_kernel_tiny if any_hit else _kernel_tiny
+        if not any_hit:
+            kern = partial(kern, rich=rich)
+        (packed_out,) = pl.pallas_call(
+            partial(kern, c=c_k, tm=tm, k=k),
+            grid=(tiles,),
+            in_specs=[ray_spec, boxes_spec, table_spec],
+            out_specs=[out_spec],
+            out_shape=[out_struct],
+            interpret=interpret,
+        )(rays_packed, boxes, table)
     else:
         if hbm_table:
             kern = _occl_kernel_hbm if any_hit else _kernel_hbm
