@@ -272,6 +272,46 @@ def test_resident_grouped_any_hit():
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want.is_hit))
 
 
+def test_resident_tiny_kernel_matches_general():
+    """Tiny-scene straight-line kernels (k <= TINY_K: every cluster visited
+    unconditionally, no cull/selection machinery) must match both the oracle
+    and the general kernel bit-for-bit.  hbm_table=True forces the general
+    kernel on the same scene (the tiny gate requires a VMEM-resident table)."""
+    from pg2024_dprt_tpu.ops.pallas_resident import TINY_K
+
+    scene = device_scene_from_meshes([random_tri_soup(200, seed=70)],
+                                     tris_per_cluster=64)
+    assert scene.num_clusters <= TINY_K  # else this test stops covering the gate
+    n = 1024
+    rng = np.random.RandomState(71)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(rng.rand(n).astype(np.float32) * 1.2 + 0.05)
+    act = jnp.asarray(rng.rand(n) > 0.2)
+
+    # closest hit: oracle + bit-identical to the general kernel
+    _check(scene, o, d, tmax, act)
+    got, _ = trace_resident(scene, o, d, 1e-3, tmax, act)
+    gen, _ = trace_resident(scene, o, d, 1e-3, tmax, act, hbm_table=True)
+    np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(gen.is_hit))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(gen.t))
+    np.testing.assert_array_equal(np.asarray(got.tri_index),
+                                  np.asarray(gen.tri_index))
+
+    # classic (rich=False) epilogue through the tiny kernel
+    got2, _ = trace_resident(scene, o, d, 1e-3, tmax, act, rich=False)
+    np.testing.assert_array_equal(np.asarray(got2.is_hit), np.asarray(gen.is_hit))
+    np.testing.assert_array_equal(np.asarray(got2.tri_index),
+                                  np.asarray(gen.tri_index))
+
+    # any-hit tiny kernel
+    occ, dropped = trace_resident(scene, o, d, 1e-3, tmax, act, any_hit=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
+
+
 def test_resident_grouped_interval_matches_oracle():
     """Interval group keys + exact per-ray member gate (grouped=True,
     exact_cull=False) vs the oracle — the camera-wavefront fast path."""
