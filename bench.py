@@ -68,9 +68,14 @@ def main():
 
     # best-of-batches across independent chained measurements: the tunnel
     # has ~2-10x run-to-run variance (CLAUDE.md); each measurement is
-    # itself an honest chained slope
+    # itself an honest chained slope.  Chain lengths 10/110: the transposed
+    # single-cluster kernel runs this wavefront in ~0.09 ms, far below the
+    # tunnel's ms-scale RTT noise — the default 2/12 chain slope is
+    # noise-dominated there (measured negative slopes), while 100 chained
+    # calls put ~9 ms of real dependent work between the two fetches.
     per_call = min(
-        chained_time(trace_t, origin, direction, tmax, active)
+        chained_time(trace_t, origin, direction, tmax, active,
+                     short=10, long=110)
         for _ in range(3)
     )
     mrays = n / per_call / 1e6

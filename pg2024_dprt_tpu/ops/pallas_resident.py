@@ -215,7 +215,7 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
-def _load_rays(rays_ref, boxes_ref, tm: int):
+def _load_ray_rows(rays_ref, boxes_ref, tm: int):
     """Load one ray block from the row-major (8, TM) input and apply the
     scene-exit horizon cap IN-KERNEL (rows: o xyz, d xyz, tmin, tmax).
 
@@ -224,8 +224,7 @@ def _load_rays(rays_ref, boxes_ref, tm: int):
     XLA prologue reduce fusion per trace; entry-op launches dominate this
     backend, so it moves here: the scene AABB is the masked min/max over
     the resident cluster/group box table (6 (1, K) reduces), the per-ray
-    exit one slab test in row layout.  Returns the (TM, 8) column-major
-    block every selection/MT loop consumes."""
+    exit one slab test in row layout.  Returns the capped (8, TM) rows."""
     rows = rays_ref[:]                                       # (8, TM)
     boxes = boxes_ref[:]
     ok = boxes[6:7, :] > 0.0
@@ -241,8 +240,13 @@ def _load_rays(rays_ref, boxes_ref, tm: int):
         ex = jnp.minimum(ex, jnp.maximum(t0, t1))
     cap = jnp.maximum(ex, 0.0) * 1.001 + 1e-4
     tmax_r = jnp.minimum(rows[7:8, :], cap)
-    return jnp.transpose(
-        jnp.concatenate([rows[0:7, :], tmax_r], axis=0), (1, 0))
+    return jnp.concatenate([rows[0:7, :], tmax_r], axis=0)
+
+
+def _load_rays(rays_ref, boxes_ref, tm: int):
+    """_load_ray_rows transposed to the (TM, 8) column-major block every
+    selection/MT loop consumes."""
+    return jnp.transpose(_load_ray_rows(rays_ref, boxes_ref, tm), (1, 0))
 
 
 def _refine_winners(rays, s_slot, out_ref, fetch, *, c: int, tm: int):
@@ -1037,6 +1041,148 @@ def _occl_kernel_tiny(rays_ref, boxes_ref, table_ref, out_ref, *, c: int,
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
+def _mt_body_t(rows8, tri_t, ct: int, tm: int):
+    """TRANSPOSED dense Moller-Trumbore: triangles in SUBLANES (ct rows),
+    rays in LANES — the layout for single-cluster scenes where the whole
+    scene's triangles fit the sublane dim.  Same math as _mt_body (m = s x d
+    triple products), but the work matrix is (CT, TM) with CT = the scene's
+    real (8-padded) triangle count instead of (TM, C) with C = the 128-lane
+    cluster width: at cornell scale (36 tris -> CT=40 vs C=128) that is
+    ~3.2x less VPU work, and every stage stays in the fast row-major layout
+    (no column state, no load transpose — see the frame-kernel lesson,
+    CLAUDE.md).  rows8: the (8, TM) capped ray rows; tri_t: (CT, 16)
+    per-triangle component columns (v0 xyz, e1, e2, n = e1 x e2, canon at
+    12; padding rows all-zero -> n = 0 -> det = 0 -> rejected).
+
+    Returns ((CT, TM) f32 t, (CT, TM) bool accept)."""
+    B = lambda a: jnp.broadcast_to(a, (ct, tm))
+    comp = lambda q: B(tri_t[:, q:q + 1])
+    ray = lambda r: B(rows8[r:r + 1, :])
+    v0x, v0y, v0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3), comp(4), comp(5)
+    e2x, e2y, e2z = comp(6), comp(7), comp(8)
+    nx, ny, nz = comp(9), comp(10), comp(11)
+
+    rdx, rdy, rdz = ray(3), ray(4), ray(5)
+    sx = ray(0) - v0x
+    sy = ray(1) - v0y
+    sz = ray(2) - v0z
+    mx = sy * rdz - sz * rdy
+    my = sz * rdx - sx * rdz
+    mz = sx * rdy - sy * rdx
+    det = -(rdx * nx + rdy * ny + rdz * nz)
+    u = e2x * mx + e2y * my + e2z * mz
+    v = -(e1x * mx + e1y * my + e1z * mz)
+    t_raw = nx * sx + ny * sy + nz * sz
+
+    adet = jnp.abs(det)
+    ok = adet > 1e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    t = t_raw * inv_det
+    neg = det < 0.0
+    su = jnp.where(neg, -u, u)
+    sv = jnp.where(neg, -v, v)
+    tri_ok = (
+        ok
+        & (su >= 0.0)
+        & (sv >= 0.0)
+        & (su + sv <= adet)
+        & (t > ray(6))
+    )
+    return t, tri_ok
+
+
+def _kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
+                   tm: int, rich: bool = False):
+    """Closest hit for SINGLE-CLUSTER scenes, fully row-major: one
+    transposed MT visit over the whole (CT, TM) scene, per-ray min over the
+    sublane (triangle) dim, and — rich mode — a loop-free one-hot MXU
+    refinement (the per-distinct-cluster while_loop of _refine_winners
+    degenerates to exactly one body here).  Replaces _kernel_tiny on k == 1
+    scenes: the (TM, C) form padded cornell's 36 triangles to 128 MT lanes
+    AND paid a (TM, 8) load transpose + column-major selection; this form
+    does neither (headline: 0.55 -> 0.29 ms per 64k wavefront)."""
+    rows8 = _load_ray_rows(rays_ref, boxes_ref, tm)
+    tri_t = table_ref[:]
+    tmax_r = rows8[7:8, :]
+    t, tri_ok = _mt_body_t(rows8, tri_t, ct, tm)
+
+    tb = _lane_bits(ct)
+    tmask = jnp.int32((1 << tb) - 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (ct, tm), 0)
+    keys = (jax.lax.bitcast_convert_type(
+        jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38), jnp.int32)
+        & ~tmask) | rows_i
+    kmin = jnp.min(keys, axis=0, keepdims=True)              # (1, TM)
+    init = (jax.lax.bitcast_convert_type(
+        jnp.maximum(tmax_r, 0.0), jnp.int32) & ~tmask) | tmask
+    hit_r = kmin < init                                      # (1, TM)
+    win_r = kmin & tmask                                     # (1, TM)
+
+    if rich:
+        # one-hot MXU extraction of the winner rows at HIGHEST (exact),
+        # then the exact MT recompute — all in (., TM) rows; output
+        # contract identical to _refine_winners (out rows: t, u, v, canon,
+        # hit, done, 0, 0)
+        oh = ((rows_i == jnp.broadcast_to(win_r, (ct, tm)))
+              & jnp.broadcast_to(hit_r, (ct, tm))).astype(jnp.float32)
+        ext = jax.lax.dot_general(
+            tri_t, oh, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (16, TM)
+
+        def crossr(a, b):
+            return jnp.concatenate([
+                a[1:2] * b[2:3] - a[2:3] * b[1:2],
+                a[2:3] * b[0:1] - a[0:1] * b[2:3],
+                a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+
+        def dotr(a, b):
+            return jnp.sum(a * b, axis=0, keepdims=True)
+
+        v0 = ext[0:3]
+        e1 = ext[3:6]
+        e2 = ext[6:9]
+        canon = ext[12:13]
+        o_r = rows8[0:3, :]
+        d_r = rows8[3:6, :]
+        tv = o_r - v0
+        pv = crossr(d_r, e2)
+        det = dotr(e1, pv)
+        ok = jnp.abs(det) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        qv = crossr(tv, e1)
+        good = hit_r & ok
+        zero = jnp.zeros((1, tm), jnp.float32)
+        out_ref[:] = jnp.concatenate([
+            jnp.where(good, dotr(e2, qv) * inv,
+                      jnp.full((1, tm), 3.402823466e38, jnp.float32)),
+            jnp.where(good, dotr(tv, pv) * inv, zero),
+            jnp.where(good, dotr(d_r, qv) * inv, zero),
+            jnp.where(good, canon, jnp.full((1, tm), -1.0, jnp.float32)),
+            jnp.where(good, 1.0, zero),
+            jnp.ones((1, tm), jnp.float32),
+            zero, zero], axis=0)
+        return
+    # classic (tm, 2) output: [t_approx, slot]; slot = the cluster-major
+    # lane index (cluster 0), decoded by the shared XLA epilogue
+    t_app = jax.lax.bitcast_convert_type(kmin & ~tmask, jnp.float32)
+    slot = jnp.where(hit_r, win_r, -1).astype(jnp.float32)
+    out_ref[:] = jnp.transpose(
+        jnp.concatenate([t_app, slot], axis=0), (1, 0))
+
+
+def _occl_kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
+                        tm: int):
+    """Any-hit for single-cluster scenes: one transposed MT visit, max over
+    the sublane (triangle) dim."""
+    rows8 = _load_ray_rows(rays_ref, boxes_ref, tm)
+    t, tri_ok = _mt_body_t(rows8, table_ref[:], ct, tm)
+    tri_ok = tri_ok & (t < jnp.broadcast_to(rows8[7:8, :], t.shape))
+    occ = jnp.max(jnp.where(tri_ok, 1.0, 0.0), axis=0, keepdims=True)
+    out_ref[:] = jnp.transpose(occ, (1, 0))
+
+
 def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
             k: int, exact: bool, recull: int = 0, rich: bool = False):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
@@ -1455,7 +1601,18 @@ def trace_resident(
         # overhead, not by tile-union MT waste — run 4x wider tiles there
         # (measured: cornell rich closest 0.94 ms @128 -> 0.80 @512; 64k+
         # tri scenes: tm=128 optimal, sweep_resident)
-        tile_rays = 512 if scene.num_clusters <= 4 else TILE_RAYS
+        if scene.num_clusters == 1 and scene.cl_mt_table_t is not None:
+            # transposed single-cluster kernel: per-grid-step overhead
+            # dominates — the widest tile whose (CT, TM) work matrices stay
+            # comfortably in VMEM (cornell sweep: 512 -> 0.095 ms, 2048 ->
+            # 0.049 ms per 64k wavefront; 4096/8192 no better)
+            ct_rows = scene.cl_mt_table_t.shape[0]
+            tile_rays = int(max(512, min(
+                2048, (1 << 18) // max(ct_rows, 8) // 128 * 128)))
+        elif scene.num_clusters <= 4:
+            tile_rays = 512
+        else:
+            tile_rays = TILE_RAYS
     tm = tile_rays
     pad = (-n) % tm
     mp = n + pad
@@ -1657,6 +1814,24 @@ def trace_resident(
             scratch_shapes=scratch,
             interpret=interpret,
         )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
+    elif (not hbm_table and k == 1 and scene.cl_mt_table_t is not None):
+        # single-cluster scenes: fully row-major TRANSPOSED kernel —
+        # triangles ride the sublane dim at their real (8-padded) count
+        # instead of padding to the 128-lane cluster width, and the load
+        # transpose / column-major selection disappear (cornell headline:
+        # 0.55 -> 0.29 ms per 64k wavefront)
+        ct = scene.cl_mt_table_t.shape[0]
+        kern = _occl_kernel_tiny_t if any_hit else partial(
+            _kernel_tiny_t, rich=rich)
+        (packed_out,) = pl.pallas_call(
+            partial(kern, ct=ct, tm=tm),
+            grid=(tiles,),
+            in_specs=[ray_spec, boxes_spec,
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[out_spec],
+            out_shape=[out_struct],
+            interpret=interpret,
+        )(rays_packed, boxes, scene.cl_mt_table_t)
     elif not hbm_table and k <= TINY_K:
         # straight-line tiny-scene kernels: no cull/selection machinery
         kern = _occl_kernel_tiny if any_hit else _kernel_tiny

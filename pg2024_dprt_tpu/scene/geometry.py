@@ -165,6 +165,15 @@ class DeviceScene(NamedTuple):
     cl_mt_table: jnp.ndarray = None   # (K, 16*C) f32
     cl_boxes: jnp.ndarray = None      # (8, K) f32
     scene_aabb: jnp.ndarray = None    # (2, 3) f32
+    # TRANSPOSED MT table for single-cluster scenes (K == 1): the same 16
+    # component rows as cl_mt_table but per-TRIANGLE rows / per-component
+    # columns, trimmed to the real (8-padded) triangle count.  Feeds the
+    # row-major transposed tiny-scene kernels (ops/pallas_resident.py
+    # _kernel_tiny_t): triangles ride the sublane dim so a 36-triangle
+    # cornell pays for 40 MT rows, not 128 padded lanes.  Pack-time (an
+    # in-call transpose would add an entry op per trace — launch count
+    # dominates this backend, CLAUDE.md).
+    cl_mt_table_t: jnp.ndarray = None  # (CT8, 16) f32, K == 1 only
     # Two-level cull tables (ops/pallas_resident.py grouped dispatch):
     # clusters are grouped CL_GROUP (=8) SAH-consecutive at a time, so the
     # in-kernel per-ray exact cull runs at (TM, Kg) instead of (TM, K) —
@@ -365,6 +374,16 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         axis=0,
     )
     boxes = np.where(np.isfinite(boxes), boxes, 0.0).astype(np.float32)
+    # transposed MT table (single-cluster scenes): per-triangle rows,
+    # trimmed to the 8-padded valid count (padding rows zero -> rejected)
+    mt_table_t = None
+    if kc == 1:
+        ct8 = max(8, int(-(-max(int(cl_cnt[0]), 1) // 8) * 8))
+        full_t = mt_table[0].T                               # (c, 16)
+        if ct8 > full_t.shape[0]:                            # c not 8-aligned
+            full_t = np.pad(full_t, ((0, ct8 - full_t.shape[0]), (0, 0)))
+        mt_table_t = np.ascontiguousarray(
+            full_t[:ct8]).astype(np.float32)                 # (CT8, 16)
     # cluster-major shade table: tri_shade rows in tri_map lane order
     # (padding lanes zero; their mt rows have n = 0 so they can never win)
     shade_cl = tri_shade[safe].reshape(kc, c, 24).transpose(0, 2, 1).copy()
@@ -425,6 +444,8 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_mt_table=jnp.asarray(mt_table.reshape(kc, 16 * c)),
         cl_boxes=jnp.asarray(boxes),
         scene_aabb=jnp.asarray(scene_aabb),
+        cl_mt_table_t=(None if mt_table_t is None
+                       else jnp.asarray(mt_table_t)),
         cl_gboxes=jnp.asarray(gboxes),
         cl_mboxes=jnp.asarray(mboxes),
         tri_verts=jnp.asarray(tri_verts),

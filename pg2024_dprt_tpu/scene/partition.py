@@ -115,6 +115,21 @@ def build_partitioned_scene(
         aabb_min.append(lo)
         aabb_max.append(hi)
 
+    # the transposed single-cluster MT table (cl_mt_table_t) is sized to
+    # each partition's REAL triangle count — pad to the max across
+    # partitions so the stacked pytree is rectangular (zero rows have
+    # n = 0 -> rejected in-kernel)
+    tts = [s.cl_mt_table_t for s in scenes]
+    if any(t is not None for t in tts):
+        if any(t is None for t in tts):
+            scenes = [s._replace(cl_mt_table_t=None) for s in scenes]
+        else:
+            ct_max = max(t.shape[0] for t in tts)
+            scenes = [
+                s._replace(cl_mt_table_t=jnp.pad(
+                    t, ((0, ct_max - t.shape[0]), (0, 0))))
+                for s, t in zip(scenes, tts)
+            ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)

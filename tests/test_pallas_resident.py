@@ -312,6 +312,61 @@ def test_resident_tiny_kernel_matches_general():
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
 
 
+def test_resident_transposed_single_cluster():
+    """Single-cluster scenes take the TRANSPOSED row-major kernel
+    (_kernel_tiny_t: triangles in sublanes at their real 8-padded count,
+    rays in lanes, loop-free one-hot MXU refinement).  It must match the
+    oracle AND pick winners bit-identically to the straight-line kernel it
+    replaces (forced via cl_mt_table_t=None) — rich, classic, and any-hit,
+    with finite per-ray tmax and inactive rays."""
+    scene = device_scene_from_meshes([random_tri_soup(100, seed=80)],
+                                     tris_per_cluster=128)
+    assert scene.num_clusters == 1 and scene.cl_mt_table_t is not None
+    assert scene.cl_mt_table_t.shape == (104, 16)  # 100 tris, 8-padded
+    straight = scene._replace(cl_mt_table_t=None)
+    n = 1024
+    rng = np.random.RandomState(81)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(rng.rand(n).astype(np.float32) * 1.2 + 0.05)
+    act = jnp.asarray(rng.rand(n) > 0.2)
+
+    _check(scene, o, d, tmax, act)
+    for rich in (True, False):
+        got, dropped = trace_resident(scene, o, d, 1e-3, tmax, act, rich=rich)
+        assert int(dropped) == 0
+        ref, _ = trace_resident(straight, o, d, 1e-3, tmax, act, rich=rich)
+        np.testing.assert_array_equal(np.asarray(got.is_hit), np.asarray(ref.is_hit))
+        np.testing.assert_array_equal(np.asarray(got.tri_index),
+                                      np.asarray(ref.tri_index))
+        if rich:  # both refine the winner exactly -> bit-equal t/u/v
+            np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+            np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+            np.testing.assert_array_equal(np.asarray(got.v), np.asarray(ref.v))
+
+    occ, dropped = trace_resident(scene, o, d, 1e-3, tmax, act, any_hit=True)
+    assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
+
+
+def test_resident_transposed_unaligned_width():
+    """Cluster width not 8-aligned: the pack-time transposed table pads
+    beyond the lane count (geometry.py) and the kernel still matches."""
+    scene = device_scene_from_meshes([random_tri_soup(36, seed=82)],
+                                     tris_per_cluster=36)
+    assert scene.num_clusters == 1
+    assert scene.cl_mt_table_t is not None
+    assert scene.cl_mt_table_t.shape[0] % 8 == 0
+    n = 512
+    rng = np.random.RandomState(83)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32), jnp.ones((n,), bool))
+
+
 def test_resident_grouped_interval_matches_oracle():
     """Interval group keys + exact per-ray member gate (grouped=True,
     exact_cull=False) vs the oracle — the camera-wavefront fast path."""
