@@ -1596,16 +1596,25 @@ def trace_resident(
     VMEM-resident; larger ones stream each selected cluster from HBM through
     a double-buffered scratch (_kernel_hbm)."""
     n = origin.shape[0]
+    # dense transposed kernel (small scenes, pack-time cl_mt_table_t):
+    # decided up front, from statics only — it shapes the tile policy, the
+    # sort policy, and the rich default below.  Forced hbm_table/grouped
+    # still take their own paths.
+    will_transpose = (
+        scene.cl_mt_table_t is not None
+        and hbm_table is not True
+        and grouped is not True
+    )
     if tile_rays is None:
         # tiny scenes (a handful of clusters) are bound by per-grid-step
         # overhead, not by tile-union MT waste — run 4x wider tiles there
         # (measured: cornell rich closest 0.94 ms @128 -> 0.80 @512; 64k+
         # tri scenes: tm=128 optimal, sweep_resident)
-        if scene.num_clusters == 1 and scene.cl_mt_table_t is not None:
-            # transposed single-cluster kernel: per-grid-step overhead
-            # dominates — the widest tile whose (CT, TM) work matrices stay
-            # comfortably in VMEM (cornell sweep: 512 -> 0.095 ms, 2048 ->
-            # 0.049 ms per 64k wavefront; 4096/8192 no better)
+        if will_transpose:
+            # transposed kernel: per-grid-step overhead dominates — the
+            # widest tile whose (CT, TM) work matrices stay comfortably in
+            # VMEM (cornell sweep: 512 -> 0.095 ms, 2048 -> 0.049 ms per
+            # 64k wavefront; 4096/8192 no better)
             ct_rows = scene.cl_mt_table_t.shape[0]
             tile_rays = int(max(512, min(
                 2048, (1 << 18) // max(ct_rows, 8) // 128 * 128)))
@@ -1619,6 +1628,13 @@ def trace_resident(
 
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    # the dense transposed kernel visits every triangle row for every tile
+    # regardless of ray order — a morton sort buys nothing there (no cull,
+    # no tile-union locality) and costs ~2.5 ms flat (sort + 2 gathers of
+    # dependent-launch latency)
+    if sort_rays and will_transpose:
+        sort_rays = False
 
     if sort_rays:
         key = _morton_key(scene, origin, direction)
@@ -1697,6 +1713,12 @@ def trace_resident(
         # saves (18.1 -> 19.7 ms at 64k incoherent): keep the classic
         # epilogue there.
         rich = not sort_rays
+    if will_transpose:
+        # the transposed kernel's winner slot is a row of the CONCATENATED
+        # valid-triangle table — the classic epilogue's cluster-major slot
+        # decode doesn't apply, and the transposed refine is loop-free (one
+        # one-hot MXU matmul), so rich is strictly better here anyway
+        rich = True
     rich = rich and not any_hit
     # the HBM kernel's per-cluster DMA slices the table's lane dim, which
     # Mosaic requires 128-aligned; pad with degenerate triangles (zero
@@ -1814,12 +1836,14 @@ def trace_resident(
             scratch_shapes=scratch,
             interpret=interpret,
         )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
-    elif (not hbm_table and k == 1 and scene.cl_mt_table_t is not None):
-        # single-cluster scenes: fully row-major TRANSPOSED kernel —
-        # triangles ride the sublane dim at their real (8-padded) count
-        # instead of padding to the 128-lane cluster width, and the load
-        # transpose / column-major selection disappear (cornell headline:
-        # 0.55 -> 0.29 ms per 64k wavefront)
+    elif will_transpose and not hbm_table:
+        # small scenes: fully row-major TRANSPOSED kernel — the scene's
+        # valid triangles (all clusters concatenated) ride the sublane dim
+        # at their real (8-padded) count instead of padding to the 128-lane
+        # cluster width, and the load transpose / column-major selection
+        # disappear (cornell headline: 0.55 -> 0.049 ms per 64k wavefront;
+        # vs the culled selection kernels: 6.8x at 128 tris, 3.1x at 256,
+        # 1.4x at the 512-tri TINY_T_ROWS cap)
         ct = scene.cl_mt_table_t.shape[0]
         kern = _occl_kernel_tiny_t if any_hit else partial(
             _kernel_tiny_t, rich=rich)

@@ -25,6 +25,11 @@ from .bvh import FlatBVH, build_bvh
 
 # cluster-group fan-out of the two-level in-kernel cull (pallas_resident)
 CL_GROUP = 8
+# scenes with at most this many valid triangles (across all clusters) get
+# the pack-time transposed MT table (cl_mt_table_t) and take the dense
+# transposed kernel (ops/pallas_resident.py _kernel_tiny_t) — the measured
+# break-even vs the culled selection kernels is ~512 on camera wavefronts
+TINY_T_ROWS = 512
 
 
 @dataclass
@@ -165,15 +170,15 @@ class DeviceScene(NamedTuple):
     cl_mt_table: jnp.ndarray = None   # (K, 16*C) f32
     cl_boxes: jnp.ndarray = None      # (8, K) f32
     scene_aabb: jnp.ndarray = None    # (2, 3) f32
-    # TRANSPOSED MT table for single-cluster scenes (K == 1): the same 16
-    # component rows as cl_mt_table but per-TRIANGLE rows / per-component
-    # columns, trimmed to the real (8-padded) triangle count.  Feeds the
-    # row-major transposed tiny-scene kernels (ops/pallas_resident.py
-    # _kernel_tiny_t): triangles ride the sublane dim so a 36-triangle
-    # cornell pays for 40 MT rows, not 128 padded lanes.  Pack-time (an
-    # in-call transpose would add an entry op per trace — launch count
-    # dominates this backend, CLAUDE.md).
-    cl_mt_table_t: jnp.ndarray = None  # (CT8, 16) f32, K == 1 only
+    # TRANSPOSED MT table for small scenes (<= TINY_T_ROWS valid triangles
+    # total): the same 16 component rows as cl_mt_table but per-TRIANGLE
+    # rows / per-component columns, cluster-major with padding lanes
+    # dropped, 8-padded.  Feeds the row-major dense transposed kernels
+    # (ops/pallas_resident.py _kernel_tiny_t): triangles ride the sublane
+    # dim so a 36-triangle cornell pays for 40 MT rows, not 128 padded
+    # lanes.  Pack-time (an in-call transpose would add an entry op per
+    # trace — launch count dominates this backend, CLAUDE.md).
+    cl_mt_table_t: jnp.ndarray = None  # (CT8, 16) f32, small scenes only
     # Two-level cull tables (ops/pallas_resident.py grouped dispatch):
     # clusters are grouped CL_GROUP (=8) SAH-consecutive at a time, so the
     # in-kernel per-ray exact cull runs at (TM, Kg) instead of (TM, K) —
@@ -374,16 +379,20 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         axis=0,
     )
     boxes = np.where(np.isfinite(boxes), boxes, 0.0).astype(np.float32)
-    # transposed MT table (single-cluster scenes): per-triangle rows,
-    # trimmed to the 8-padded valid count (padding rows zero -> rejected)
+    # transposed MT table (small scenes, <= TINY_T_ROWS valid triangles
+    # across ALL clusters): per-triangle rows in cluster-major order with
+    # padding lanes dropped, 8-padded (zero rows have n = 0 -> rejected).
+    # Measured win region of the dense transposed kernel vs the culled
+    # selection kernels on a 64k camera wavefront (scripts history): 6.8x
+    # at 128 tris, 3.1x at 256, 1.4x at 512.
     mt_table_t = None
-    if kc == 1:
-        ct8 = max(8, int(-(-max(int(cl_cnt[0]), 1) // 8) * 8))
-        full_t = mt_table[0].T                               # (c, 16)
-        if ct8 > full_t.shape[0]:                            # c not 8-aligned
-            full_t = np.pad(full_t, ((0, ct8 - full_t.shape[0]), (0, 0)))
-        mt_table_t = np.ascontiguousarray(
-            full_t[:ct8]).astype(np.float32)                 # (CT8, 16)
+    total_valid = int((tri_map >= 0).sum())
+    if total_valid <= TINY_T_ROWS:
+        rows = mt_table.transpose(0, 2, 1).reshape(kc * c, 16)
+        rows = rows[tri_map >= 0]                            # (valid, 16)
+        ct8 = max(8, int(-(-max(total_valid, 1) // 8) * 8))
+        rows = np.pad(rows, ((0, ct8 - rows.shape[0]), (0, 0)))
+        mt_table_t = np.ascontiguousarray(rows).astype(np.float32)
     # cluster-major shade table: tri_shade rows in tri_map lane order
     # (padding lanes zero; their mt rows have n = 0 so they can never win)
     shade_cl = tri_shade[safe].reshape(kc, c, 24).transpose(0, 2, 1).copy()

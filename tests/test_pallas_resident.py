@@ -282,6 +282,10 @@ def test_resident_tiny_kernel_matches_general():
     scene = device_scene_from_meshes([random_tri_soup(200, seed=70)],
                                      tris_per_cluster=64)
     assert scene.num_clusters <= TINY_K  # else this test stops covering the gate
+    # small scenes now prefer the TRANSPOSED kernel; drop its table so this
+    # test keeps covering the straight-line (TM, C) kernels (the production
+    # path for K <= TINY_K scenes above the TINY_T_ROWS triangle cap)
+    scene = scene._replace(cl_mt_table_t=None)
     n = 1024
     rng = np.random.RandomState(71)
     o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
@@ -347,6 +351,33 @@ def test_resident_transposed_single_cluster():
 
     occ, dropped = trace_resident(scene, o, d, 1e-3, tmax, act, any_hit=True)
     assert int(dropped) == 0
+    want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
+
+
+def test_resident_transposed_multi_cluster():
+    """The transposed table concatenates valid triangles across ALL
+    clusters (cluster-major, padding lanes dropped) — a multi-cluster small
+    scene must match the oracle and the selection kernel, and sort_rays
+    must be a transparent no-op on this path (no cull to help)."""
+    scene = device_scene_from_meshes([random_tri_soup(200, seed=70)],
+                                     tris_per_cluster=64)
+    assert scene.num_clusters > 1 and scene.cl_mt_table_t is not None
+    assert scene.cl_mt_table_t.shape == (200, 16)
+    n = 1024
+    rng = np.random.RandomState(72)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(rng.rand(n).astype(np.float32) * 1.2 + 0.05)
+    act = jnp.asarray(rng.rand(n) > 0.2)
+    _check(scene, o, d, tmax, act)
+    got, _ = trace_resident(scene, o, d, 1e-3, tmax, act)
+    srt, _ = trace_resident(scene, o, d, 1e-3, tmax, act, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(got.tri_index),
+                                  np.asarray(srt.tri_index))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(srt.t))
+    occ, _ = trace_resident(scene, o, d, 1e-3, tmax, act, any_hit=True)
     want = intersect_brute_force(scene, o, d, 1e-3, tmax, act)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(want.is_hit))
 
