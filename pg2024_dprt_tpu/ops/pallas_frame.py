@@ -622,6 +622,9 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
     """Static gate for the megakernel path (shapes only — no traced values)."""
     if scene.albedo_textures is not None and scene.albedo_textures.count > 0:
         return False
+    if scene.curves is not None:
+        # curve primitives composite in trace_api (composed pipeline only)
+        return False
     if scene.cl_shade_table is None or scene.cl_mt_table is None:
         return False
     ehw = env.image.shape[0] * env.image.shape[1]

@@ -70,6 +70,31 @@ def _pallas_escalating(scene, origin, direction, t_min, t_max, active,
     return jax.lax.cond(res[1] > 0, escalate, lambda _: res, None)
 
 
+def _merge_curve_hits(scene, origin, direction, t_min, t_max, active, res):
+    """Composite the triangle closest hit with the scene's curve primitives
+    (round cubic-B-spline hair, scene.curves) — the TPU counterpart of the
+    reference pipeline enabling OptiX's builtin ROUND_CUBIC_BSPLINE
+    intersector next to its triangle programs
+    (/root/reference/src/render/pipeline_helper.cpp:57,116).  Curve winners
+    encode tri_index = -2 - piece (piece = flattened swept-sphere cone
+    index); shading decodes it in render/shade.surface_attributes."""
+    if scene.curves is None:
+        return res
+    from .curve_intersect import intersect_curves
+
+    hits, diag = res
+    ch = intersect_curves(scene.curves, origin, direction, t_min, t_max, active)
+    closer = ch.is_hit & ((~hits.is_hit) | (ch.t < hits.t))
+    merged = hits._replace(
+        t=jnp.where(closer, ch.t, hits.t),
+        tri_index=jnp.where(closer, -2 - ch.piece, hits.tri_index),
+        u=jnp.where(closer, 0.0, hits.u),
+        v=jnp.where(closer, 0.0, hits.v),
+        is_hit=hits.is_hit | closer,
+    )
+    return merged, diag
+
+
 def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
                           tracer: str = "auto", sort_rays: bool = True):
     """Closest hit. Returns (HitRecord, diag) — diag counts pairs still
@@ -84,14 +109,16 @@ def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
     7.6 -> 5.8 ms, b1 NEE shadow 25 -> 9.6 ms; render/engine.py)."""
     tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
-        return traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
-    if tracer == "cluster":
-        return traverse_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
-    if tracer == "resident":
-        return trace_resident(scene, origin, direction, t_min, t_max, active,
-                              sort_rays=sort_rays)
-    return _pallas_escalating(scene, origin, direction, t_min, t_max, active,
-                              sort_rays=sort_rays)
+        res = traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    elif tracer == "cluster":
+        res = traverse_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    elif tracer == "resident":
+        res = trace_resident(scene, origin, direction, t_min, t_max, active,
+                             sort_rays=sort_rays)
+    else:
+        res = _pallas_escalating(scene, origin, direction, t_min, t_max, active,
+                                 sort_rays=sort_rays)
+    return _merge_curve_hits(scene, origin, direction, t_min, t_max, active, res)
 
 
 def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
@@ -99,14 +126,21 @@ def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
     """Any-hit test. Returns ((n,) bool occluded, diag)."""
     tracer = resolve_tracer(tracer, scene)
     if tracer == "stackless":
-        return traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit, jnp.int32(0)
-    if tracer == "cluster":
-        return occlusion_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
-    if tracer == "resident":
-        return trace_resident(scene, origin, direction, t_min, t_max, active,
-                              any_hit=True, sort_rays=sort_rays)
-    return _pallas_escalating(scene, origin, direction, t_min, t_max, active,
-                              any_hit=True, sort_rays=sort_rays)
+        occ, diag = traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit, jnp.int32(0)
+    elif tracer == "cluster":
+        occ, diag = occlusion_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
+    elif tracer == "resident":
+        occ, diag = trace_resident(scene, origin, direction, t_min, t_max, active,
+                                   any_hit=True, sort_rays=sort_rays)
+    else:
+        occ, diag = _pallas_escalating(scene, origin, direction, t_min, t_max, active,
+                                       any_hit=True, sort_rays=sort_rays)
+    if scene.curves is not None:
+        from .curve_intersect import occlude_curves
+
+        occ = occ | occlude_curves(scene.curves, origin, direction,
+                                   t_min, t_max, active)
+    return occ, diag
 
 
 def trace_closest(scene, origin, direction, t_min, t_max, active, tracer: str = "auto"):
@@ -170,7 +204,9 @@ def trace_closest_cutout(scene, origin, direction, t_min, t_max, active,
                                         tracer, sort_rays=sort_rays)
         diag = diag + d
         alpha = _hit_alpha(scene, hits)
-        transparent = hits.is_hit & (alpha < alpha_threshold)
+        # curve winners (tri_index <= -2) are always opaque — their lanes'
+        # gathered triangle-0 alpha is meaningless
+        transparent = hits.is_hit & (hits.tri_index >= 0) & (alpha < alpha_threshold)
         settled = pending & (~transparent)
         if final is None:
             final = hits

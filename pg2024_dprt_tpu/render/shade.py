@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core import math as cmath
 from ..core.rng import rnd2, rnd3, tea
-from ..core.types import BSDF_WATER, PathState
+from ..core.types import BSDF_DIFFUSE, BSDF_WATER, PathState
 from ..scene.geometry import DeviceScene
 from ..scene.lights import EnvironmentMap, LightTable
 
@@ -79,13 +79,38 @@ def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAt
         rgba = sample_textures(scene.albedo_textures, tex_idx, uv[:, 0], uv[:, 1])
         albedo = jnp.where((tex_idx >= 0)[:, None], rgba[:, :3], albedo)
 
+    t = jnp.where(hits.is_hit, hits.t, 0.0)
+    point = origin + t[:, None] * direction
+
+    if scene.curves is not None:
+        # curve winners (trace_api composite): tri_index = -2 - piece.
+        # Recompute the round-cone surface normal at the hit point (the
+        # axial coordinate y = dot(pos - pa, ba) matches the intersector's,
+        # ops/curve_intersect.py) and shade diffuse in the strand color —
+        # the reference's hair shading path.
+        is_curve = hits.tri_index <= -2
+        piece = jnp.where(is_curve, -2 - hits.tri_index, 0)
+        cs = scene.curves
+        pa = jnp.take(cs.p0, piece, axis=0)
+        pb = jnp.take(cs.p1, piece, axis=0)
+        ba = pb - pa
+        oa = point - pa
+        y = jnp.sum(oa * ba, axis=-1)
+        rr = jnp.take(cs.r0, piece) - jnp.take(cs.r1, piece)
+        d2 = jnp.sum(ba * ba, axis=-1) - rr * rr
+        n_side = d2[:, None] * oa - ba * y[:, None]
+        n_curve = jnp.where((y <= 0.0)[:, None], oa,
+                            jnp.where((y >= d2)[:, None], point - pb, n_side))
+        n_curve = cmath.normalize(n_curve)
+        normal = jnp.where(is_curve[:, None], n_curve, normal)
+        albedo = jnp.where(is_curve[:, None], cs.color[None, :], albedo)
+        bsdf_type = jnp.where(is_curve, BSDF_DIFFUSE, bsdf_type)
+
     wo = -direction
     cos = jnp.sum(normal * wo, axis=-1)
     is_inside = cos < 0.0
     normal = jnp.where(is_inside[:, None], -normal, normal)
 
-    t = jnp.where(hits.is_hit, hits.t, 0.0)
-    point = origin + t[:, None] * direction
     return SurfaceAttributes(point, normal, albedo, bsdf_type, is_inside)
 
 

@@ -208,6 +208,12 @@ class DeviceScene(NamedTuple):
     # PackedTextures pytree); indexed by mesh_texture_index. Empty pool when
     # the scene is untextured.
     albedo_textures: object = None
+    # Round cubic-B-spline curve primitives (scene/curves.py CurveSet
+    # pytree, None when the scene has no hair/curve geometry).  Composited
+    # with the triangle closest hit / occlusion in ops/trace_api.py — the
+    # counterpart of the reference enabling OptiX's ROUND_CUBIC_BSPLINE
+    # intersector in its pipelines (pipeline_helper.cpp:57,116).
+    curves: object = None
 
     @property
     def num_nodes(self) -> int:
@@ -233,6 +239,7 @@ def device_scene_from_meshes(
     tris_per_cluster: Optional[int] = None,
     cluster_capacity: Optional[int] = None,
     textures: Optional[list] = None,
+    curves=None,
 ) -> DeviceScene:
     """Build a single-partition DeviceScene (BVH + reordered triangles).
 
@@ -248,13 +255,13 @@ def device_scene_from_meshes(
     return _pack_device_scene(
         host, bvh, node_capacity, tri_capacity,
         tris_per_cluster=tris_per_cluster, cluster_capacity=cluster_capacity,
-        textures=textures,
+        textures=textures, curves=curves,
     )
 
 
 def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None,
                        tris_per_cluster: int = 128, cluster_capacity=None,
-                       textures=None) -> DeviceScene:
+                       textures=None, curves=None) -> DeviceScene:
     from .textures import build_textures
     atlas = build_textures(textures or [])
     order = bvh.tri_order
@@ -461,4 +468,5 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         tri_shade=jnp.asarray(tri_shade),
         cl_shade_table=jnp.asarray(shade_cl.reshape(kc, 24 * c)),
         albedo_textures=atlas,
+        curves=curves,
     )

@@ -153,3 +153,77 @@ def test_curve_and_triangle_composition():
     assert not bool(cur_hits.is_hit[1]) and bool(tri_hits.is_hit[1])
     # ray 2 misses both
     assert not bool(cur_hits.is_hit[2]) and not bool(tri_hits.is_hit[2])
+
+
+def test_curves_in_scene_composite_trace():
+    """Curves packed INTO the DeviceScene (scene.curves) composite inside
+    trace_api: closest = nearest of triangles and curves (curve winners
+    encode tri_index = -2 - piece), occlusion ORs the curve any-hit."""
+    from pg2024_dprt_tpu.ops.trace_api import (
+        trace_closest_checked, trace_occlusion_checked)
+    from pg2024_dprt_tpu.scene import device_scene_from_meshes
+    from pg2024_dprt_tpu.scene.geometry import MeshGeometry
+    from pg2024_dprt_tpu.scene.procedural import _quad
+
+    v0, v1, v2 = _quad([-5, -5, 0], [5, -5, 0], [5, 5, 0], [-5, 5, 0])
+    wall = MeshGeometry(v0=v0, v1=v1, v2=v2)
+    curves = CurveSet.from_strand(
+        np.asarray([[-3.0, 0, 1], [-1, 0, 1], [1, 0, 1], [3, 0, 1]]), radius=0.3
+    )
+    scene = device_scene_from_meshes([wall], curves=curves)
+    n = 3
+    o = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 3.0, 3.0], [0.0, 0.0, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    act = jnp.ones((n,), bool)
+
+    hits, diag = trace_closest_checked(scene, o, d, 1e-3, tmax, act)
+    assert int(diag) == 0
+    # ray 0: the curve (z=1, r=0.3) is in front of the wall (z=0)
+    assert bool(hits.is_hit[0]) and int(hits.tri_index[0]) <= -2
+    np.testing.assert_allclose(float(hits.t[0]), 1.7, atol=2e-2)
+    # ray 1: misses the curve, hits the wall (a real triangle index)
+    assert bool(hits.is_hit[1]) and int(hits.tri_index[1]) >= 0
+    # ray 2: misses both
+    assert not bool(hits.is_hit[2])
+
+    # occlusion: within tmax=2.5 ray 0 is blocked by the CURVE only
+    occ, diag = trace_occlusion_checked(
+        scene, o, d, 1e-3, jnp.full((n,), 2.5, jnp.float32), act)
+    assert int(diag) == 0
+    assert bool(occ[0]) and not bool(occ[1]) and not bool(occ[2])
+
+
+def test_curves_render_end_to_end():
+    """A strand over a floor renders through the full engine: the curve
+    occludes/colors pixels (image differs from the curveless render in the
+    strand's footprint), shading stays finite, tracer diag stays 0."""
+    from pg2024_dprt_tpu.core import Camera
+    from pg2024_dprt_tpu.render import RenderConfig
+    from pg2024_dprt_tpu.render.engine import render_image
+    from pg2024_dprt_tpu.scene import device_scene_from_meshes
+    from pg2024_dprt_tpu.scene.geometry import MeshGeometry
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
+    from pg2024_dprt_tpu.scene.procedural import _quad
+
+    v0, v1, v2 = _quad([-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2])
+    floor = MeshGeometry(v0=v0, v1=v1, v2=v2, base_color=(0.7, 0.7, 0.7))
+    curves = CurveSet.from_strand(
+        np.asarray([[-1.2, 0.5, 0], [-0.4, 0.7, 0], [0.4, 0.7, 0], [1.2, 0.5, 0]]),
+        radius=0.15, color=(0.8, 0.2, 0.1),
+    )
+    lt = np.asarray([[[-0.5, 2.5, -0.5], [0.5, 2.5, -0.5], [0.0, 2.5, 0.5]]],
+                    np.float32)
+    lights = LightTable.from_arrays(lt, np.asarray([[40.0, 40.0, 40.0]], np.float32))
+    env = EnvironmentMap.constant((0.2, 0.25, 0.3))
+    cam = Camera.look_at([0, 1.2, 3.0], [0, 0.5, 0], [0, 1, 0], 45.0, 48, 48)
+    cfg = RenderConfig(width=48, height=48, spp=1, bounces=2)
+
+    base = device_scene_from_meshes([floor])
+    with_curves = device_scene_from_meshes([floor], curves=curves)
+    img0, st0 = render_image(base, lights, env, cam, cfg, return_stats=True)
+    img1, st1 = render_image(with_curves, lights, env, cam, cfg, return_stats=True)
+    assert st0["tracer_diag"] == 0 and st1["tracer_diag"] == 0
+    assert np.isfinite(np.asarray(img1)).all()
+    diffpix = (np.abs(np.asarray(img1) - np.asarray(img0)).sum(-1) > 1e-3).sum()
+    assert int(diffpix) > 40  # the strand's footprint is visibly rendered
