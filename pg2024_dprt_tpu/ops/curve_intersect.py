@@ -86,9 +86,14 @@ def _ray_round_cone(o, d, pa, pb, ra, rb, t_lo, t_hi):
 
 
 def intersect_curves(curves: CurveSet, origin, direction, t_min, t_max,
-                     active) -> CurveHit:
+                     active, with_normal: bool = True) -> CurveHit:
     """Closest curve hit for a wavefront: dense rays x pieces (curve tables
-    are small next to triangle meshes; chunk the piece axis if needed)."""
+    are small next to triangle meshes; chunk the piece axis if needed).
+
+    with_normal=False skips the surface-normal derivation (4 gathers + the
+    cap/side selection) and returns zeros in `normal` — the trace_api
+    composite path uses this: HitRecord carries no normal, so shading
+    re-derives it from the winning piece (render/shade.py)."""
     n = origin.shape[0]
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_hi = jnp.where(active, jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), 0.0)
@@ -99,6 +104,16 @@ def intersect_curves(curves: CurveSet, origin, direction, t_min, t_max,
     t = jnp.min(t_all, axis=1)
     piece = jnp.argmin(t_all, axis=1).astype(jnp.int32)
     is_hit = jnp.isfinite(t) & active
+
+    seg = jnp.take(curves.seg_id, piece)
+    if not with_normal:
+        return CurveHit(
+            t=jnp.where(is_hit, t, _F32_MAX),
+            piece=jnp.where(is_hit, piece, -1),
+            seg=jnp.where(is_hit, seg, -1),
+            normal=jnp.zeros((n, 3), jnp.float32),
+            is_hit=is_hit,
+        )
 
     # normal: side surface -> gradient of the cone distance; caps -> sphere
     pa = jnp.take(curves.p0, piece, axis=0)
@@ -122,7 +137,6 @@ def intersect_curves(curves: CurveSet, origin, direction, t_min, t_max,
     ln = jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, axis=-1, keepdims=True), 1e-20))
     nrm = nrm / ln
 
-    seg = jnp.take(curves.seg_id, piece)
     return CurveHit(
         t=jnp.where(is_hit, t, _F32_MAX),
         piece=jnp.where(is_hit, piece, -1),

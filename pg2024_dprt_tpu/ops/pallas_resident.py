@@ -1093,15 +1093,20 @@ def _mt_body_t(rows8, tri_t, ct: int, tm: int):
 
 
 def _kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
-                   tm: int, rich: bool = False):
-    """Closest hit for SINGLE-CLUSTER scenes, fully row-major: one
-    transposed MT visit over the whole (CT, TM) scene, per-ray min over the
-    sublane (triangle) dim, and — rich mode — a loop-free one-hot MXU
+                   tm: int):
+    """Closest hit for small scenes, fully row-major: one transposed MT
+    visit over the whole (CT, TM) concatenated-triangle table, per-ray min
+    over the sublane (triangle) dim, then a loop-free one-hot MXU
     refinement (the per-distinct-cluster while_loop of _refine_winners
-    degenerates to exactly one body here).  Replaces _kernel_tiny on k == 1
-    scenes: the (TM, C) form padded cornell's 36 triangles to 128 MT lanes
-    AND paid a (TM, 8) load transpose + column-major selection; this form
-    does neither (headline: 0.55 -> 0.29 ms per 64k wavefront)."""
+    degenerates to exactly one body here).  Replaces the straight-line
+    (TM, C) kernels below TINY_T_ROWS triangles: those padded cornell's 36
+    triangles to 128 MT lanes AND paid a (TM, 8) load transpose +
+    column-major selection (headline: 0.55 -> 0.049 ms per 64k wavefront).
+
+    ALWAYS rich: the winner slot is a row of the concatenated valid-
+    triangle table, which the shared classic epilogue's cluster-major
+    decode cannot interpret — and the refine here is one matmul, so the
+    classic form has no upside either."""
     rows8 = _load_ray_rows(rays_ref, boxes_ref, tm)
     tri_t = table_ref[:]
     tmax_r = rows8[7:8, :]
@@ -1119,63 +1124,55 @@ def _kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
     hit_r = kmin < init                                      # (1, TM)
     win_r = kmin & tmask                                     # (1, TM)
 
-    if rich:
-        # one-hot MXU extraction of the winner rows at HIGHEST (exact),
-        # then the exact MT recompute — all in (., TM) rows; output
-        # contract identical to _refine_winners (out rows: t, u, v, canon,
-        # hit, done, 0, 0)
-        oh = ((rows_i == jnp.broadcast_to(win_r, (ct, tm)))
-              & jnp.broadcast_to(hit_r, (ct, tm))).astype(jnp.float32)
-        ext = jax.lax.dot_general(
-            tri_t, oh, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # (16, TM)
+    # one-hot MXU extraction of the winner rows at HIGHEST (exact), then
+    # the exact MT recompute — all in (., TM) rows; output contract
+    # identical to _refine_winners (out rows: t, u, v, canon, hit, done,
+    # 0, 0)
+    oh = ((rows_i == jnp.broadcast_to(win_r, (ct, tm)))
+          & jnp.broadcast_to(hit_r, (ct, tm))).astype(jnp.float32)
+    ext = jax.lax.dot_general(
+        tri_t, oh, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                  # (16, TM)
 
-        def crossr(a, b):
-            return jnp.concatenate([
-                a[1:2] * b[2:3] - a[2:3] * b[1:2],
-                a[2:3] * b[0:1] - a[0:1] * b[2:3],
-                a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+    def crossr(a, b):
+        return jnp.concatenate([
+            a[1:2] * b[2:3] - a[2:3] * b[1:2],
+            a[2:3] * b[0:1] - a[0:1] * b[2:3],
+            a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
 
-        def dotr(a, b):
-            return jnp.sum(a * b, axis=0, keepdims=True)
+    def dotr(a, b):
+        return jnp.sum(a * b, axis=0, keepdims=True)
 
-        v0 = ext[0:3]
-        e1 = ext[3:6]
-        e2 = ext[6:9]
-        canon = ext[12:13]
-        o_r = rows8[0:3, :]
-        d_r = rows8[3:6, :]
-        tv = o_r - v0
-        pv = crossr(d_r, e2)
-        det = dotr(e1, pv)
-        ok = jnp.abs(det) > 1e-12
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        qv = crossr(tv, e1)
-        good = hit_r & ok
-        zero = jnp.zeros((1, tm), jnp.float32)
-        out_ref[:] = jnp.concatenate([
-            jnp.where(good, dotr(e2, qv) * inv,
-                      jnp.full((1, tm), 3.402823466e38, jnp.float32)),
-            jnp.where(good, dotr(tv, pv) * inv, zero),
-            jnp.where(good, dotr(d_r, qv) * inv, zero),
-            jnp.where(good, canon, jnp.full((1, tm), -1.0, jnp.float32)),
-            jnp.where(good, 1.0, zero),
-            jnp.ones((1, tm), jnp.float32),
-            zero, zero], axis=0)
-        return
-    # classic (tm, 2) output: [t_approx, slot]; slot = the cluster-major
-    # lane index (cluster 0), decoded by the shared XLA epilogue
-    t_app = jax.lax.bitcast_convert_type(kmin & ~tmask, jnp.float32)
-    slot = jnp.where(hit_r, win_r, -1).astype(jnp.float32)
-    out_ref[:] = jnp.transpose(
-        jnp.concatenate([t_app, slot], axis=0), (1, 0))
+    v0 = ext[0:3]
+    e1 = ext[3:6]
+    e2 = ext[6:9]
+    canon = ext[12:13]
+    o_r = rows8[0:3, :]
+    d_r = rows8[3:6, :]
+    tv = o_r - v0
+    pv = crossr(d_r, e2)
+    det = dotr(e1, pv)
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    qv = crossr(tv, e1)
+    good = hit_r & ok
+    zero = jnp.zeros((1, tm), jnp.float32)
+    out_ref[:] = jnp.concatenate([
+        jnp.where(good, dotr(e2, qv) * inv,
+                  jnp.full((1, tm), 3.402823466e38, jnp.float32)),
+        jnp.where(good, dotr(tv, pv) * inv, zero),
+        jnp.where(good, dotr(d_r, qv) * inv, zero),
+        jnp.where(good, canon, jnp.full((1, tm), -1.0, jnp.float32)),
+        jnp.where(good, 1.0, zero),
+        jnp.ones((1, tm), jnp.float32),
+        zero, zero], axis=0)
 
 
 def _occl_kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
                         tm: int):
-    """Any-hit for single-cluster scenes: one transposed MT visit, max over
-    the sublane (triangle) dim."""
+    """Any-hit for small scenes: one transposed MT visit, max over the
+    sublane (triangle) dim."""
     rows8 = _load_ray_rows(rays_ref, boxes_ref, tm)
     t, tri_ok = _mt_body_t(rows8, table_ref[:], ct, tm)
     tri_ok = tri_ok & (t < jnp.broadcast_to(rows8[7:8, :], t.shape))
@@ -1705,6 +1702,14 @@ def trace_resident(
 
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    if will_transpose:
+        # the transposed kernel reads ONLY the (CT8, 16) transposed table
+        # (<= 32 KB at the 512-tri cap) — never the (K, 16, C) cluster
+        # table, whose bytes can exceed the VMEM budget purely through
+        # cluster-capacity PADDING (partitioned scenes pad K to the max
+        # across partitions).  Auto hbm/grouped resolution must not pull a
+        # transposed scene onto the streaming/grouped kernels.
+        hbm_table = False
     if rich is None:
         # in-kernel winner refinement kills the XLA epilogue chain — a
         # measured 2.6x on cornell-scale and 1.6x on 64k camera wavefronts.
@@ -1751,7 +1756,7 @@ def trace_resident(
             (not sort_rays and not flat_exact_ok)   # camera-like, giant K
             or (sort_rays and not flat_recull_ok)   # scattered, enormous K
         )
-    grouped = grouped and can_group
+    grouped = grouped and can_group and not will_transpose
     if exact_cull is None:
         # scattered (sorted) wavefronts need the per-ray cull at ANY K —
         # the interval bound degenerates to a full-scene sweep for them
@@ -1836,7 +1841,7 @@ def trace_resident(
             scratch_shapes=scratch,
             interpret=interpret,
         )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
-    elif will_transpose and not hbm_table:
+    elif will_transpose:
         # small scenes: fully row-major TRANSPOSED kernel — the scene's
         # valid triangles (all clusters concatenated) ride the sublane dim
         # at their real (8-padded) count instead of padding to the 128-lane
@@ -1845,8 +1850,7 @@ def trace_resident(
         # vs the culled selection kernels: 6.8x at 128 tris, 3.1x at 256,
         # 1.4x at the 512-tri TINY_T_ROWS cap)
         ct = scene.cl_mt_table_t.shape[0]
-        kern = _occl_kernel_tiny_t if any_hit else partial(
-            _kernel_tiny_t, rich=rich)
+        kern = _occl_kernel_tiny_t if any_hit else _kernel_tiny_t
         (packed_out,) = pl.pallas_call(
             partial(kern, ct=ct, tm=tm),
             grid=(tiles,),

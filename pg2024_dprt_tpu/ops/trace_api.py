@@ -83,7 +83,8 @@ def _merge_curve_hits(scene, origin, direction, t_min, t_max, active, res):
     from .curve_intersect import intersect_curves
 
     hits, diag = res
-    ch = intersect_curves(scene.curves, origin, direction, t_min, t_max, active)
+    ch = intersect_curves(scene.curves, origin, direction, t_min, t_max,
+                          active, with_normal=False)
     closer = ch.is_hit & ((~hits.is_hit) | (ch.t < hits.t))
     merged = hits._replace(
         t=jnp.where(closer, ch.t, hits.t),

@@ -9,6 +9,7 @@ Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
   * incoherent_1m     — random rays over the 1M scene, morton-sorted
   * anyhit_64k        — occlusion wavefront, resident tracer
   * frame_exact       — 256x256 1spp 4-bounce full frame (trace+shade+NEE)
+  * frame_cornell     — the same full frame on the BASELINE-scale scene
   * grouped_mlp       — neural-proxy inference engine (vis net, 8 objects),
                         the VisNNTime analogue (renderer.cpp:921,968)
 
@@ -121,41 +122,63 @@ def main():
     camera = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, 256, 256)
     cfg = RenderConfig(width=256, height=256, spp=1, bounces=4)
 
+    def frame_slope(frame_fn, short, long, reps=2):
+        """Chained frame slope with a bounded, BIT-CHANGING seed fold (see
+        utils/benchmarking.py): the seed advances by an output-dependent
+        step >= 1 each iteration, so every frame in the chain renders a
+        DIFFERENT integer seed and the relay cannot fast-path bit-identical
+        repeats (the old `s + v*1e-30` fold underflowed against the f32
+        seed -> all iterations identical)."""
+        @jax.jit
+        def chain(s0, nc):
+            def step(i, carry):
+                s, acc = carry
+                v = frame_fn(s)
+                bump = (jnp.clip(v, -1.0, 1.0) + 1.001)[0] * (
+                    1.0 + i.astype(jnp.float32))
+                return s + bump, acc + v[0]
+            _, acc = jax.lax.fori_loop(0, nc, step, (s0, jnp.float32(0)))
+            return acc
+
+        s0 = jnp.asarray([7.0], jnp.float32)
+        float(np.asarray(chain(s0, 1)))
+        ts = {}
+        for nc in (short, long):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                float(np.asarray(chain(s0 + np.random.rand(), nc)))
+                best = min(best, time.time() - t0)
+            ts[nc] = best
+        return (ts[long] - ts[short]) / (long - short)
+
     def frame(seed_f):
         direct, env_img, _diag = render_sample(
             scene_f, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
         return jnp.sum(direct + env_img).reshape(1)
 
-    @jax.jit
-    def frame_chain(s0, nc):
-        # bounded, BIT-CHANGING fold (see utils/benchmarking.py): the seed
-        # advances by an output-dependent step >= 1 each iteration, so every
-        # frame in the chain renders a DIFFERENT integer seed and the relay
-        # cannot fast-path bit-identical repeats (the old `s + v*1e-30` fold
-        # underflowed against the f32 seed -> all iterations identical)
-        def step(i, carry):
-            s, acc = carry
-            v = frame(s)
-            bump = (jnp.clip(v, -1.0, 1.0) + 1.001)[0] * (
-                1.0 + i.astype(jnp.float32))
-            return s + bump, acc + v[0]
-        _, acc = jax.lax.fori_loop(0, nc, step, (s0, jnp.float32(0)))
-        return acc
-
-    s0 = jnp.asarray([7.0], jnp.float32)
-    float(np.asarray(frame_chain(s0, 1)))
-    ts = {}
-    for nc in (2, 7):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            float(np.asarray(frame_chain(s0 + np.random.rand(), nc)))
-            best = min(best, time.time() - t0)
-        ts[nc] = best
-    per = (ts[7] - ts[2]) / 5
+    per = frame_slope(frame, 2, 7)
     rays = 256 * 256 * cfg.bounces * (1 + cfg.shadow_path_count)
     row("frame_exact", per * 1e3, "ms",
         f"256x256 1spp 4 bounces incl NEE ({rays/per/1e6:.1f} Mrays/s eq)")
+
+    # the BASELINE-scale scene as a FULL frame (trace+shade+NEE megakernel)
+    from pg2024_dprt_tpu.scene import cornell_box
+
+    c_meshes, c_lights = cornell_box()
+    scene_c = device_scene_from_meshes(c_meshes, tris_per_cluster=128)
+    cam_c = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0],
+                           40.0, 256, 256)
+    env_c = EnvironmentMap.constant((0.0, 0.0, 0.0))
+
+    def frame_c(seed_f):
+        direct, env_img, _diag = render_sample(
+            scene_c, c_lights, env_c, cam_c, seed_f[0].astype(jnp.int32), cfg)
+        return jnp.sum(direct + env_img).reshape(1)
+
+    per = frame_slope(frame_c, 2, 10)
+    row("frame_cornell", per * 1e3, "ms",
+        "256x256 1spp 4 bounces incl NEE, cornell scene")
 
     # full neural routing stage (secondaryRayModuleBasedNN analogue,
     # renderer.cpp:1407-1452): local closest hit + proxy AABB march +

@@ -1,9 +1,11 @@
-"""Tile-width sweep for the tiny-scene (K<=4) straight-line kernels on the
-cornell headline workload (bench.py's exact configuration).
+"""Tile-width sweep on the cornell headline workload (bench.py's exact
+configuration): the TRANSPOSED small-scene kernel (the production path for
+this scene) across tile widths, plus the straight-line (TM, C) kernel it
+replaced (forced via cl_mt_table_t=None) as the baseline.
 
-The K<=4 path is bound by per-grid-step overhead, which larger tiles
-amortize (512 was measured better than 128 round-2-late); this checks
-whether 1024/2048-ray tiles push further.
+Chain lengths 10/110: per-call times on this workload are ~0.05-0.5 ms,
+below the tunnel's RTT noise at the default 2/12 chain (measured negative
+slopes — CLAUDE.md benchmark methodology).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/sweep_cornell_tiles.py
 """
@@ -27,6 +29,7 @@ def main():
     side = 256
     meshes, _ = cornell_box()
     scene = device_scene_from_meshes(meshes, tris_per_cluster=128)
+    straight = scene._replace(cl_mt_table_t=None)
     cam = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0],
                          40.0, side, side)
     bs = 16
@@ -40,16 +43,19 @@ def main():
     tmx = jnp.full((n,), 3.4e38, jnp.float32)
     act = jnp.ones((n,), bool)
 
-    for tr in (256, 512, 1024, 2048):
-        def t(o, d, tmx, act, sc, tr=tr):
-            return trace_resident(sc, o, d, 1e-3, tmx, act, tile_rays=tr)[0].t
-        try:
-            per = min(chained_time(t, o, d, tmx, act, scene) for _ in range(3))
-        except Exception as e:  # noqa: BLE001 — report unsupported widths
-            print(json.dumps({"tile_rays": tr, "error": str(e)[:200]}), flush=True)
-            continue
-        print(json.dumps({"tile_rays": tr, "ms": round(per * 1e3, 4),
-                          "mrays": round(n / per / 1e6, 1)}), flush=True)
+    cases = [("transposed", scene, (512, 1024, 2048)),
+             ("straight", straight, (512,))]
+    for name, sc, widths in cases:
+        for tr in widths:
+            def t(o, d, tmx, act, sc, tr=tr):
+                return trace_resident(sc, o, d, 1e-3, tmx, act,
+                                      tile_rays=tr)[0].t
+            per = min(chained_time(t, o, d, tmx, act, sc,
+                                   short=10, long=110)
+                      for _ in range(3))
+            print(json.dumps({"kernel": name, "tile_rays": tr,
+                              "ms": round(per * 1e3, 4),
+                              "mrays": round(n / per / 1e6, 1)}), flush=True)
 
 
 if __name__ == "__main__":
