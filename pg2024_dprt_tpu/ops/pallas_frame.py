@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import BSDF_WATER
 from .pallas_resident import (
     VMEM_TABLE_LIMIT, _grouped_occl_loop, _grouped_recull_loop, _lane_bits,
-    _occl_recull_loop, _recull_loop, resident_table_bytes,
+    _mt_body_t, _occl_recull_loop, _recull_loop, resident_table_bytes,
 )
 
 _FMAX = 3.402823466e38
@@ -225,13 +225,13 @@ def _scene_exit_cap(o, d, lo, hi, tmax_raw):
 
 
 def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
-                  shade_ref, ltab_ref,
+                  shade_ref, tt_ref, st_ref, ltab_ref,
                   env_ref, meta_i_ref, meta_f_ref, out_ref, *scr,
                   c: int, tm: int, k: int, kg: int, grp: int,
                   grouped: bool, s: int, bounces: int, lp: int,
                   l_count: int, ep: int, eh: int, ew: int, eps: float,
                   hbm: bool, recull: int, orecull: int,
-                  width: int, height: int):
+                  width: int, height: int, tiny: bool = False, ct: int = 8):
     """One (ray tile, sample) grid step, all bounces.  The grid is
     (tiles, spp) with spp innermost: consecutive sample steps revisit the
     same out block, accumulating in place (the matmul-k reduction pattern)
@@ -311,88 +311,126 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
 
         # ---- 1. closest hit ----
         tmax_eff = _scene_exit_cap(o, d, lo, hi, fmax_row)
-        rays8 = _pack_rays_rows(o, d, act, eps_row, tmax_eff)
-        if grouped:
-            # two-level group dispatch at giant K (pallas_resident; cull +
-            # selection at (TM, Kg), whole-group HBM DMAs)
-            _, s_slot, _ = _grouped_recull_loop(
-                rays8, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
-                (skb_scr, slot_scr, vis_scr, keys_scr),
-                c=c, tm=tm, k=k, kg=kg, g=grp, recull=recull)
+        if tiny:
+            # small scenes: TRANSPOSED dense trace (pallas_resident
+            # _kernel_tiny_t design) — triangles in sublanes at their real
+            # 8-padded count, rays stay in the row-major lanes this kernel
+            # already uses (no transposes, no selection loops), and the
+            # winner's MT + shade attributes arrive as TWO one-hot MXU
+            # matmuls against the pack-time transposed tables (replaces the
+            # per-distinct-cluster fetch while_loop).
+            rows8_t = jnp.concatenate([
+                o[0], o[1], o[2], d[0], d[1], d[2],
+                jnp.where(act, eps_row, fmax_row),
+                jnp.where(act, tmax_eff, jnp.zeros((1, tm), jnp.float32)),
+            ], axis=0)                                     # (8, TM)
+            tt = tt_ref[:]
+            t_mt, ok_mt = _mt_body_t(rows8_t, tt, ct, tm)
+            tb_t = _lane_bits(ct)
+            tmask_t = jnp.int32((1 << tb_t) - 1)
+            rows_it = jax.lax.broadcasted_iota(jnp.int32, (ct, tm), 0)
+            keys_t = (jax.lax.bitcast_convert_type(
+                jnp.where(ok_mt, jnp.maximum(t_mt, 0.0), jnp.float32(_FMAX)),
+                jnp.int32) & ~tmask_t) | rows_it
+            kmin_t = jnp.min(keys_t, axis=0, keepdims=True)  # (1, TM)
+            init_t = (jax.lax.bitcast_convert_type(
+                jnp.maximum(tmax_eff, 0.0), jnp.int32) & ~tmask_t) | tmask_t
+            hit = (kmin_t < init_t) & act
+            win_t = kmin_t & tmask_t
+            oh_t = ((rows_it == jnp.broadcast_to(win_t, (ct, tm)))
+                    & jnp.broadcast_to(hit, (ct, tm))).astype(jnp.float32)
+            ext_mt = jax.lax.dot_general(
+                tt, oh_t, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (16, TM)
+            ext_sh = jax.lax.dot_general(
+                st_ref[:], oh_t, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (24, TM)
+            attr = jnp.concatenate([ext_mt[0:12], ext_sh], axis=0)
         else:
-            _, s_slot, _ = _recull_loop(
-                rays8, boxes_ref[:], table_ref, hbm_refs,
-                (skb_scr, slot_scr, vis_scr, keys_scr),
-                c=c, tm=tm, k=k, recull=recull)
-        slot_r = jnp.transpose(s_slot, (1, 0))             # (1, TM)
-        hit = (slot_r >= 0) & act
-
-        # ---- 2. winner-attribute fetch (distinct clusters of the tile) ----
-        # slot encoding: (cluster << lane_bits(C)) | lane (pallas_resident)
-        lbw = _lane_bits(c)
-        w_cl = jnp.where(hit, slot_r >> lbw, jnp.int32(k))
-        w_ln = jnp.where(hit, slot_r & jnp.int32((1 << lbw) - 1), jnp.int32(0))
-        attr_scr[:] = jnp.zeros((40, tm), jnp.float32)
-        sub_c = jax.lax.broadcasted_iota(jnp.int32, (c, tm), 0)
-
-        # round-crossing vector state (the fetched mask) lives in VMEM
-        # scratch — the loop carries only the scalar target cluster (Mosaic
-        # scf.yield layout legalization, see pallas_resident._recull_loop)
-        def fetch_cond(cur):
-            return cur < k
-
-        def fetch_body(cur):
-            safe = jnp.minimum(cur, k - 1)
-            if hbm:
-                if grouped:
-                    # table is (Kg, G, 16, C); one member slice
-                    src_t = table_ref.at[safe // grp, jax.lax.rem(safe, grp)]
-                    dst_t = tbuf.at[0, 0]
-                    sem_t = sem.at[0]
-                else:
-                    src_t = table_ref.at[safe]
-                    dst_t = tbuf.at[0]
-                    sem_t = sem.at[0]
-                pltpu.make_async_copy(src_t, dst_t, sem_t).start()
-            pltpu.make_async_copy(
-                shade_ref.at[safe], sbuf.at[0],
-                ssem.at[0]).start()
-            if hbm:
-                pltpu.make_async_copy(src_t, dst_t, sem_t).wait()
-                # rows 12..15 are DMA-alignment pad
-                mt = (tbuf[0, 0][0:12, :] if grouped
-                      else tbuf[0][0:12, :])
+            rays8 = _pack_rays_rows(o, d, act, eps_row, tmax_eff)
+            if grouped:
+                # two-level group dispatch at giant K (pallas_resident; cull +
+                # selection at (TM, Kg), whole-group HBM DMAs)
+                _, s_slot, _ = _grouped_recull_loop(
+                    rays8, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
+                    (skb_scr, slot_scr, vis_scr, keys_scr),
+                    c=c, tm=tm, k=k, kg=kg, g=grp, recull=recull)
             else:
-                mt = table_ref[cur][0:12, :]
-            pltpu.make_async_copy(
-                shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
-                ssem.at[0]).wait()
-            sh = sbuf[0]
-            sel = w_cl == cur                               # (1, TM)
-            oh = ((sub_c == jnp.broadcast_to(w_ln, (c, tm)))
-                  & jnp.broadcast_to(sel, (c, tm))).astype(jnp.float32)
-            # HIGHEST precision makes the one-hot extraction EXACT (bf16
-            # splits of 0/1 are exact; probe dotT_hi err == 0.0)
-            a_mt = jnp.dot(mt, oh,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)  # (12, TM)
-            a_sh = jnp.dot(sh, oh,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)  # (24, TM)
-            attr_scr[0:12, :] = attr_scr[0:12, :] + a_mt
-            attr_scr[12:36, :] = attr_scr[12:36, :] + a_sh
-            fetch_scr[:] = fetch_scr[:] | sel.astype(jnp.int32)
-            cur2 = jnp.min(
+                _, s_slot, _ = _recull_loop(
+                    rays8, boxes_ref[:], table_ref, hbm_refs,
+                    (skb_scr, slot_scr, vis_scr, keys_scr),
+                    c=c, tm=tm, k=k, recull=recull)
+            slot_r = jnp.transpose(s_slot, (1, 0))             # (1, TM)
+            hit = (slot_r >= 0) & act
+
+            # ---- 2. winner-attribute fetch (distinct clusters of the tile) ----
+            # slot encoding: (cluster << lane_bits(C)) | lane (pallas_resident)
+            lbw = _lane_bits(c)
+            w_cl = jnp.where(hit, slot_r >> lbw, jnp.int32(k))
+            w_ln = jnp.where(hit, slot_r & jnp.int32((1 << lbw) - 1), jnp.int32(0))
+            attr_scr[:] = jnp.zeros((40, tm), jnp.float32)
+            sub_c = jax.lax.broadcasted_iota(jnp.int32, (c, tm), 0)
+
+            # round-crossing vector state (the fetched mask) lives in VMEM
+            # scratch — the loop carries only the scalar target cluster (Mosaic
+            # scf.yield layout legalization, see pallas_resident._recull_loop)
+            def fetch_cond(cur):
+                return cur < k
+
+            def fetch_body(cur):
+                safe = jnp.minimum(cur, k - 1)
+                if hbm:
+                    if grouped:
+                        # table is (Kg, G, 16, C); one member slice
+                        src_t = table_ref.at[safe // grp, jax.lax.rem(safe, grp)]
+                        dst_t = tbuf.at[0, 0]
+                        sem_t = sem.at[0]
+                    else:
+                        src_t = table_ref.at[safe]
+                        dst_t = tbuf.at[0]
+                        sem_t = sem.at[0]
+                    pltpu.make_async_copy(src_t, dst_t, sem_t).start()
+                pltpu.make_async_copy(
+                    shade_ref.at[safe], sbuf.at[0],
+                    ssem.at[0]).start()
+                if hbm:
+                    pltpu.make_async_copy(src_t, dst_t, sem_t).wait()
+                    # rows 12..15 are DMA-alignment pad
+                    mt = (tbuf[0, 0][0:12, :] if grouped
+                          else tbuf[0][0:12, :])
+                else:
+                    mt = table_ref[cur][0:12, :]
+                pltpu.make_async_copy(
+                    shade_ref.at[jnp.minimum(cur, k - 1)], sbuf.at[0],
+                    ssem.at[0]).wait()
+                sh = sbuf[0]
+                sel = w_cl == cur                               # (1, TM)
+                oh = ((sub_c == jnp.broadcast_to(w_ln, (c, tm)))
+                      & jnp.broadcast_to(sel, (c, tm))).astype(jnp.float32)
+                # HIGHEST precision makes the one-hot extraction EXACT (bf16
+                # splits of 0/1 are exact; probe dotT_hi err == 0.0)
+                a_mt = jnp.dot(mt, oh,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)  # (12, TM)
+                a_sh = jnp.dot(sh, oh,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)  # (24, TM)
+                attr_scr[0:12, :] = attr_scr[0:12, :] + a_mt
+                attr_scr[12:36, :] = attr_scr[12:36, :] + a_sh
+                fetch_scr[:] = fetch_scr[:] | sel.astype(jnp.int32)
+                cur2 = jnp.min(
+                    jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
+                    axis=1, keepdims=True)[0, 0]
+                return cur2
+
+            fetch_scr[:] = (~hit).astype(jnp.int32)
+            cur0 = jnp.min(
                 jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
                 axis=1, keepdims=True)[0, 0]
-            return cur2
-
-        fetch_scr[:] = (~hit).astype(jnp.int32)
-        cur0 = jnp.min(
-            jnp.where(fetch_scr[:] > 0, jnp.int32(k), w_cl),
-            axis=1, keepdims=True)[0, 0]
-        jax.lax.while_loop(fetch_cond, fetch_body, cur0)
-        attr = attr_scr[:]
+            jax.lax.while_loop(fetch_cond, fetch_body, cur0)
+            attr = attr_scr[:]
 
         # ---- 3. exact t/u/v refinement (pallas_resident epilogue math) ----
         v0 = _vecr(attr, 0)
@@ -577,20 +615,37 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
             # with identical output
             valid_s = (tile_s(shadow_valid) & (contrib_s > 0.0)
                        & ((beta_s[0] + beta_s[1] + beta_s[2]) > 0.0))
-            srays = _pack_rays_rows(point_s, wi_s, valid_s, eps_srow,
-                                    dist * (1.0 - 1e-3))     # (S*TM, 8)
-            if grouped:
-                occ = _grouped_occl_loop(
-                    srays, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
-                    (occ_scr, vis_scr, keys_scr),
-                    c=c, tm=stm, k=k, kg=kg, g=grp,
-                    recull=orecull)                          # (S*TM, 1)
+            if tiny:
+                # transposed dense any-hit, directly in shadow-row layout
+                # (no pack transpose, no selection loops)
+                rows8s = jnp.concatenate([
+                    point_s[0], point_s[1], point_s[2],
+                    wi_s[0], wi_s[1], wi_s[2],
+                    jnp.where(valid_s, eps_srow,
+                              jnp.full((1, stm), jnp.float32(_FMAX))),
+                    jnp.where(valid_s, dist * (1.0 - 1e-3),
+                              jnp.zeros((1, stm), jnp.float32)),
+                ], axis=0)                                   # (8, S*TM)
+                t_o, ok_o = _mt_body_t(rows8s, tt_ref[:], ct, stm)
+                ok_o = ok_o & (t_o < jnp.broadcast_to(rows8s[7:8, :],
+                                                      t_o.shape))
+                occ_r = jnp.max(jnp.where(ok_o, 1, 0),
+                                axis=0, keepdims=True)       # (1, S*TM)
             else:
-                occ = _occl_recull_loop(
-                    srays, boxes_ref[:], table_ref, hbm_refs,
-                    (occ_scr, vis_scr, keys_scr),
-                    c=c, tm=stm, k=k, recull=orecull)        # (S*TM, 1)
-            occ_r = jnp.transpose(occ, (1, 0))               # (1, S*TM)
+                srays = _pack_rays_rows(point_s, wi_s, valid_s, eps_srow,
+                                        dist * (1.0 - 1e-3))  # (S*TM, 8)
+                if grouped:
+                    occ = _grouped_occl_loop(
+                        srays, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
+                        (occ_scr, vis_scr, keys_scr),
+                        c=c, tm=stm, k=k, kg=kg, g=grp,
+                        recull=orecull)                      # (S*TM, 1)
+                else:
+                    occ = _occl_recull_loop(
+                        srays, boxes_ref[:], table_ref, hbm_refs,
+                        (occ_scr, vis_scr, keys_scr),
+                        c=c, tm=stm, k=k, recull=orecull)    # (S*TM, 1)
+                occ_r = jnp.transpose(occ, (1, 0))           # (1, S*TM)
             wgt = jnp.where(valid_s & (occ_r == 0),
                             jnp.float32(1.0 / s), 0.0)
             direct = tuple(
@@ -732,6 +787,21 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
     k_scr = kg if grouped else k
 
     hbm = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+    # small scenes (pack-time transposed tables): the in-kernel trace +
+    # attribute fetch + occlusion all run the transposed dense form — no
+    # selection loops, no per-distinct-cluster DMA fetch
+    tiny = (scene.cl_mt_table_t is not None
+            and scene.cl_shade_table_t is not None)
+    if tiny:
+        hbm = False
+        grouped = False
+        tt_tab = scene.cl_mt_table_t
+        st_tab = scene.cl_shade_table_t
+        ct = tt_tab.shape[0]
+    else:
+        tt_tab = jnp.zeros((8, 16), jnp.float32)
+        st_tab = jnp.zeros((8, 24), jnp.float32)
+        ct = 8
     c_k = c
     if c % 128:
         # both the HBM trace DMA and the attr-fetch DMA slice the lane dim
@@ -785,16 +855,16 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                 grouped=grouped, s=s, bounces=bounces,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
-                width=cfg.width, height=cfg.height),
+                width=cfg.width, height=cfg.height, tiny=tiny, ct=ct),
         grid=(mp // tm, spp),
         in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
-                  vmem, vmem, smem, smem],
+                  vmem, vmem, vmem, vmem, smem, smem],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((8, mp), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(pix_ids, boxes, gboxes, mboxes, table, shade_t, ltab, env_flat,
-      salts, meta_f)
+    )(pix_ids, boxes, gboxes, mboxes, table, shade_t, tt_tab, st_tab,
+      ltab, env_flat, salts, meta_f)
 
     # ray order -> pixel order (tiled_pixel_order is a static permutation)
     inv = np.zeros((npix,), np.int32)

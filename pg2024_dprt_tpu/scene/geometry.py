@@ -179,6 +179,10 @@ class DeviceScene(NamedTuple):
     # lanes.  Pack-time (an in-call transpose would add an entry op per
     # trace — launch count dominates this backend, CLAUDE.md).
     cl_mt_table_t: jnp.ndarray = None  # (CT8, 16) f32, small scenes only
+    # matching transposed copy of cl_shade_table (same row order as
+    # cl_mt_table_t) — the frame megakernel's small-scene path fetches ALL
+    # winner attributes with one one-hot MXU matmul against it
+    cl_shade_table_t: jnp.ndarray = None  # (CT8, 24) f32, small scenes only
     # Two-level cull tables (ops/pallas_resident.py grouped dispatch):
     # clusters are grouped CL_GROUP (=8) SAH-consecutive at a time, so the
     # in-kernel per-ray exact cull runs at (TM, Kg) instead of (TM, K) —
@@ -393,17 +397,24 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
     # selection kernels on a 64k camera wavefront (scripts history): 6.8x
     # at 128 tris, 3.1x at 256, 1.4x at 512.
     mt_table_t = None
+    shade_table_t = None
     total_valid = int((tri_map >= 0).sum())
     if total_valid <= TINY_T_ROWS:
-        rows = mt_table.transpose(0, 2, 1).reshape(kc * c, 16)
-        rows = rows[tri_map >= 0]                            # (valid, 16)
         ct8 = max(8, int(-(-max(total_valid, 1) // 8) * 8))
-        rows = np.pad(rows, ((0, ct8 - rows.shape[0]), (0, 0)))
-        mt_table_t = np.ascontiguousarray(rows).astype(np.float32)
+
+        def t_rows(planar, width):
+            rows = planar.transpose(0, 2, 1).reshape(kc * c, width)
+            rows = rows[tri_map >= 0]                        # (valid, width)
+            return np.ascontiguousarray(np.pad(
+                rows, ((0, ct8 - rows.shape[0]), (0, 0)))).astype(np.float32)
+
+        mt_table_t = t_rows(mt_table, 16)
     # cluster-major shade table: tri_shade rows in tri_map lane order
     # (padding lanes zero; their mt rows have n = 0 so they can never win)
     shade_cl = tri_shade[safe].reshape(kc, c, 24).transpose(0, 2, 1).copy()
     shade_cl[np.broadcast_to((tri_map < 0).reshape(kc, 1, c), shade_cl.shape)] = 0.0
+    if mt_table_t is not None:
+        shade_table_t = t_rows(shade_cl, 24)                 # (CT8, 24)
     # group tables for the two-level cull (CL_GROUP SAH-consecutive
     # clusters per group; K padded to a full final group with empty boxes)
     kgc = -(-kc // CL_GROUP)
@@ -462,6 +473,8 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         scene_aabb=jnp.asarray(scene_aabb),
         cl_mt_table_t=(None if mt_table_t is None
                        else jnp.asarray(mt_table_t)),
+        cl_shade_table_t=(None if shade_table_t is None
+                          else jnp.asarray(shade_table_t)),
         cl_gboxes=jnp.asarray(gboxes),
         cl_mboxes=jnp.asarray(mboxes),
         tri_verts=jnp.asarray(tri_verts),

@@ -115,19 +115,21 @@ def build_partitioned_scene(
         aabb_min.append(lo)
         aabb_max.append(hi)
 
-    # the transposed single-cluster MT table (cl_mt_table_t) is sized to
-    # each partition's REAL triangle count — pad to the max across
-    # partitions so the stacked pytree is rectangular (zero rows have
-    # n = 0 -> rejected in-kernel)
-    tts = [s.cl_mt_table_t for s in scenes]
-    if any(t is not None for t in tts):
+    # the transposed small-scene tables (cl_mt_table_t / cl_shade_table_t)
+    # are sized to each partition's REAL triangle count — pad to the max
+    # across partitions so the stacked pytree is rectangular (zero rows
+    # have n = 0 -> rejected in-kernel)
+    for field in ("cl_mt_table_t", "cl_shade_table_t"):
+        tts = [getattr(s, field) for s in scenes]
+        if not any(t is not None for t in tts):
+            continue
         if any(t is None for t in tts):
-            scenes = [s._replace(cl_mt_table_t=None) for s in scenes]
+            scenes = [s._replace(**{field: None}) for s in scenes]
         else:
             ct_max = max(t.shape[0] for t in tts)
             scenes = [
-                s._replace(cl_mt_table_t=jnp.pad(
-                    t, ((0, ct_max - t.shape[0]), (0, 0))))
+                s._replace(**{field: jnp.pad(
+                    t, ((0, ct_max - t.shape[0]), (0, 0)))})
                 for s, t in zip(scenes, tts)
             ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
