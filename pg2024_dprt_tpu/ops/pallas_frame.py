@@ -226,12 +226,15 @@ def _scene_exit_cap(o, d, lo, hi, tmax_raw):
 
 def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                   shade_ref, tt_ref, st_ref, ltab_ref,
-                  env_ref, meta_i_ref, meta_f_ref, out_ref, *scr,
+                  env_ref, tpool_ref, tmeta_ref, meta_i_ref, meta_f_ref,
+                  out_ref, *scr,
                   c: int, tm: int, k: int, kg: int, grp: int,
                   grouped: bool, s: int, bounces: int, lp: int,
                   l_count: int, ep: int, eh: int, ew: int, eps: float,
                   hbm: bool, recull: int, orecull: int,
-                  width: int, height: int, tiny: bool = False, ct: int = 8):
+                  width: int, height: int, tiny: bool = False, ct: int = 8,
+                  textured: bool = False, tr: int = 8, twm: int = 8,
+                  ntp: int = 8):
     """One (ray tile, sample) grid step, all bounces.  The grid is
     (tiles, spp) with spp innermost: consecutive sample steps revisit the
     same out block, accumulating in place (the matmul-k reduction pattern)
@@ -457,6 +460,70 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
         normal = _norm3(_add3(_add3(_scale3(n0, w_bar), _scale3(n1, u)),
                               _scale3(n2, v)))
         albedo = _vecr(attr, 27)
+        if textured:
+            # ---- albedo-texture fetch (reference __closesthit__ch texture
+            # read, /root/reference/optix/kernel.cu:256-283; exact
+            # scene/textures.py sample_textures math: bilinear + wrap + the
+            # stbi v flip) as a SEPARABLE one-hot bilinear — an fy-weighted
+            # two-hot MXU row extraction from the scanline pool, then an
+            # fx-weighted two-tap column mix on the VPU.  Same pattern as
+            # the env gather; two steps keep the one-hot at (R, TM) +
+            # (Wmax, TM) instead of (R*Wmax, TM).
+            ti = _row(attr, 31)
+            has_tex = hit & (ti >= 0.0)
+            ti_i = jnp.maximum(ti.astype(jnp.int32), 0)
+            sub_nt = jax.lax.broadcasted_iota(jnp.int32, (ntp, tm), 0)
+            oh_nt = (sub_nt == jnp.broadcast_to(ti_i, (ntp, tm))).astype(
+                jnp.float32)
+            mrow = jnp.dot(tmeta_ref[:], oh_nt,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)    # (8, TM)
+            roff = _row(mrow, 0)
+            hf = jnp.maximum(_row(mrow, 1), 1.0)
+            wf = jnp.maximum(_row(mrow, 2), 1.0)
+            uu = w_bar * _row(attr, 21) + u * _row(attr, 23) + v * _row(attr, 25)
+            vv = w_bar * _row(attr, 22) + u * _row(attr, 24) + v * _row(attr, 26)
+            x = uu * wf - 0.5
+            y = (1.0 - vv) * hf - 0.5
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            fx = x - x0f
+            fy = y - y0f
+            # wrap addressing in f32 (exact for in-range integer values;
+            # Mosaic integer rem is scalar-divisor only)
+            xm = x0f - jnp.floor(x0f / wf) * wf
+            ym = y0f - jnp.floor(y0f / hf) * hf
+            x1m = xm + 1.0
+            x1m = jnp.where(x1m >= wf, x1m - wf, x1m)
+            y1m = ym + 1.0
+            y1m = jnp.where(y1m >= hf, y1m - hf, y1m)
+            r0 = (roff + ym).astype(jnp.int32)
+            r1 = (roff + y1m).astype(jnp.int32)
+            sub_r = jax.lax.broadcasted_iota(jnp.int32, (tr, tm), 0)
+            ohm = ((sub_r == jnp.broadcast_to(r0, (tr, tm))).astype(
+                       jnp.float32)
+                   * jnp.broadcast_to(1.0 - fy, (tr, tm))
+                   + (sub_r == jnp.broadcast_to(r1, (tr, tm))).astype(
+                       jnp.float32)
+                   * jnp.broadcast_to(fy, (tr, tm)))
+            mixed = jax.lax.dot_general(
+                tpool_ref[:], ohm, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)           # (3*twm, TM)
+            x0i = xm.astype(jnp.int32)
+            x1i = x1m.astype(jnp.int32)
+            sub_w = jax.lax.broadcasted_iota(jnp.int32, (twm, tm), 0)
+            ohc = ((sub_w == jnp.broadcast_to(x0i, (twm, tm))).astype(
+                       jnp.float32)
+                   * jnp.broadcast_to(1.0 - fx, (twm, tm))
+                   + (sub_w == jnp.broadcast_to(x1i, (twm, tm))).astype(
+                       jnp.float32)
+                   * jnp.broadcast_to(fx, (twm, tm)))
+            texel = tuple(
+                jnp.sum(mixed[cch * twm:(cch + 1) * twm, :] * ohc,
+                        axis=0, keepdims=True)
+                for cch in range(3))
+            albedo = _where3(has_tex, texel, albedo)
         is_water = jnp.abs(_row(attr, 30) - jnp.float32(BSDF_WATER)) < 0.5
 
         wo = _scale3(d, jnp.full((1, tm), -1.0))
@@ -675,8 +742,12 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
 
 def fused_frame_supported(scene, lights, env, cfg) -> bool:
     """Static gate for the megakernel path (shapes only — no traced values)."""
-    if scene.albedo_textures is not None and scene.albedo_textures.count > 0:
-        return False
+    tex = scene.albedo_textures
+    if tex is not None and tex.count > 0:
+        # in-kernel texture fetch needs the pack-time scanline pool and
+        # closest-hit-only semantics (alpha-cutout re-traces stay composed)
+        if tex.has_cutout or tex.pool is None:
+            return False
     if scene.curves is not None:
         # curve primitives composite in trace_api (composed pipeline only)
         return False
@@ -695,8 +766,18 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
     # (same gate as render_frame_fused)
     if scene.cl_gboxes is not None and (1 + s) * TILE_RAYS * k * 4 > 4 * 2**20:
         k = scene.cl_gboxes.shape[1]
-    if (1 + s) * TILE_RAYS * k * 4 > _RECULL_BYTES_LIMIT:
+    recull_b = (1 + s) * TILE_RAYS * k * 4
+    if recull_b > _RECULL_BYTES_LIMIT:
         return False
+    if tex is not None and tex.count > 0:
+        # combined VMEM budget (~16 MiB/core): texture pool + resident
+        # trace table (0 when HBM-streamed or on the tiny transposed path)
+        # + the per-ray recull matrices must coexist
+        tab_b = resident_table_bytes(scene)
+        if scene.cl_mt_table_t is not None or tab_b > VMEM_TABLE_LIMIT:
+            tab_b = 0
+        if tex.pool.size * 4 + tab_b + recull_b > 14 * 2**20:
+            return False
     return True
 
 
@@ -816,6 +897,18 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
             table = jnp.pad(table, ((0, kg * grp - k), (0, 0), (0, 0)))
             table = table.reshape(kg, grp, 16, c_k)
 
+    # in-kernel texture fetch (see PackedTextures.pool)
+    tex = scene.albedo_textures
+    textured = (tex is not None and tex.count > 0 and tex.pool is not None
+                and not tex.has_cutout)
+    if textured:
+        tpool, tmeta = tex.pool, tex.pool_meta
+        tr, twm, ntp = tpool.shape[0], tpool.shape[1] // 3, tmeta.shape[1]
+    else:
+        tpool = jnp.zeros((8, 384), jnp.float32)
+        tmeta = jnp.zeros((8, 8), jnp.float32)
+        tr, twm, ntp = 8, 128, 8
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -855,16 +948,17 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                 grouped=grouped, s=s, bounces=bounces,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
-                width=cfg.width, height=cfg.height, tiny=tiny, ct=ct),
+                width=cfg.width, height=cfg.height, tiny=tiny, ct=ct,
+                textured=textured, tr=tr, twm=twm, ntp=ntp),
         grid=(mp // tm, spp),
         in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
-                  vmem, vmem, vmem, vmem, smem, smem],
+                  vmem, vmem, vmem, vmem, vmem, vmem, smem, smem],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((8, mp), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
     )(pix_ids, boxes, gboxes, mboxes, table, shade_t, tt_tab, st_tab,
-      ltab, env_flat, salts, meta_f)
+      ltab, env_flat, tpool, tmeta, salts, meta_f)
 
     # ray order -> pixel order (tiled_pixel_order is a static permutation)
     inv = np.zeros((npix,), np.int32)

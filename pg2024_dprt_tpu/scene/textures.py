@@ -20,6 +20,12 @@ import numpy as np
 
 MAX_TEXTURE_RES = 2048
 
+# static limits of the Pallas-kernel texel pool (pallas_frame.py in-kernel
+# texture fetch): scanline rows must fit the per-tile one-hot row matrix,
+# the pool itself must fit the VMEM budget next to the trace tables
+POOL_ROWS_LIMIT = 2048
+POOL_BYTES_LIMIT = 6 * 2**20
+
 
 class PackedTextures(NamedTuple):
     """Flat texel pool + per-texture geometry tables (a jax pytree)."""
@@ -32,6 +38,16 @@ class PackedTextures(NamedTuple):
     # has-cutout signal (shape survives jit tracing; a bool field would not),
     # so fully-opaque texture pools statically skip the cutout re-trace loop
     cutout_rows: jnp.ndarray
+    # Pallas-kernel pool (pallas_frame.py): every texture's scanlines
+    # stacked into (R, 3*Wmax) with channel-major lanes
+    # (pool[r, c*Wmax + x] = channel c of texel (row r, col x)), so the
+    # megakernel fetches a bilinear sample as ONE fy-weighted two-hot MXU
+    # row extraction + an fx-weighted two-tap column mix on the VPU.
+    # None when the pool exceeds the static kernel limits (the engine then
+    # takes the composed pipeline).  pool_meta (8, NTp) f32 rows:
+    # [row_offset, height, width, 0...] per texture, lane-padded.
+    pool: jnp.ndarray = None
+    pool_meta: jnp.ndarray = None
 
     @property
     def count(self) -> int:
@@ -83,13 +99,41 @@ def build_textures(images, max_res: int = MAX_TEXTURE_RES) -> PackedTextures:
         hs.append(h)
         ws.append(w)
         pos += h * w
+    pool, pool_meta = _build_kernel_pool(rows, hs, ws)
     return PackedTextures(
         texels=jnp.asarray(np.concatenate(rows, axis=0)),
         offset=jnp.asarray(np.asarray(offs, np.int32)),
         height=jnp.asarray(np.asarray(hs, np.int32)),
         width=jnp.asarray(np.asarray(ws, np.int32)),
         cutout_rows=jnp.asarray(np.asarray(cut, np.int32)),
+        pool=pool, pool_meta=pool_meta,
     )
+
+
+def _build_kernel_pool(rows, hs, ws):
+    """Scanline-stacked (R, 3*Wmax) pool + (8, NTp) meta for the megakernel
+    texture fetch (see PackedTextures.pool).  Returns (None, None) past the
+    static kernel limits."""
+    wmax = -(-max(ws) // 128) * 128              # lane-aligned channel blocks
+    r_total = sum(hs)
+    r_pad = -(-max(r_total, 1) // 8) * 8
+    if r_pad > POOL_ROWS_LIMIT or r_pad * 3 * wmax * 4 > POOL_BYTES_LIMIT:
+        return None, None
+    pool = np.zeros((r_pad, 3 * wmax), np.float32)
+    roffs = []
+    pos = 0
+    for flat, h, w in zip(rows, hs, ws):
+        img = flat.reshape(h, w, 4)
+        for c in range(3):
+            pool[pos:pos + h, c * wmax:c * wmax + w] = img[:, :, c]
+        roffs.append(pos)
+        pos += h
+    ntp = max(8, -(-len(hs) // 8) * 8)
+    meta = np.zeros((8, ntp), np.float32)
+    meta[0, :len(hs)] = roffs
+    meta[1, :len(hs)] = hs
+    meta[2, :len(hs)] = ws
+    return jnp.asarray(pool), jnp.asarray(meta)
 
 
 def sample_textures(tex: PackedTextures, tex_index: jnp.ndarray,

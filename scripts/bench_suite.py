@@ -180,6 +180,34 @@ def main():
     row("frame_cornell", per * 1e3, "ms",
         "256x256 1spp 4 bounces incl NEE, cornell scene")
 
+    # textured full frame: the megakernel's in-kernel bilinear texture
+    # fetch (scanline pool + separable one-hot, ops/pallas_frame.py) —
+    # before round 2 any textured scene fell back to the composed pipeline
+    from pg2024_dprt_tpu.scene import MeshGeometry
+    from pg2024_dprt_tpu.scene.textures import checkerboard
+
+    t_meshes, t_lights = cornell_box()
+    t_uv = np.asarray([[0, 0], [0, 1], [1, 1], [0, 0], [1, 1], [1, 0]],
+                      np.float32)
+    t_floor = t_meshes[0]
+    t_meshes[0] = MeshGeometry(
+        v0=t_floor.v0, v1=t_floor.v1, v2=t_floor.v2,
+        uv0=t_uv[0::3], uv1=t_uv[1::3], uv2=t_uv[2::3],
+        base_color=t_floor.base_color, texture_index=0, name="floor")
+    scene_t = device_scene_from_meshes(
+        t_meshes, tris_per_cluster=128,
+        textures=[checkerboard(res=256, tiles=8)])
+
+    def frame_t(seed_f):
+        direct, env_img, _diag = render_sample(
+            scene_t, t_lights, env_c, cam_c, seed_f[0].astype(jnp.int32), cfg)
+        return jnp.sum(direct + env_img).reshape(1)
+
+    per = frame_slope(frame_t, 2, 10)
+    row("frame_textured", per * 1e3, "ms",
+        "256x256 1spp 4 bounces incl NEE, textured cornell (256^2 "
+        "checkerboard, in-kernel bilinear fetch)")
+
     # full neural routing stage (secondaryRayModuleBasedNN analogue,
     # renderer.cpp:1407-1452): local closest hit + proxy AABB march +
     # vis/depth grouped inference + prediction consumption, one jitted stage

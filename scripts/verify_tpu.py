@@ -192,6 +192,48 @@ def main():
     results.append(row)
     print(json.dumps(row), flush=True)
 
+    # textured frame megakernel (COMPILED in-kernel bilinear texture fetch)
+    # vs the composed render + sample_textures oracle on CPU
+    from pg2024_dprt_tpu.scene import MeshGeometry
+    from pg2024_dprt_tpu.scene.textures import checkerboard
+
+    meshes_t, lights_t = cornell_box()
+    uv = 1.6 * np.asarray([[0, 0], [0, 1], [1, 1], [0, 0], [1, 1], [1, 0]],
+                          np.float32)
+    floor = meshes_t[0]
+    meshes_t[0] = MeshGeometry(
+        v0=floor.v0, v1=floor.v1, v2=floor.v2,
+        uv0=uv[0::3], uv1=uv[1::3], uv2=uv[2::3],
+        base_color=floor.base_color, texture_index=0, name="floor")
+    back = meshes_t[1]
+    meshes_t[1] = MeshGeometry(
+        v0=back.v0, v1=back.v1, v2=back.v2,
+        uv0=uv[0::3], uv1=uv[1::3], uv2=uv[2::3],
+        base_color=back.base_color, texture_index=1, name="back")
+    trng = np.random.RandomState(13)
+    tex_imgs = [checkerboard(tiles=4),
+                trng.rand(24, 40, 3).astype(np.float32)]
+    scene_t = device_scene_from_meshes(meshes_t, textures=tex_imgs)
+    assert scene_t.albedo_textures.pool is not None
+    d1, e1, _ = render_sample_fused(scene_t, lights_t, env_f, cam_f, 4, cfg_f)
+    d1, e1 = np.asarray(d1), np.asarray(e1)
+    with jax.default_device(cpu):
+        put = lambda a: jax.device_put(a, cpu)
+        d0, e0, _ = render_sample(jax.tree.map(put, scene_t),
+                                  jax.tree.map(put, lights_t),
+                                  jax.tree.map(put, env_f),
+                                  jax.tree.map(put, cam_f), 4, cfg_f)
+    d0, e0 = np.asarray(d0), np.asarray(e0)
+    img1, img0 = d1 + e1, d0 + e0
+    rel = (np.abs(img1 - img0) / np.maximum(np.abs(img0), 1e-2)).max(axis=1)
+    frac_bad = float((rel > 1e-2).mean())
+    row = {"scene": "cornell_textured_frame", "kernel": "frame_megakernel",
+           "rays": 4096, "mean_rel": float(rel.mean()),
+           "frac_rel_gt_1e2": frac_bad,
+           "pass": frac_bad < 0.002 and float(rel.mean()) < 1e-3}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
     os.makedirs("artifacts", exist_ok=True)
     ok = all(r["pass"] for r in results if r.get("gating", True))
     with open("artifacts/verify_tpu.json", "w") as f:

@@ -94,11 +94,84 @@ def test_fused_spp_batch(cornell):
         assert rel.max() < 1e-3, rel.max()
 
 
-def test_fused_gate_rejects_textured(cornell):
+def test_fused_gate_rejects_big_env(cornell):
     scene, lights, env, _ = cornell
     cfg = RenderConfig(width=32, height=32)
     big_env = EnvironmentMap.constant((1, 1, 1), h=64, w=64)
     assert not fused_frame_supported(scene, lights, big_env, cfg)
+
+
+def _textured_cornell(images, floor_tex=0, back_tex=-1, uv_scale=1.0):
+    """cornell_box with uv-mapped floor (and optionally back wall) textures."""
+    from pg2024_dprt_tpu.scene import MeshGeometry
+
+    meshes, lights = cornell_box()
+    uv = uv_scale * np.asarray(
+        [[0, 0], [0, 1], [1, 1], [0, 0], [1, 1], [1, 0]], np.float32)
+
+    def retex(m, ti):
+        return MeshGeometry(
+            v0=m.v0, v1=m.v1, v2=m.v2,
+            uv0=np.tile(uv[0::3], (len(m.v0) // 2, 1)),
+            uv1=np.tile(uv[1::3], (len(m.v0) // 2, 1)),
+            uv2=np.tile(uv[2::3], (len(m.v0) // 2, 1)),
+            base_color=m.base_color, texture_index=ti, name=m.name)
+
+    meshes[0] = retex(meshes[0], floor_tex)
+    if back_tex >= 0:
+        meshes[1] = retex(meshes[1], back_tex)
+    scene = device_scene_from_meshes(meshes, textures=images)
+    return scene, lights
+
+
+def test_fused_textured_matches_composed():
+    """In-kernel bilinear texture fetch (scanline pool + separable one-hot)
+    vs the composed sample_textures oracle, single checkerboard floor."""
+    from pg2024_dprt_tpu.scene.textures import checkerboard
+
+    scene, lights = _textured_cornell([checkerboard(tiles=4)])
+    assert scene.albedo_textures.pool is not None
+    env = EnvironmentMap.constant((0.2, 0.3, 0.4))
+    cam = Camera.look_at([0.5, 0.9, 2.2], [0.5, 0.2, 0.0], [0, 1, 0],
+                         45.0, 32, 32)
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    assert fused_frame_supported(scene, lights, env, cfg)
+    _ab(scene, lights, env, cam, cfg, sample=2)
+
+
+def test_fused_textured_multires_wrap():
+    """Two textures at different non-128-multiple resolutions + an
+    untextured mesh mix; uvs outside [0,1) exercise wrap addressing."""
+    from pg2024_dprt_tpu.scene import MeshGeometry
+    from pg2024_dprt_tpu.scene.textures import checkerboard
+
+    rng = np.random.default_rng(7)
+    tex_a = rng.uniform(0.05, 1.0, (24, 40, 3)).astype(np.float32)
+    tex_b = checkerboard(res=48, tiles=3)
+    # uvs span [0, 1.7) — out-of-range lookups exercise wrap addressing
+    scene, lights = _textured_cornell([tex_a, tex_b], floor_tex=0, back_tex=1,
+                                      uv_scale=1.7)
+    assert scene.albedo_textures.pool is not None
+    env = EnvironmentMap.constant((0.15, 0.2, 0.25))
+    cam = Camera.look_at([0.5, 0.7, 2.3], [0.5, 0.3, 0.0], [0, 1, 0],
+                         45.0, 24, 24)
+    cfg = RenderConfig(width=24, height=24, spp=1, bounces=2,
+                       fused_frame="off", tracer="stackless")
+    assert fused_frame_supported(scene, lights, env, cfg)
+    _ab(scene, lights, env, cam, cfg, sample=5, tol=2e-3)
+
+
+def test_fused_gate_rejects_cutout_textures():
+    """Alpha-cutout texture pools must stay on the composed pipeline (the
+    megakernel trace has no anyhit re-trace loop)."""
+    img = np.ones((16, 16, 4), np.float32)
+    img[4:12, 4:12, 3] = 0.0
+    scene, lights = _textured_cornell([img])
+    assert scene.albedo_textures.has_cutout
+    env = EnvironmentMap.constant((0.2, 0.3, 0.4))
+    cfg = RenderConfig(width=32, height=32)
+    assert not fused_frame_supported(scene, lights, env, cfg)
 
 
 def test_fused_grouped_matches_composed(cornell):
