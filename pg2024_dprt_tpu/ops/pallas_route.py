@@ -363,9 +363,15 @@ def route_fused(
         mkey = _morton_key(scene, origin, direction)
         mkey = jnp.where(active, mkey, jnp.uint32(0xFFFFFFFF))
         _, perm = jax.lax.sort((mkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-        take = lambda a: jnp.take(a, perm, axis=0)
-        origin, direction = take(origin), take(direction)
-        t_min, t_max, active = take(t_min), take(t_max), take(active)
+        # ONE gather for all per-ray inputs (launch count dominates this
+        # backend — five separate takes pay five entry ops)
+        packed = jnp.concatenate(
+            [origin, direction, t_min[:, None], t_max[:, None],
+             active.astype(jnp.float32)[:, None]], axis=1)     # (n, 9)
+        packed = jnp.take(packed, perm, axis=0)
+        origin, direction = packed[:, 0:3], packed[:, 3:6]
+        t_min, t_max = packed[:, 6], packed[:, 7]
+        active = packed[:, 8] > 0.5
 
     def pad1(a, fill):
         if pad == 0:
@@ -443,7 +449,16 @@ def route_fused(
              scene.cl_tri_map.astype(jnp.float32).reshape(k, 1, c),
              jnp.zeros((k, 3, c), jnp.float32)], axis=1)
     if hbm_table is None:
-        hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+        # unlike the trace-only kernels, this kernel ALSO keeps both nets'
+        # stacked weights VMEM-resident — budget them against the ~16 MiB
+        # scoped-vmem limit (a 6 MiB table + 8.6 MiB of production-width
+        # weights measured 17.67 MiB > 16 at 64k/735 clusters)
+        from .pallas_mlp import _param_bytes
+
+        w_bytes = _param_bytes(models.vis_params) + _param_bytes(
+            models.depth_params)
+        hbm_table = (resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+                     or resident_table_bytes(scene) + w_bytes > 11 * 2**20)
     c_k = c
     if hbm_table and c % 128:
         c_k = -(-c // 128) * 128
@@ -505,9 +520,15 @@ def route_fused(
     )(rays, boxes, pboxes, pdiag, table, *wv, *wd)
 
     out = out[:n]
+    if sort_rays:
+        # ONE inverse-permutation gather on the packed (n, 8) decision rows
+        # (six per-field takes would pay six entry ops)
+        inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        out = jnp.take(out, inv_perm, axis=0)
     settled = jnp.round(out[:, 0]).astype(jnp.int32)
     settled = jnp.where(settled == -2, jnp.asarray(my_id, jnp.int32), settled)
-    dec = dict(
+    return dict(
         settled_node=settled,
         new_t=out[:, 1],
         has_node=out[:, 2] > 0.5,
@@ -515,8 +536,3 @@ def route_fused(
         no_route=out[:, 4] > 0.5,
         local_hit=out[:, 5] > 0.5,
     )
-    if sort_rays:
-        inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
-            jnp.arange(n, dtype=jnp.int32))
-        dec = {kk: jnp.take(vv, inv_perm, axis=0) for kk, vv in dec.items()}
-    return dec

@@ -31,6 +31,33 @@ _BSPLINE = np.asarray(
 ) / 6.0
 
 
+def kernel_table(curves: "CurveSet") -> np.ndarray:
+    """Pack-time transposed piece table for the frame megakernel's in-kernel
+    round-cone test (ops/pallas_frame.py): pieces ride the SUBLANE dim
+    (8-padded), ray-independent derived terms precomputed per piece.
+    Row lanes: [pa(0:3), ba(3:6), ra(6), rr(7), d2(8), m0(9), valid(10),
+    rb(11), pad(12:16)].  Padding rows carry valid = 0."""
+    m = curves.num_pieces
+    mp = -(-max(m, 1) // 8) * 8
+    tab = np.zeros((mp, 16), np.float32)
+    pa = np.asarray(curves.p0, np.float32)
+    pb = np.asarray(curves.p1, np.float32)
+    ra = np.asarray(curves.r0, np.float32)
+    rb = np.asarray(curves.r1, np.float32)
+    ba = pb - pa
+    rr = ra - rb
+    m0 = (ba * ba).sum(-1)
+    tab[:m, 0:3] = pa
+    tab[:m, 3:6] = ba
+    tab[:m, 6] = ra
+    tab[:m, 7] = rr
+    tab[:m, 8] = m0 - rr * rr
+    tab[:m, 9] = m0
+    tab[:m, 10] = 1.0
+    tab[:m, 11] = rb
+    return tab
+
+
 class CurveSet(NamedTuple):
     """Flattened swept-sphere pieces of all curve segments (a jax pytree).
 
