@@ -9,7 +9,10 @@ Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
   * incoherent_1m     — random rays over the 1M scene, morton-sorted
   * anyhit_64k        — occlusion wavefront, resident tracer
   * frame_exact       — 256x256 1spp 4-bounce full frame (trace+shade+NEE)
+  * frame_1m          — the same full frame over the 1M-triangle scene
   * frame_cornell     — the same full frame on the BASELINE-scale scene
+  * frame_textured    — textured cornell (in-kernel bilinear fetch)
+  * neural_route_64k  — secondaryRayModuleBasedNN analogue (fused route)
   * grouped_mlp       — neural-proxy inference engine (vis net, 8 objects),
                         the VisNNTime analogue (renderer.cpp:921,968)
 
@@ -122,7 +125,7 @@ def main():
     camera = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, 256, 256)
     cfg = RenderConfig(width=256, height=256, spp=1, bounces=4)
 
-    def frame_slope(frame_fn, short, long, reps=2):
+    def frame_slope(frame_fn, short, long, reps=2, extra=()):
         """Chained frame slope with a bounded, BIT-CHANGING seed fold (see
         utils/benchmarking.py): the seed advances by an output-dependent
         step >= 1 each iteration, so every frame in the chain renders a
@@ -130,10 +133,10 @@ def main():
         repeats (the old `s + v*1e-30` fold underflowed against the f32
         seed -> all iterations identical)."""
         @jax.jit
-        def chain(s0, nc):
+        def chain(s0, nc, *extra):
             def step(i, carry):
                 s, acc = carry
-                v = frame_fn(s)
+                v = frame_fn(s, *extra)
                 bump = (jnp.clip(v, -1.0, 1.0) + 1.001)[0] * (
                     1.0 + i.astype(jnp.float32))
                 return s + bump, acc + v[0]
@@ -141,13 +144,13 @@ def main():
             return acc
 
         s0 = jnp.asarray([7.0], jnp.float32)
-        float(np.asarray(chain(s0, 1)))
+        float(np.asarray(chain(s0, 1, *extra)))
         ts = {}
         for nc in (short, long):
             best = float("inf")
             for _ in range(reps):
                 t0 = time.time()
-                float(np.asarray(chain(s0 + np.random.rand(), nc)))
+                float(np.asarray(chain(s0 + np.random.rand(), nc, *extra)))
                 best = min(best, time.time() - t0)
             ts[nc] = best
         return (ts[long] - ts[short]) / (long - short)
@@ -161,6 +164,19 @@ def main():
     rays = 256 * 256 * cfg.bounces * (1 + cfg.shadow_path_count)
     row("frame_exact", per * 1e3, "ms",
         f"256x256 1spp 4 bounces incl NEE ({rays/per/1e6:.1f} Mrays/s eq)")
+
+    # the same full frame at the massive-scene scale the reference targets
+    # (frame megakernel with HBM-streamed cluster tables).  The 1M scene
+    # rides as a jit ARG: embedded at 89 MiB it blows the relay's
+    # remote_compile body limit (HTTP 413) and the compile cache
+    def frame_1m(seed_f, sc):
+        direct, env_img, _diag = render_sample(
+            sc, lights, env, camera, seed_f[0].astype(jnp.int32), cfg)
+        return jnp.sum(direct + env_img).reshape(1)
+
+    per = frame_slope(frame_1m, 1, 4, extra=(scene1m,))
+    row("frame_1m", per * 1e3, "ms",
+        "256x256 1spp 4 bounces incl NEE, 1M tris, HBM-streamed tables")
 
     # the BASELINE-scale scene as a FULL frame (trace+shade+NEE megakernel)
     from pg2024_dprt_tpu.scene import cornell_box
@@ -262,6 +278,32 @@ def main():
     per = chained_time(mlp_t, feats, obj, vmask)
     row("grouped_mlp", q / per / 1e6, "Mqueries/s",
         f"{per*1e3:.2f} ms for 64k queries over 8 objects (vis net)")
+
+    # offline training stack on the chip (reference recipe main.py:75-171:
+    # batch 12800, Adam, MSE vis loss) — one full fwd+bwd+Adam step
+    from pg2024_dprt_tpu.models.mlp import init_mlp
+    from pg2024_dprt_tpu.train.loop import TrainConfig, _train_step, make_optimizer
+
+    tparams = init_mlp(jax.random.PRNGKey(3), PROD_VIS)
+    tcfg = TrainConfig()
+    ttx = make_optimizer(tcfg)
+    topt = ttx.init(tparams)
+    tb = tcfg.batch
+    tx_x = jnp.asarray(
+        np.random.RandomState(7).rand(tb, PROD_VIS.in_features).astype(np.float32))
+    tx_y = jnp.asarray(
+        (np.random.RandomState(8).rand(tb) > 0.5).astype(np.float32))
+
+    def train_t(x):
+        p2, _o2, loss = _train_step(tparams, topt, x, tx_y, PROD_VIS, "vis", ttx)
+        # fold a term over every updated leaf so the whole backward pass +
+        # optimizer update survives DCE under the chained fold
+        reg = sum(jnp.sum(l) for l in jax.tree.leaves(p2))
+        return jnp.reshape(loss + 1e-9 * reg, (1,))
+
+    per = chained_time(train_t, tx_x, short=2, long=12, reps=2)
+    row("train_step", tb / per / 1e6, "Msamples/s",
+        f"{per*1e3:.2f} ms/step, batch 12800, PROD vis net (w256 d4), Adam")
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/bench_suite.json", "w") as f:
