@@ -5,8 +5,8 @@ of per-object batched forwards over a packed query buffer
 (/root/reference/src/render/renderer.cpp:768-1159). Here every object's params
 are stacked into one pytree with leading dim O and inference is one jitted
 sweep: a static loop over objects applies each object's weights to the full
-query batch under a mask (correct and fusion-friendly; a Pallas grouped-GEMM
-over sorted segments is the planned fast path — see ops/grouped_mlp TODO).
+query batch under a mask (correct and fusion-friendly); the fast path is the
+fused Pallas grouped-GEMM over sorted segments in ops/pallas_mlp.py.
 """
 from __future__ import annotations
 

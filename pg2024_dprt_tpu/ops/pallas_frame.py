@@ -39,9 +39,10 @@ Role parity: the reference's per-sample launch sequence PathGen -> [Traverse
 1530-1570, optix/kernel.cu:362-466) as a single device program.
 
 Scope (render/engine.py gates; everything else takes the composed path):
-untextured scenes, env maps <= _ENV_ROWS_LIMIT pixels, light tables <=
-_LIGHT_ROWS_LIMIT, cluster counts small enough for the per-ray re-cull
-matrices.
+textured or untextured triangle scenes (in-kernel bilinear albedo fetch +
+alpha cutout over the packed texture pool), env maps <= _ENV_ROWS_LIMIT
+pixels, light tables <= _LIGHT_ROWS_LIMIT, cluster counts small enough for
+the per-ray re-cull matrices; curve scenes take the composed path.
 """
 from __future__ import annotations
 

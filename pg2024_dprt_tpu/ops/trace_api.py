@@ -1,4 +1,4 @@
-"""Tracer selection: one closest-hit/occlusion API over four backends.
+"""Tracer selection: one closest-hit/occlusion API over three backends.
 
   * "stackless" — ops/traversal.py: per-ray threaded-BVH stepping. Exact
     oracle; fast on CPU, pathological on TPU (gather-per-step).
@@ -6,17 +6,19 @@
   * "resident"  — ops/pallas_resident.py: resident-table kernel with
     in-kernel dispatch (the TPU production path; tables above ~8 MiB stream
     from HBM through a double-buffered in-kernel DMA).
-  * "pallas"    — ops/pallas_tracer.py: round-1 streaming tile tracer
-    (legacy/study; superseded by the resident family's HBM mode).
   * "auto"      — resident on accelerators, stackless on CPU.
+
+The round-1 streaming tile tracer (ops/pallas_tracer.py) is RETIRED from
+this API: its tile-interval cull misses corner-edge rays that its drop
+diagnostics cannot see (artifacts of round-2 on-chip verification), so it
+is no longer user-selectable — the module stays as an internal study file
+with its own unit tests.
 
 No silent truncation (mirrors the reference's never-drop anyhit semantics,
 /root/reference/optix/kernel.cu:349-355): the resident path has no static
-pair budget at all (nothing can be dropped); the streaming pallas path
-auto-escalates its (tile, cluster) pair budget 4x when the cull stage
-reports dropped pairs, and every production entry point returns a `diag`
-count of rays whose result may still be affected (escalation residue,
-cutout re-trace residue).  Callers surface it; tests assert zero.
+pair budget at all (nothing can be dropped), and every production entry
+point returns a `diag` count of rays whose result may still be affected
+(cutout re-trace residue).  Callers surface it; tests assert zero.
 """
 from __future__ import annotations
 
@@ -33,17 +35,23 @@ from .traversal import traverse_bvh
 RESIDENT_TABLE_LIMIT = 8 * 2**20
 
 
+_TRACERS = ("stackless", "cluster", "resident")
+
+
 def resolve_tracer(name: str, scene=None) -> str:
     if name == "auto":
         # any accelerator backend (tpu / axon tunnel) -> the resident-table
         # kernel family; tables above VMEM budget stream from HBM inside the
-        # kernel (trace_resident hbm_table auto).  The round-1 streaming
-        # pair tracer remains selectable as "pallas" (study/legacy: its
-        # tile-interval cull misses measure-zero corner-edge rays the
-        # resident family resolves — see artifacts/verify_tpu.json).
+        # kernel (trace_resident hbm_table auto).
         if jax.default_backend() == "cpu":
             return "stackless"
         return "resident"
+    if name not in _TRACERS:
+        raise ValueError(
+            f"unknown tracer {name!r}; valid: {('auto',) + _TRACERS}. "
+            "(The round-1 streaming tracer 'pallas' was retired: its "
+            "tile-interval cull fails on-chip verification — see "
+            "ops/pallas_tracer.py.)")
     return name
 
 
@@ -113,12 +121,9 @@ def trace_closest_checked(scene, origin, direction, t_min, t_max, active,
         res = traverse_bvh(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
     elif tracer == "cluster":
         res = traverse_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
-    elif tracer == "resident":
+    else:  # "resident" — resolve_tracer already validated the name
         res = trace_resident(scene, origin, direction, t_min, t_max, active,
                              sort_rays=sort_rays)
-    else:
-        res = _pallas_escalating(scene, origin, direction, t_min, t_max, active,
-                                 sort_rays=sort_rays)
     return _merge_curve_hits(scene, origin, direction, t_min, t_max, active, res)
 
 
@@ -130,12 +135,9 @@ def trace_occlusion_checked(scene, origin, direction, t_min, t_max, active,
         occ, diag = traverse_bvh(scene, origin, direction, t_min, t_max, active).is_hit, jnp.int32(0)
     elif tracer == "cluster":
         occ, diag = occlusion_clusters(scene, origin, direction, t_min, t_max, active), jnp.int32(0)
-    elif tracer == "resident":
+    else:  # "resident" — resolve_tracer already validated the name
         occ, diag = trace_resident(scene, origin, direction, t_min, t_max, active,
                                    any_hit=True, sort_rays=sort_rays)
-    else:
-        occ, diag = _pallas_escalating(scene, origin, direction, t_min, t_max, active,
-                                       any_hit=True, sort_rays=sort_rays)
     if scene.curves is not None:
         from .curve_intersect import occlude_curves
 

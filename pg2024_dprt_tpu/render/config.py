@@ -30,8 +30,8 @@ class RenderConfig:
     # Wavefront migration iterations safety bound (the psum termination test
     # exits earlier; worst case ~2x partitions for arrive-then-reroute chains).
     max_migrations: int = 32
-    # Traversal backend: "auto" | "stackless" | "cluster" | "resident" | "pallas"
-    # (ops/trace_api.py; auto = pallas on accelerators, stackless on CPU).
+    # Traversal backend: "auto" | "stackless" | "cluster" | "resident"
+    # (ops/trace_api.py; auto = resident on accelerators, stackless on CPU).
     tracer: str = "auto"
     # Whole-sample frame megakernel (ops/pallas_frame.py): "auto" | "on" |
     # "off".  auto = on for accelerator backends when the scene qualifies

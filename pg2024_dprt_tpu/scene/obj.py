@@ -138,3 +138,39 @@ def load_obj(path: str, default_color=(0.8, 0.8, 0.8)) -> Tuple[List[MeshGeometr
             )
         )
     return meshes, texture_paths
+
+
+def load_texture_images(texture_paths: List[str], base_dir: str = "") -> List[np.ndarray]:
+    """Decode the texture files referenced by an OBJ's materials into float
+    (H, W, C) arrays for build_textures — the stb_image loop analogue
+    (/root/reference/src/render/renderer.cpp:1613-1723).  PNG is decoded
+    with the stdlib reader (utils/png.py); a missing or undecodable file
+    becomes a 1x1 white texel (with a warning) so the scene still builds,
+    mirroring the reference's only-referenced-textures leniency."""
+    import warnings
+
+    images: List[np.ndarray] = []
+    for p in texture_paths:
+        full = p if os.path.isabs(p) else os.path.join(base_dir, p)
+        try:
+            from ..utils.png import read_png
+
+            # no flip here: sample_textures applies the stbi-style v flip
+            # (y = (1-v)*h), so images stay in decoded top-down row order
+            images.append(read_png(full))
+        except Exception as e:  # noqa: BLE001 — any decode failure degrades
+            warnings.warn(f"texture {full!r} not decodable ({e}); using 1x1 white")
+            images.append(np.ones((1, 1, 3), np.float32))
+    return images
+
+
+def scene_from_obj(path: str, default_color=(0.8, 0.8, 0.8), **scene_kwargs):
+    """OBJ file on disk -> fully textured DeviceScene, zero hand-built
+    arrays: parse geometry + materials, decode every referenced map_Kd via
+    the stdlib PNG reader, and pack.  End-to-end mirror of the reference's
+    scene load + texture upload (renderer.cpp:1613-1723)."""
+    from .geometry import device_scene_from_meshes
+
+    meshes, texture_paths = load_obj(path, default_color=default_color)
+    images = load_texture_images(texture_paths, base_dir=os.path.dirname(path))
+    return device_scene_from_meshes(meshes, textures=images, **scene_kwargs)

@@ -15,6 +15,8 @@ Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
   * neural_route_64k  — secondaryRayModuleBasedNN analogue (fused route)
   * grouped_mlp       — neural-proxy inference engine (vis net, 8 objects),
                         the VisNNTime analogue (renderer.cpp:921,968)
+  * train_step        — one fwd+bwd+Adam step of the offline training stack
+                        (batch 12800, PROD vis net, reference main.py recipe)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_suite.py [--quick]
 """
@@ -294,14 +296,16 @@ def main():
     tx_y = jnp.asarray(
         (np.random.RandomState(8).rand(tb) > 0.5).astype(np.float32))
 
-    def train_t(x):
+    def train_t(x, tparams, topt):
         p2, _o2, loss = _train_step(tparams, topt, x, tx_y, PROD_VIS, "vis", ttx)
         # fold a term over every updated leaf so the whole backward pass +
         # optimizer update survives DCE under the chained fold
         reg = sum(jnp.sum(l) for l in jax.tree.leaves(p2))
         return jnp.reshape(loss + 1e-9 * reg, (1,))
 
-    per = chained_time(train_t, tx_x, short=2, long=12, reps=2)
+    # params/opt ride as ARGS (the file-wide rule): keeps the HLO byte-stable
+    # and the relay compile body small
+    per = chained_time(train_t, tx_x, tparams, topt, short=2, long=12, reps=2)
     row("train_step", tb / per / 1e6, "Msamples/s",
         f"{per*1e3:.2f} ms/step, batch 12800, PROD vis net (w256 d4), Adam")
 

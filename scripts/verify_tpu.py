@@ -22,7 +22,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from pg2024_dprt_tpu.core import Camera
 from pg2024_dprt_tpu.ops.pallas_resident import trace_resident
-from pg2024_dprt_tpu.ops.pallas_tracer import trace_pallas
 from pg2024_dprt_tpu.ops.traversal import traverse_bvh
 from pg2024_dprt_tpu.scene import cornell_box, device_scene_from_meshes, random_tri_soup
 
@@ -46,8 +45,9 @@ def compare(name, scene, o, d, tmax, act, results):
             scene, o, d, 1e-3, tmax, act, grouped=True)),
         ("resident_grouped_hbm", lambda: trace_resident(
             scene, o, d, 1e-3, tmax, act, grouped=True, hbm_table=True)),
-        ("streaming", lambda: trace_pallas(scene, o, d, 1e-3, tmax, act,
-                                           tile_rays=256, region=64)),
+        # the round-1 streaming tracer is RETIRED from the user API (its
+        # tile-interval cull fails this very verification) and no longer
+        # ships rows here — see ops/pallas_tracer.py, ops/trace_api.py
     ):
         got, dropped = fn()
         got = jax.tree.map(np.asarray, got)
@@ -65,12 +65,7 @@ def compare(name, scene, o, d, tmax, act, results):
             "hits_oracle": int(want.is_hit.sum()),
             "is_hit_match": hit_match, "t_match": t_ok,
             "tri_or_tie_match": tie_ok, "dropped": int(dropped),
-            # the legacy streaming tracer is informational only: raw calls
-            # carry a static pair budget (production wraps them in the
-            # escalating retry) and its tile-interval cull misses
-            # measure-zero corner-edge ties — it is no longer an "auto"
-            # selection (ops/trace_api.py:resolve_tracer)
-            "gating": kern != "streaming",
+            "gating": True,
             "pass": hit_match == n and t_ok == int(both.sum())
                     and tie_ok == int(both.sum()) and int(dropped) == 0,
         }

@@ -242,3 +242,130 @@ def test_texture_native_resolution_preserved():
     pool2 = bt([big], max_res=1024)
     assert int(pool2.width[0]) == 1024
     assert np.allclose(np.asarray(pool2.texels[:, 0]).mean(), 0.5, atol=1e-3)
+
+
+def _encode_png_with_filters(img: np.ndarray, ftype: int) -> bytes:
+    """Hand-encode an 8-bit RGB PNG using one filter type on every row."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    raw = b""
+    prev = np.zeros((w * bpp,), np.int32)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - left) & 0xFF
+        elif ftype == 2:
+            filt = (row - prev) & 0xFF
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - ((left + prev) >> 1)) & 0xFF
+        elif ftype == 4:
+            filt = np.zeros_like(row)
+            for x in range(row.shape[0]):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_read_png_all_filters(tmp_path):
+    """Decoder handles every PNG filter type (0..4) bit-exactly."""
+    from pg2024_dprt_tpu.utils.png import read_png
+
+    img = (np.random.RandomState(5).rand(13, 17, 3) * 255).astype(np.uint8)
+    for f in range(5):
+        p = tmp_path / f"f{f}.png"
+        p.write_bytes(_encode_png_with_filters(img, f))
+        back = read_png(str(p))
+        np.testing.assert_allclose(back, img.astype(np.float32) / 255.0,
+                                   atol=1e-6, err_msg=f"filter {f}")
+
+
+def test_read_png_gray_and_rgba(tmp_path):
+    """Gray (1ch) and RGBA (4ch) color types decode with correct shapes."""
+    import struct
+    import zlib
+
+    from pg2024_dprt_tpu.utils.png import read_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    rng = np.random.RandomState(6)
+    for ctype, ch in ((0, 1), (6, 4)):
+        img = (rng.rand(9, 11, ch) * 255).astype(np.uint8)
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(9))
+        ihdr = struct.pack(">IIBBBBB", 11, 9, 8, ctype, 0, 0, 0)
+        p = tmp_path / f"c{ctype}.png"
+        p.write_bytes(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                      + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        back = read_png(str(p))
+        assert back.shape == (9, 11, ch)
+        np.testing.assert_allclose(back, img.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_textured_obj_scene_from_disk(tmp_path):
+    """End-to-end: .obj + .mtl + .png on disk -> scene_from_obj ->
+    render_image shows the texture's spatial color split.  Closes the
+    reference's stb_image texture-load loop
+    (/root/reference/src/render/renderer.cpp:1613-1723) with zero
+    hand-built texel arrays."""
+    from pg2024_dprt_tpu.core import Camera
+    from pg2024_dprt_tpu.render import RenderConfig, render_image
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
+    from pg2024_dprt_tpu.scene.obj import scene_from_obj
+    from pg2024_dprt_tpu.utils.png import write_png
+
+    # left half red, right half blue
+    tex = np.zeros((16, 16, 3), np.uint8)
+    tex[:, :8, 0] = 255
+    tex[:, 8:, 2] = 255
+    write_png(str(tmp_path / "split.png"), tex)
+
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl floor\nKd 1 1 1\nmap_Kd split.png\n")
+    # floor quad in y=0, uv: u tracks x
+    (tmp_path / "scene.obj").write_text(
+        "mtllib scene.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 0 1\nv 0 0 1\n"
+        "vn 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "o floor\nusemtl floor\n"
+        "f 1/1/1 4/4/1 3/3/1 2/2/1\n")
+    scene = scene_from_obj(str(tmp_path / "scene.obj"))
+    assert scene.albedo_textures.count == 1
+
+    env = EnvironmentMap.constant((0.0, 0.0, 0.0))
+    lights = LightTable.from_arrays(
+        np.asarray([[[0.2, 2.0, 0.2], [0.8, 2.0, 0.2], [0.5, 2.0, 0.8]]]),
+        np.asarray([[8.0, 8.0, 8.0]]))
+    cam = Camera.look_at([0.5, 1.6, 0.5], [0.5, 0.0, 0.5], [0, 0, -1], 45.0, 24, 24)
+    cfg = RenderConfig(width=24, height=24, spp=2, bounces=1)
+    img = np.asarray(render_image(scene, lights, env, cam, cfg))
+    # u tracks world x which tracks image columns (up=-z keeps x horizontal;
+    # tolerate either horizontal orientation)
+    cols = img.mean(axis=0)  # (W, 3)
+    left, right = cols[:10].mean(axis=0), cols[-10:].mean(axis=0)
+    ratios = sorted([left[0] / max(left[2], 1e-6), right[0] / max(right[2], 1e-6)])
+    # one side strongly red-dominant, the other strongly blue-dominant
+    assert ratios[1] > 3.0 and ratios[0] < 1 / 3.0, (left, right)

@@ -115,9 +115,19 @@ def test_water_bsdf_render():
 
 def test_config_json_roundtrip():
     cfg = RenderConfig(width=64, height=32, spp=3, bounces=5, use_neural_proxies=True,
-                       tracer="pallas", bucket_fraction=0.5)
+                       tracer="resident", bucket_fraction=0.5)
     back = RenderConfig.from_json(cfg.to_json())
     assert back == cfg
+
+
+def test_retired_tracer_rejected():
+    """The round-1 streaming tracer failed on-chip verification and must not
+    be silently selectable (VERDICT r2 item 5)."""
+    import pytest
+    from pg2024_dprt_tpu.ops.trace_api import resolve_tracer
+
+    with pytest.raises(ValueError, match="retired"):
+        resolve_tracer("pallas")
 
 
 def test_env_rotation_offset():
