@@ -1041,6 +1041,72 @@ def _occl_kernel_tiny(rays_ref, boxes_ref, table_ref, out_ref, *, c: int,
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
+def _sched_kernel(rays_ref, boxes_ref, out_ref, *, k: int, tm: int):
+    """Schedule-key prepass: each ray's FIRST and SECOND entered cluster
+    (by exact front-to-back slab enter distance), packed into one sortable
+    i32 key = (first << 12) | second.
+
+    Why: incoherent (bounce/migrated) wavefronts sorted by origin-morton
+    still union ~60 clusters per 128-ray tile while each ray NEEDS only
+    ~2.15 visits (scripts/study_perray.py).  Sorting by the rays' own
+    front-to-back cluster ids instead puts rays that want the same tables
+    in the same tile: measured union 59.7 -> 38.2 at TM=128, and it keeps
+    falling with smaller tiles (16.9 at TM=32) because the key aligns the
+    VISIT ORDER, not just the origin cell.  The reference has no analogue
+    (per-thread OptiX traversal needs no wavefront coherence); this is the
+    TPU-native substitute for per-ray scheduling.
+
+    Saturated keys (no entered cluster, or inactive rays: tmax = 0 kills
+    every slab test) sort to the end, exactly like the morton path's
+    0xFFFFFFFF."""
+    rays = _load_rays(rays_ref, boxes_ref, tm)
+    boxes = boxes_ref[:]
+    en = _cluster_enters(rays, boxes, k, tm, exact=True, keep_rows=True)
+    cb = 12
+    cmask = jnp.int32((1 << cb) - 1)
+    lanes_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k), 1)
+    inf_bits = jnp.int32(0x7F800000)
+
+    def min_key(en):
+        bits = jax.lax.bitcast_convert_type(en, jnp.int32)
+        key = jnp.where(jnp.isfinite(en), (bits & ~cmask) | lanes_k,
+                        jnp.int32(0x7FFFFFFF))
+        return jnp.min(key, axis=1, keepdims=True)          # (TM, 1)
+
+    k1 = min_key(en)
+    first = jnp.where(k1 < inf_bits, k1 & cmask, cmask)
+    en2 = jnp.where(lanes_k == jnp.broadcast_to(first, (tm, k)),
+                    jnp.float32(float("inf")), en)
+    k2 = min_key(en2)
+    second = jnp.where(k2 < inf_bits, k2 & cmask, cmask)
+    out_ref[:, 0:1] = (first << cb) | second
+
+
+def schedule_keys(boxes, rays_packed, tm: int = 256, interpret: bool = None):
+    """(8, K) cluster boxes + (8, mp) packed rays -> (mp,) i32 cluster-
+    schedule sort keys (see _sched_kernel).  Requires k < 4096 and an
+    affordable (tm, k) cull matrix — callers fall back to the morton key
+    otherwise."""
+    mp = rays_packed.shape[1]
+    k = boxes.shape[1]
+    if mp % tm:
+        tm = 128 if mp % 128 == 0 else 32
+    while tm * k * 4 > 4 * 2**20 and tm > 32:
+        tm //= 2
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    (keys,) = pl.pallas_call(
+        partial(_sched_kernel, k=k, tm=tm),
+        grid=(mp // tm,),
+        in_specs=[pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((mp, 1), jnp.int32)],
+        interpret=interpret,
+    )(rays_packed, boxes)
+    return keys[:, 0]
+
+
 def _mt_body_t(rows8, tri_t, ct: int, tm: int):
     """TRANSPOSED dense Moller-Trumbore: triangles in SUBLANES (ct rows),
     rays in LANES — the layout for single-cluster scenes where the whole
@@ -1569,7 +1635,7 @@ VMEM_TABLE_LIMIT = 8 * 2**20
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "rich", "interpret"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "rich", "interpret", "sort_mode"),
 )
 def trace_resident(
     scene: DeviceScene,
@@ -1583,6 +1649,7 @@ def trace_resident(
     grouped: bool = None,
     rich: bool = None,
     interpret: bool = None,
+    sort_mode: str = "auto",
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
     pallas_tracer.trace_pallas: (HitRecord, dropped_pair_count), or
@@ -1591,7 +1658,12 @@ def trace_resident(
 
     hbm_table=None auto-selects: small scenes keep the whole triangle table
     VMEM-resident; larger ones stream each selected cluster from HBM through
-    a double-buffered scratch (_kernel_hbm)."""
+    a double-buffered scratch (_kernel_hbm).
+
+    sort_mode (with sort_rays=True): "cluster" sorts by each ray's own
+    first/second entered cluster (_sched_kernel — tighter tile unions than
+    origin-morton on scattered wavefronts), "morton" by origin cell;
+    "auto" = cluster when the schedule prepass is affordable."""
     n = origin.shape[0]
     # dense transposed kernel (small scenes, pack-time cl_mt_table_t):
     # decided up front, from statics only — it shapes the tile policy, the
@@ -1633,14 +1705,6 @@ def trace_resident(
     if sort_rays and will_transpose:
         sort_rays = False
 
-    if sort_rays:
-        key = _morton_key(scene, origin, direction)
-        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
-        _, perm = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-        take = lambda a: jnp.take(a, perm, axis=0)
-        origin, direction = take(origin), take(direction)
-        t_min, t_max, active = take(t_min), take(t_max), take(active)
-
     def pad1(a, fill):
         if pad == 0:
             return a
@@ -1668,7 +1732,7 @@ def trace_resident(
     )  # (8, mp)
 
     # planar cluster-AABB + count table and the derived component-planar MT
-    # table (rows v0 xyz, e1 xyz, e2 xyz, n = e1 x e2; padding rows all-zero
+    # table (rows v0 xyz, e1 xyz, e2 xyz, n = e1 x e2; padding tris all-zero
     # -> n = 0 -> det = 0 -> rejected in-kernel).  Precomputed at scene-pack
     # time (scene/geometry.py) — the in-call fallback below serves only
     # hand-assembled scenes and is bit-identical.
@@ -1686,6 +1750,31 @@ def trace_resident(
         )  # (8, K); zero non-finite (empty-cluster) AABBs so interval
         # arithmetic never produces NaNs (count row already excludes them)
         boxes = jnp.where(jnp.isfinite(boxes), boxes, 0.0)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # wavefront sort: one key, one sort, ONE (8, mp) gather of the packed
+    # rays (saturated keys put inactive and padding rays last; jax.lax.sort
+    # is stable, so padding stays behind real rays within ties)
+    perm = None
+    if sort_rays:
+        mode = sort_mode
+        if mode == "auto":
+            # the schedule prepass needs the flat (tile, K) cull matrix and
+            # a 12-bit cluster index (see _sched_kernel); measured a >=1.5x
+            # tile-union win over morton wherever it applies
+            mode = "cluster" if k < 4096 else "morton"
+        if mode == "cluster" and k < 4096:
+            key = schedule_keys(boxes, rays_packed, interpret=interpret)
+            key = jnp.where(rays_packed[7, :] > 0.0, key, jnp.int32(0x7FFFFFFF))
+        else:
+            key = _morton_key(scene, o, d)
+            key = jnp.where(rays_packed[7, :] > 0.0, key, jnp.uint32(0xFFFFFFFF))
+        _, perm = jax.lax.sort(
+            (key, jnp.arange(mp, dtype=jnp.int32)), num_keys=1)
+        rays_packed = jnp.take(rays_packed, perm, axis=1)
+        act = rays_packed[7, :] > 0.0
 
     if scene.cl_mt_table is not None:
         table = scene.cl_mt_table.reshape(k, 16, c)
@@ -1801,9 +1890,6 @@ def trace_resident(
                                 memory_space=pltpu.VMEM)
         out_struct = jax.ShapeDtypeStruct((mp, out_cols), jnp.float32)
 
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-
     if grouped:
         if hbm_table:
             # whole-group streaming: (Kg, G, 16, C) — pad K to full groups
@@ -1917,33 +2003,35 @@ def trace_resident(
 
     dropped = jnp.int32(0)
 
+    # un-sort selector: maps original ray i -> its row in the sorted+padded
+    # kernel domain (mp); identity slice when unsorted
+    if perm is not None:
+        inv_n = jnp.zeros((mp,), jnp.int32).at[perm].set(
+            jnp.arange(mp, dtype=jnp.int32))[:n]
+        unsel = lambda a: jnp.take(a, inv_n, axis=0)
+    else:
+        unsel = lambda a: a[:n]
+
     if any_hit:
-        occ = (packed_out[:n, 0] > 0.5) & active[:n]
-        if sort_rays:
-            inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-            occ = jnp.take(occ, inv_perm, axis=0)
+        occ = unsel((packed_out[:, 0] > 0.5) & act) & active
         return occ, dropped
 
     if rich:
         # the kernel already refined the winner (exact t/u/v + canonical
         # index, _refine_winners): one slice/select fusion and we're done —
         # no gathers, no un-pad remap, no XLA recompute
-        is_hit = (packed_out[4, :n] > 0.5) & active[:n]
+        is_hit = unsel((packed_out[4, :] > 0.5) & act) & active
         hits = HitRecord(
-            t=jnp.where(is_hit, packed_out[0, :n], _F32_MAX),
+            t=jnp.where(is_hit, unsel(packed_out[0, :]), _F32_MAX),
             tri_index=jnp.where(is_hit,
-                                packed_out[3, :n].astype(jnp.int32), -1),
-            u=jnp.where(is_hit, packed_out[1, :n], 0.0),
-            v=jnp.where(is_hit, packed_out[2, :n], 0.0),
+                                unsel(packed_out[3, :]).astype(jnp.int32), -1),
+            u=jnp.where(is_hit, unsel(packed_out[1, :]), 0.0),
+            v=jnp.where(is_hit, unsel(packed_out[2, :]), 0.0),
             is_hit=is_hit,
         )
-        if sort_rays:
-            inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
-                jnp.arange(n, dtype=jnp.int32))
-            hits = HitRecord(*(jnp.take(a, inv_perm, axis=0) for a in hits))
         return hits, dropped
 
-    slot = jnp.round(packed_out[:n, 1]).astype(jnp.int32)
+    slot = unsel(jnp.round(packed_out[:, 1]).astype(jnp.int32))
     # decode the packed (cluster << lane_bits) | lane winner slot into the
     # canonical cluster-major index (padding lanes never win: zero normal
     # -> det 0 -> rejected)
@@ -1953,11 +2041,12 @@ def trace_resident(
         (slot >> lbk) * c + jnp.minimum(slot & ((1 << lbk) - 1), c - 1),
         slot,
     )
-    is_hit = (slot >= 0) & active[:n]
+    is_hit = (slot >= 0) & active
 
     # XLA refinement: recompute exact t/u/v for each ray's winning triangle
     # (one MT per ray on gathered canonical vertices — also restores the
-    # mantissa bits the packed key spent on the lane field)
+    # mantissa bits the packed key spent on the lane field); runs in the
+    # ORIGINAL ray order (slot was un-sorted above), so o/d are the inputs
     canon = jnp.take(scene.cl_tri_map, jnp.clip(slot, 0, scene.cl_tri_map.shape[0] - 1))
     canon = jnp.where(is_hit, canon, -1)
     safe = jnp.maximum(canon, 0)
@@ -1971,8 +2060,8 @@ def trace_resident(
         vc = jnp.take(scene.v2, safe, axis=0)
     e1 = vb - va
     e2 = vc - va
-    dn = d[:n]
-    on = o[:n]
+    dn = direction
+    on = origin
     pv = jnp.cross(dn, e2)
     det = jnp.sum(e1 * pv, axis=-1)
     ok = jnp.abs(det) > 1e-12
@@ -1991,9 +2080,4 @@ def trace_resident(
         v=jnp.where(is_hit, v, 0.0),
         is_hit=is_hit,
     )
-
-    if sort_rays:
-        inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        hits = HitRecord(*(jnp.take(a, inv_perm, axis=0) for a in hits))
-
     return hits, dropped

@@ -136,21 +136,22 @@ def main():
           f"{pair_visits:.0f} pair-rows/tile-of-{tm} "
           f"(~{visits.sum() / tm * 0.35e-3 * (65536 / n):.1f} ms/64k if packed dense)")
 
-    # subtile unions: split each 128-ray tile into subtiles of S rays, each
-    # with its own selection loop; visit cost scales with rows (MT ~0.3us of
-    # the 0.35 at 16 vregs) + ~0.05us fixed (table addressing, selection)
-    best = np.lexsort((second, first))
-    for s in (8, 16, 32):
-        tot = 0
-        for i in range(0, n, s):
-            ids = best[i : i + s]
-            u = set()
-            for ri in ids:
-                u.update(need[ri])
-            tot += len(u)
-        sub = tot / (n / s)
-        ms = (n / s) * sub * (0.05 + 0.30 * max(s, 8) / 128) * 1e-3 * (65536 / n)
-        print(f"subtile S={s:3d} union {sub:5.2f} -> ~{ms:.1f} ms/64k (row-scaled model)")
+    # (ordering x tile size) cost matrix with the row-scaled visit model:
+    # per visit = 0.09us table fetch + 0.30us * rows/128 MT + 0.02us sel
+    for oname, perm in (("morton", np.argsort(mk, kind="stable")),
+                        ("(first, second)", np.lexsort((second, first)))):
+        for s in (16, 32, 64, 128, 256):
+            tot = 0
+            for i in range(0, n, s):
+                ids = perm[i : i + s]
+                u = set()
+                for ri in ids:
+                    u.update(need[ri])
+                tot += len(u)
+            sub = tot / (n / s)
+            ms = (65536 / s) * sub * (0.09 + 0.30 * max(s, 8) / 128 + 0.02) * 1e-3
+            print(f"tiles S={s:3d} {oname:16s} union {sub:6.2f} -> ~{ms:5.1f} ms/64k "
+                  "(row-scaled model)")
 
     # pair-list scheduling: pairs sorted by cluster, dense tiles of TM pairs,
     # one (TM, C) MT per distinct cluster per tile
