@@ -483,6 +483,9 @@ def route_fused(
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
 
     names = _param_names(cfg)
+    # per-call casts sit in ENTRY and CSE across the unrolled bounce loop —
+    # measured negligible under the chained slope, so no precast caching
+    # (a cached copy goes stale when callers replace params)
     wv = [models.vis_params[nm].astype(
         jnp.bfloat16 if models.vis_params[nm].ndim == 3 else jnp.float32)
         for nm in names]

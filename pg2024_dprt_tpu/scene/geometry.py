@@ -167,7 +167,7 @@ class DeviceScene(NamedTuple):
     # HBM DMA slices). cl_boxes rows: minx..z, maxx..z, nonempty flag,
     # pad — non-finite (empty-cluster) entries zeroed. scene_aabb is the
     # union AABB over non-empty clusters.
-    cl_mt_table: jnp.ndarray = None   # (K, 16*C) f32
+    cl_mt_table: jnp.ndarray = None   # (K, 16, C) f32
     cl_boxes: jnp.ndarray = None      # (8, K) f32
     scene_aabb: jnp.ndarray = None    # (2, 3) f32
     # TRANSPOSED MT table for small scenes (<= TINY_T_ROWS valid triangles
@@ -207,7 +207,7 @@ class DeviceScene(NamedTuple):
     # Cluster-major component-planar copy of tri_shade (same row layout,
     # same tri_map lane order as cl_mt_table) — streamed by the frame
     # megakernel's winner-attribute fetch (ops/pallas_frame.py).
-    cl_shade_table: jnp.ndarray = None  # (K, 24*C) f32
+    cl_shade_table: jnp.ndarray = None  # (K, 24, C) f32
     # Packed native-resolution albedo textures (scene/textures.py
     # PackedTextures pytree); indexed by mesh_texture_index. Empty pool when
     # the scene is untextured.
@@ -468,7 +468,10 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_tri_table=jnp.asarray(table.reshape(kc, 10 * c)),
         cl_tri_map=jnp.asarray(tri_map),
         cl_woop_table=jnp.asarray(woop.reshape(kc, 4 * 4 * c)),
-        cl_mt_table=jnp.asarray(mt_table.reshape(kc, 16 * c)),
+        # stored 3-D: a (K, 16*C) layout differs physically under the
+        # (8, 128) tiling, so the kernels' reshape(k, 16, c) materialized a
+        # full-table copy custom-call on EVERY trace/route launch
+        cl_mt_table=jnp.asarray(mt_table.reshape(kc, 16, c)),
         cl_boxes=jnp.asarray(boxes),
         scene_aabb=jnp.asarray(scene_aabb),
         cl_mt_table_t=(None if mt_table_t is None
@@ -479,7 +482,8 @@ def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacit
         cl_mboxes=jnp.asarray(mboxes),
         tri_verts=jnp.asarray(tri_verts),
         tri_shade=jnp.asarray(tri_shade),
-        cl_shade_table=jnp.asarray(shade_cl.reshape(kc, 24 * c)),
+        cl_shade_table=jnp.asarray(shade_cl.reshape(kc, 24, c)),  # 3-D (same
+        # reshape-copy reasoning as cl_mt_table above)
         albedo_textures=atlas,
         curves=curves,
     )
