@@ -107,3 +107,7 @@ class NNQuery(NamedTuple):
     max_length: jax.Array    # (Q,) f32  AABB diagonal (depth denormalization)
     t_ratio: jax.Array       # (Q,) f32  world-t / local-t scale factor
     normalized_t: jax.Array  # (Q,) f32  inside-hit depth for comparison
+    # owning partition of the hit proxy (reference NNPathData.pathIndex =
+    # accelerationStructures[hitAABBIndex].nodeID); None = aabb_id (the
+    # non-instanced case, where object == partition)
+    node_id: jax.Array = None

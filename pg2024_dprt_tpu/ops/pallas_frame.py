@@ -235,7 +235,7 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                   hbm: bool, recull: int, orecull: int,
                   width: int, height: int, tiny: bool = False, ct: int = 8,
                   textured: bool = False, tr: int = 8, twm: int = 8,
-                  ntp: int = 8):
+                  ntp: int = 8, ssub: int = 1):
     """One (ray tile, sample) grid step, all bounces.  The grid is
     (tiles, spp) with spp innermost: consecutive sample steps revisit the
     same out block, accumulating in place (the matmul-k reduction pattern)
@@ -263,6 +263,7 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
     sbuf, ssem = scr[0], scr[1]
     skb_scr, slot_scr, vis_scr, keys_scr, occ_scr = scr[2:7]
     attr_scr, fetch_scr = scr[7], scr[8]
+    socc_scr = scr[9] if ssub > 1 else None   # shadow-subgroup occ state
 
     s_idx = pl.program_id(1)
 
@@ -708,12 +709,40 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                         (occ_scr, vis_scr, keys_scr),
                         c=c, tm=stm, k=k, kg=kg, g=grp,
                         recull=orecull)                      # (S*TM, 1)
+                    occ_r = jnp.transpose(occ, (1, 0))       # (1, S*TM)
+                elif ssub > 1:
+                    # IN-KERNEL SHADOW RETILING: the occlusion union toward
+                    # the light grows with the tile's PIXEL footprint (the
+                    # composed path's 32-pixel shadow tiles measured a
+                    # large win over 128-pixel blocks).  Trace the S*TM
+                    # shadow rows as `ssub` subgroups of tm/ssub pixels
+                    # (x their S samples): static row slices of the
+                    # sample-major block, one occl loop each, lanes
+                    # reassembled sample-major.  Visits are never more than
+                    # the single-block form (per-subgroup unions are
+                    # subsets) and each visit costs 1/ssub the rows.
+                    gsz = tm // ssub
+                    parts = []
+                    for p_i in range(ssub):
+                        blk = jnp.concatenate(
+                            [srays[j * tm + p_i * gsz:
+                                   j * tm + p_i * gsz + gsz]
+                             for j in range(s)], axis=0)     # (S*gsz, 8)
+                        occ_p = _occl_recull_loop(
+                            blk, boxes_ref[:], table_ref, hbm_refs,
+                            (socc_scr, vis_scr, keys_scr),
+                            c=c, tm=s * gsz, k=k, recull=orecull)
+                        parts.append(jnp.transpose(occ_p, (1, 0)))
+                    occ_r = jnp.concatenate(
+                        [parts[p_i][:, j * gsz:(j + 1) * gsz]
+                         for j in range(s) for p_i in range(ssub)],
+                        axis=1)                              # (1, S*TM)
                 else:
                     occ = _occl_recull_loop(
                         srays, boxes_ref[:], table_ref, hbm_refs,
                         (occ_scr, vis_scr, keys_scr),
                         c=c, tm=stm, k=k, recull=orecull)    # (S*TM, 1)
-                occ_r = jnp.transpose(occ, (1, 0))           # (1, S*TM)
+                    occ_r = jnp.transpose(occ, (1, 0))       # (1, S*TM)
             wgt = jnp.where(valid_s & (occ_r == 0),
                             jnp.float32(1.0 / s), 0.0)
             direct = tuple(
@@ -783,12 +812,12 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp", "tile_rays", "interpret",
-                                   "recull", "orecull", "grouped"))
+                                   "recull", "orecull", "grouped", "ssub"))
 def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                        spp: int = 1,
                        tile_rays: int = TILE_RAYS, interpret: bool = None,
                        recull: int = 8, orecull: int = 8,
-                       grouped: bool = None):
+                       grouped: bool = None, ssub: int = None):
     """`spp` samples of the whole-frame megakernel in ONE kernel launch
     (grid (tiles, spp), sample accumulation in the revisited out block).
     Returns summed (direct (npix,3), env (npix,3), diag) — divide by spp
@@ -932,6 +961,15 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
         else:
             scratch += [pltpu.VMEM((3, 16, c_k), jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))]
+    # in-kernel shadow retiling (see _frame_kernel NEE block): subgroups of
+    # tm/ssub pixels bound the occlusion union toward the light.  Auto-on
+    # for the selection-loop paths; the tiny transposed any-hit is dense
+    # (no unions) and the grouped loop keeps its own stm-row state.
+    if ssub is None:
+        ssub = 4 if (not tiny and not grouped and s > 0
+                     and tm % 4 == 0 and (s * tm) // 4 % 8 == 0) else 1
+    if tiny or grouped or s == 0:
+        ssub = 1
     scratch += [
         pltpu.VMEM((1, 24, c_k), jnp.float32),
         pltpu.SemaphoreType.DMA((1,)),
@@ -943,6 +981,8 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
         pltpu.VMEM((40, tm), jnp.float32),    # attr rows
         pltpu.VMEM((1, tm), jnp.int32),       # attr-fetch done mask
     ]
+    if ssub > 1:
+        scratch += [pltpu.VMEM((s * (tm // ssub), 1), jnp.int32)]  # socc
 
     (out,) = pl.pallas_call(
         partial(_frame_kernel, c=c_k, tm=tm, k=k, kg=kg, grp=grp,
@@ -950,7 +990,7 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
                 width=cfg.width, height=cfg.height, tiny=tiny, ct=ct,
-                textured=textured, tr=tr, twm=twm, ntp=ntp),
+                textured=textured, tr=tr, twm=twm, ntp=ntp, ssub=ssub),
         grid=(mp // tm, spp),
         in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
                   vmem, vmem, vmem, vmem, vmem, vmem, smem, smem],
@@ -972,9 +1012,9 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
 
 def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
                         tile_rays: int = TILE_RAYS, interpret: bool = None,
-                        recull: int = 8, orecull: int = 8):
+                        recull: int = 8, orecull: int = 8, ssub: int = None):
     """One spp — same contract as render/engine.py render_sample:
     (direct (npix,3), env (npix,3), diag)."""
     return render_frame_fused(scene, lights, env, camera, sample_count, cfg,
                               spp=1, tile_rays=tile_rays, interpret=interpret,
-                              recull=recull, orecull=orecull)
+                              recull=recull, orecull=orecull, ssub=ssub)

@@ -63,9 +63,15 @@ def march_proxies_xla(
     t1 = (Bp(proxies.aabb_max) - o_b) * i_b
     t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, P)
     t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    # own-partition exclusion: by OWNING NODE when instanced (an instance
+    # hosted by my partition is local geometry, not a proxy)
+    row_node = (proxies.node_id if proxies.node_id is not None
+                else jnp.arange(p, dtype=jnp.int32))
+    row_obj = (proxies.obj_id if proxies.obj_id is not None
+               else jnp.arange(p, dtype=jnp.int32))
     box_ok = (
         (t_exit >= t_enter)
-        & (jnp.arange(p)[None, :] != my_node)
+        & (row_node[None, :] != my_node)
         & active[:, None]
         # exclude empty partitions (inverted-infinity AABBs)
         & (proxies.max_length > 0.0)[None, :]
@@ -83,6 +89,7 @@ def march_proxies_xla(
     out_valid = jnp.zeros((n, max_hits), bool)
     out_t = jnp.zeros((n, max_hits), jnp.float32)
     out_seq = jnp.zeros((n, max_hits), jnp.int32)
+    out_ratio = jnp.ones((n, max_hits), jnp.float32)
 
     live = active
     for _ in range(max_hits):
@@ -100,10 +107,27 @@ def march_proxies_xla(
         record = found & (~dup)
 
         point = origin + best_t[:, None] * direction
-        bmin = jnp.take(proxies.aabb_min, best, axis=0)
-        span = jnp.take(box_span, best, axis=0)
-        local = (point - bmin) / span
-        feat_dir = jnp.where(best_inside[:, None], -direction, direction)
+        if proxies.instanced:
+            # object-space features + world/object depth scale (reference
+            # originLocal/pointLocal/directionLocal + tMax/|oL-pL| ratio,
+            # secondary_ray_kernel.cu:289-303).  For an affine instance the
+            # ratio is constant along the ray: 1 / |M_lin d| (d unit).
+            M = jnp.take(proxies.world_to_obj, best, axis=0)   # (N, 3, 4)
+            lin = M[:, :, :3]
+            p_l = jnp.einsum("nij,nj->ni", lin, point) + M[:, :, 3]
+            d_l = jnp.einsum("nij,nj->ni", lin, direction)
+            ratio = 1.0 / jnp.maximum(
+                jnp.sqrt(jnp.sum(d_l * d_l, axis=-1)), 1e-12)
+            bmin = jnp.take(proxies.obj_min, best, axis=0)
+            span = jnp.maximum(jnp.take(proxies.obj_span, best, axis=0), 1e-12)
+            local = (p_l - bmin) / span
+            feat_dir = jnp.where(best_inside[:, None], -d_l, d_l)
+        else:
+            ratio = jnp.ones((n,), jnp.float32)
+            bmin = jnp.take(proxies.aabb_min, best, axis=0)
+            span = jnp.take(box_span, best, axis=0)
+            local = (point - bmin) / span
+            feat_dir = jnp.where(best_inside[:, None], -direction, direction)
         phi, theta = cmath.spherical_for_train(cmath.normalize(feat_dir))
         feats = jnp.concatenate(
             [local, (phi / (2.0 * jnp.pi))[:, None], (theta / jnp.pi)[:, None]],
@@ -121,6 +145,8 @@ def march_proxies_xla(
         out_valid = out_valid.at[row, k].set(out_valid[row, k] | write)
         out_t = out_t.at[row, k].set(jnp.where(write, best_t, out_t[row, k]))
         out_seq = out_seq.at[row, k].set(jnp.where(write, slot, out_seq[row, k]))
+        out_ratio = out_ratio.at[row, k].set(
+            jnp.where(write, ratio, out_ratio[row, k]))
 
         seen = jnp.where(record, seen | (jnp.uint32(1) << best.astype(jnp.uint32)), seen)
         slot = jnp.where(record, slot + 1, slot)
@@ -130,22 +156,29 @@ def march_proxies_xla(
     def flat(a):
         return a.reshape((n * max_hits,) + a.shape[2:])
 
-    ml = jnp.take(proxies.max_length, jnp.maximum(flat(out_aabb), 0), axis=0)
+    rows_safe = jnp.maximum(flat(out_aabb), 0)
+    ml = jnp.take(proxies.max_length, rows_safe, axis=0)
+    ratio_f = flat(out_ratio)
+    valid_f = flat(out_valid)
     return NNQuery(
         features=flat(out_feat),
-        aabb_id=flat(out_aabb),
+        # NN grouping key = OBJECT id (instances share their object's net)
+        aabb_id=jnp.where(valid_f, jnp.take(row_obj, rows_safe), -1),
         pixel_index=jnp.zeros((n * max_hits,), jnp.int32),  # filled by caller
         shadow_path_id=jnp.zeros((n * max_hits,), jnp.int32),
         hit_sequence=flat(out_seq),
         is_inside=flat(out_inside),
-        is_valid=flat(out_valid),
+        is_valid=valid_f,
         path_index=jnp.repeat(jnp.arange(n, dtype=jnp.int32), max_hits),
         aabb_t=flat(out_t),
         max_length=ml,
-        # no instancing: world == object space, so the reference's
-        # tMax/|originLocal-pointLocal| ratio is identically 1
-        t_ratio=jnp.ones((n * max_hits,), jnp.float32),
-        normalized_t=flat(out_t) / jnp.maximum(ml, 1e-12),
+        # world-t / object-t scale (1 without instancing; reference
+        # tMax/|originLocal-pointLocal|, secondary_ray_kernel.cu:292)
+        t_ratio=ratio_f,
+        # object-space entry depth for the inside-hit comparison
+        normalized_t=flat(out_t) / jnp.maximum(ratio_f * ml, 1e-12),
+        # routing target = owning partition of the hit instance
+        node_id=jnp.where(valid_f, jnp.take(row_node, rows_safe), -1),
     )
 
 
@@ -162,7 +195,9 @@ def march_proxies(
     test oracle)."""
     import jax as _jax
 
-    if _jax.default_backend() == "cpu":
+    if _jax.default_backend() == "cpu" or proxies.instanced:
+        # instanced tables take the XLA path (the Pallas march kernel has
+        # no object-space transform stage yet)
         return march_proxies_xla(proxies, origin, direction, t_cap, active,
                                  my_node, max_hits, eps)
     from ..ops.pallas_march import march_proxies_pallas
@@ -243,7 +278,7 @@ def secondary_route(
     n = paths.capacity
     live = paths.is_valid & (~paths.is_shadow)
 
-    if _use_fused_route(scene, models, tracer):
+    if _use_fused_route(scene, models, tracer) and not proxies.instanced:
         from ..ops.pallas_route import route_fused
 
         dec = route_fused(
@@ -300,13 +335,16 @@ def secondary_route(
     # strided-slice min chain of 1-D arrays — (n, max_hits) 2-D forms (tiny
     # lane dim) bait XLA's layout assignment into transpose-copy storms
     # next to the Pallas kernels (see ops/pallas_march.py docstring).
+    # routing target = OWNING NODE of the winning proxy (== aabb_id unless
+    # instanced; reference NNPathData.pathIndex semantics)
+    q_node = q.node_id if q.node_id is not None else q.aabb_id
     best_pred_t = pred_t[0::max_hits]
-    best_pred_node = q.aabb_id[0::max_hits]
+    best_pred_node = q_node[0::max_hits]
     any_query = q.is_valid[0::max_hits]
     for k in range(1, max_hits):
         t_k = pred_t[k::max_hits]
         better = t_k < best_pred_t
-        best_pred_node = jnp.where(better, q.aabb_id[k::max_hits], best_pred_node)
+        best_pred_node = jnp.where(better, q_node[k::max_hits], best_pred_node)
         best_pred_t = jnp.where(better, t_k, best_pred_t)
         any_query = any_query | q.is_valid[k::max_hits]
 

@@ -103,15 +103,34 @@ def concat_geometry(meshes: list) -> dict:
 class ProxyTable(NamedTuple):
     """Global proxy-AABB table, replicated on every device. Row p describes
     partition p (TPU equivalent of `AccelerationStructure::{aabbHandle,
-    AABBInfo, nodeID}`, /root/reference/src/render/renderer.cpp:1812-1842)."""
+    AABBInfo, nodeID}`, /root/reference/src/render/renderer.cpp:1812-1842).
 
-    aabb_min: jnp.ndarray    # (P, 3) f32
+    INSTANCING (optional, reference instanceID semantics,
+    /root/reference/optix/secondary_ray_kernel.cu:289-316): when
+    `world_to_obj` is set, each row is an INSTANCE of an object — the proxy
+    march transforms hits to object space for the NN features, selects the
+    net by `obj_id`, routes to `node_id`, and emits the world/object depth
+    scale `t_ratio` that the prediction-consumption stage multiplies into
+    `maxLength * depth` (frame_buffer_update.cu:222-257 parity).
+    `max_length` is then the OBJECT-space diagonal."""
+
+    aabb_min: jnp.ndarray    # (P, 3) f32 world-space AABB
     aabb_max: jnp.ndarray    # (P, 3) f32
     max_length: jnp.ndarray  # (P,)   f32  AABB diagonal, depth denormalizer
+    # --- instancing extension (all None = row == object == partition) ---
+    obj_id: jnp.ndarray = None       # (P,) i32 net/object index
+    node_id: jnp.ndarray = None      # (P,) i32 owning partition
+    world_to_obj: jnp.ndarray = None  # (P, 3, 4) f32 affine world -> object
+    obj_min: jnp.ndarray = None      # (P, 3) f32 object-space AABB min
+    obj_span: jnp.ndarray = None     # (P, 3) f32 object-space AABB extent
 
     @property
     def num_partitions(self) -> int:
         return self.aabb_min.shape[0]
+
+    @property
+    def instanced(self) -> bool:
+        return self.world_to_obj is not None
 
 
 class DeviceScene(NamedTuple):
