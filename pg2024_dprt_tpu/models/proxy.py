@@ -29,6 +29,37 @@ class ProxyModels:
     num_objects: int = dataclasses.field(metadata=dict(static=True), default=0)
     vis_cfg: MLPConfig = dataclasses.field(metadata=dict(static=True), default=PROD_VIS)
     depth_cfg: MLPConfig = dataclasses.field(metadata=dict(static=True), default=PROD_DEPTH)
+    # multi-geo mode (reference MultiGeoNeuralVisNetwork,
+    # /root/reference/trainingcode/module.py:531-582): ONE net serves every
+    # object, taking instanceID/INSTANCE_DIVISOR as a 6th input feature.
+    # vis_params/depth_params are then SINGLE-net dicts (no leading O dim)
+    # with cfg.in_features == 6.
+    multi_geo: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+def multigeo_proxy_models(vis_params: dict, depth_params: dict,
+                          num_objects: int, vis_cfg: MLPConfig,
+                          depth_cfg: MLPConfig) -> ProxyModels:
+    """Wrap one 6-feature net pair as the proxy model table for N objects."""
+    assert vis_cfg.in_features == 6 and depth_cfg.in_features == 6
+    return ProxyModels(vis_params, depth_params, num_objects,
+                       vis_cfg, depth_cfg, multi_geo=True)
+
+
+def apply_multigeo(params: dict, cfg: MLPConfig, features, obj_id, valid,
+                   compute_dtype=jnp.bfloat16):
+    """Multi-geo inference: append instanceID/INSTANCE_DIVISOR to the 5
+    features and run the ONE shared net over the whole batch (replaces the
+    grouped per-object dispatch — no grouping needed when one net serves
+    every object)."""
+    from ..train.datasets import INSTANCE_DIVISOR
+    from .mlp import apply_mlp
+
+    iid = (jnp.maximum(obj_id, 0).astype(jnp.float32)
+           / jnp.float32(INSTANCE_DIVISOR))[:, None]
+    x = jnp.concatenate([features, iid], axis=-1)
+    out = apply_mlp(params, x, cfg, compute_dtype=compute_dtype)
+    return jnp.where(valid, out, 0.0)
 
 
 def random_proxy_models(key, num_objects: int,

@@ -213,6 +213,10 @@ def _use_fused_route(scene, models: ProxyModels, tracer: str) -> bool:
     weights fit the VMEM budget."""
     if jax.default_backend() == "cpu" or tracer not in ("auto", "resident"):
         return False
+    if models.multi_geo:
+        # the fused kernel runs stacked per-object weights; the shared
+        # multi-geo net takes the composed path (apply_multigeo)
+        return False
     tex = scene.albedo_textures
     if tex is not None and tex.count > 0 and tex.has_cutout:
         return False
@@ -234,6 +238,14 @@ def _nn_pair(models: ProxyModels, feats, obj_id, valid):
     themselves (frame_buffer_update.cu:31-72 reads depth only when
     isInside)."""
     c_v, c_d = models.vis_cfg, models.depth_cfg
+    if models.multi_geo:
+        # one shared 6-feature net for every object (reference
+        # MultiGeoNeuralVisNetwork): no grouping, one dense pass per net
+        from ..models.proxy import apply_multigeo
+
+        vis = apply_multigeo(models.vis_params, c_v, feats, obj_id, valid)
+        depth = apply_multigeo(models.depth_params, c_d, feats, obj_id, valid)
+        return vis, depth
     same_arch = (c_v.width, c_v.depth, c_v.in_features, c_v.head_hidden) == \
                 (c_d.width, c_d.depth, c_d.in_features, c_d.head_hidden)
     if jax.default_backend() != "cpu" and same_arch:

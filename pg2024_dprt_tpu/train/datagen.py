@@ -84,3 +84,20 @@ def generate_proxy_dataset(
         done += n
 
     return np.concatenate(feats_out), np.concatenate(labels_out)
+
+
+def generate_multigeo_dataset(scenes, aabb_mins, aabb_maxs, num_samples: int,
+                              seed: int = 0, eps: float = 1e-4):
+    """Instance-ID datagen mode: one call of generate_proxy_dataset per
+    object, combined into the 6-feature multi-geo layout (reference
+    MultiGeoNeuralVisNetwork input, trainingcode/module.py:572-582 +
+    loadMultiDatasets).  Returns (features (N, 6), depth_labels (N,))."""
+    from .datasets import multi_geo_features
+
+    feats, labels = [], []
+    for i, (sc, lo, hi) in enumerate(zip(scenes, aabb_mins, aabb_maxs)):
+        f, l = generate_proxy_dataset(sc, lo, hi, num_samples,
+                                      seed=seed + 7919 * i, eps=eps)
+        feats.append(np.asarray(f))
+        labels.append(np.asarray(l))
+    return multi_geo_features(feats, labels)

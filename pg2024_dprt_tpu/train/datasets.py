@@ -85,3 +85,40 @@ def load_exr_pair(origin_path: str, direction_path: str):
     d = rgb(d, names_d)
     features = np.concatenate([o, d[:, 0:2]], axis=-1).astype(np.float32)
     return features, d[:, 2].astype(np.float32)
+
+
+# reference loadMultiDatasets normalizes the instance-id channel by 4.0
+# (/root/reference/trainingcode/datasets.py:259)
+INSTANCE_DIVISOR = 4.0
+
+
+def multi_geo_features(features_list, labels_list,
+                       divisor: float = INSTANCE_DIVISOR):
+    """Combine per-object (N_i, 5) feature sets into one multi-geo
+    (sum N_i, 6) set with instanceID/divisor appended as the 6th feature —
+    the in-memory form of the reference's loadMultiDatasets
+    (/root/reference/trainingcode/datasets.py:228-268)."""
+    feats, labels = [], []
+    for i, (f, l) in enumerate(zip(features_list, labels_list)):
+        f = np.asarray(f, np.float32)
+        iid = np.full((f.shape[0], 1), np.float32(i / divisor))
+        feats.append(np.concatenate([f, iid], axis=1))
+        labels.append(np.asarray(l, np.float32))
+    return np.concatenate(feats, axis=0), np.concatenate(labels, axis=0)
+
+
+def load_multi_datasets(origin_prefix: str, direction_prefix: str, size: int,
+                        divisor: float = INSTANCE_DIVISOR):
+    """File-based mirror of the reference loadMultiDatasets
+    (/root/reference/trainingcode/datasets.py:228-268): per-instance
+    origin/direction EXR pairs `<prefix><i>.exr`, instanceID/divisor as the
+    6th feature.  Our EXRs already store AABB-normalized features
+    (export_exr_pair), so the reference's in-loader AABB normalization is a
+    no-op here."""
+    feats, labels = [], []
+    for i in range(size):
+        f, l = load_exr_pair(f"{origin_prefix}{i}.exr",
+                             f"{direction_prefix}{i}.exr")
+        feats.append(f)
+        labels.append(l)
+    return multi_geo_features(feats, labels, divisor=divisor)
