@@ -341,7 +341,7 @@ def _refine_winners(rays, s_slot, out_ref, fetch, *, c: int, tm: int):
 
 
 def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
-                 tm: int, k: int, recull: int, t_scr=None):
+                 tm: int, k: int, recull: int, t_scr=None, ssub: int = 1):
     """Selection loop in rounds of `recull` visits with PER-RAY horizon
     re-culling between rounds (see _kernel docstring).  table_ref is the
     VMEM (K, 12, C) table when hbm_refs is None, else the HBM ref with
@@ -353,6 +353,16 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
     crossing the outer loop boundary hit a Mosaic scf.yield layout
     legalization conflict: round-start values are ref reads / fresh
     reduces, round-end values are remasked carries.)
+
+    ssub > 1 runs the selection as `ssub` INDEPENDENT sub-blocks of
+    TM/ssub rays sharing one (TM, K) cull: a sub-block's cluster union is
+    far tighter than the whole tile's on scattered wavefronts (measured
+    16.9 clusters per 32 rays vs 38.2 per 128 under the cluster-schedule
+    sort, scripts/study_perray.py), and each visit's triangle test shrinks
+    to (TM/ssub, C) rows — the same in-kernel retiling that won the frame
+    megakernel's shadow pass (ops/pallas_frame.py ssub).  Selection
+    machinery runs per sub-block (x ssub), so coherent camera tiles keep
+    ssub=1.
 
     Returns (s_kb, s_slot, kb0): per-ray packed best keys, winning table
     slots (-1 = miss), and the tmax-init keys (s_kb < kb0 iff hit).  When
@@ -367,25 +377,19 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
     cb = _lane_bits(k)
     lane_mask = jnp.int32((1 << lb) - 1)
     cmask = jnp.int32((1 << cb) - 1)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, c), 1)
     lanes_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    en_pr = _cluster_enters(rays, boxes, k, tm, exact=True, keep_rows=True)
+    assert tm % ssub == 0 and (tm // ssub) % 8 == 0
+    sm = tm // ssub
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (sm, c), 1)
 
-    kb0 = (
+    en_pr_full = _cluster_enters(rays, boxes, k, tm, exact=True,
+                                 keep_rows=True)
+
+    kb0_full = (
         jax.lax.bitcast_convert_type(jnp.maximum(tmax, 0.0), jnp.int32)
         & ~lane_mask
     ) | lane_mask
-
-    def rekeys(s_kb):
-        # each ray's committed t, rounded DOWN by the lane bits the packed
-        # key spends -> guard band so pruning can never drop a cluster a
-        # ray could still improve on beyond the accepted tie blur
-        t_best = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
-        t_g = t_best * (1.0 + 1e-4) + 1e-7
-        en_eff = jnp.where(en_pr <= jnp.broadcast_to(t_g, (tm, k)), en_pr, inf)
-        en_min = jnp.min(en_eff, axis=0, keepdims=True)
-        return jnp.where(vis_scr[:] > 0, SAT, _selection_keys(en_min, k, cb))
 
     if hbm_refs is not None:
         tbuf, sem = hbm_refs
@@ -398,86 +402,108 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
     if t_scr is not None:
         t_scr[:] = jnp.broadcast_to(tmax, (tm, 1))
 
-    skb_scr[:] = kb0
+    skb_scr[:] = kb0_full
     slot_scr[:] = jnp.full((tm, 1), -1, jnp.int32)
-    vis_scr[:] = jnp.zeros((1, k), jnp.int32)
-    sel0, keys0 = _next_cluster(rekeys(kb0))
-    keys_scr[:] = keys0
-    worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
 
-    def outer_cond(carry):
-        j, sel, worst = carry
-        return (sel & ~cmask) < worst
+    for s in range(ssub):
+        r0, r1 = s * sm, (s + 1) * sm
+        rays_s = rays[r0:r1]
+        en_pr = en_pr_full[r0:r1]
+        kb0 = kb0_full[r0:r1]
 
-    def outer_body(carry):
-        j0, sel_in, worst_in = carry
-        keys_in = keys_scr[:]
-        s_kb_in = skb_scr[:]
-        s_slot_in = slot_scr[:]
-        # depth-2 pipelining (see _kernel): the carry holds the indices of
-        # the current AND next visit so each extract->dynamic-slice chain
-        # gets ~two triangle bodies of slack; HBM prefetches ride a
-        # TRIPLE-buffered scratch (two DMAs in flight)
-        sel_b0, keys_in2 = _next_cluster(keys_in)
-        if hbm_refs is not None:
-            # outer_cond held, so sel_in is viable: start this round's chain
-            dma(sel_in & cmask, jax.lax.rem(j0, 3)).start()
-            dma(sel_b0 & cmask, jax.lax.rem(j0 + 1, 3)).start()
+        def rekeys(s_kb):
+            # each ray's committed t, rounded DOWN by the lane bits the
+            # packed key spends -> guard band so pruning can never drop a
+            # cluster a ray could still improve on beyond the accepted blur
+            t_best = jax.lax.bitcast_convert_type(
+                s_kb & ~lane_mask, jnp.float32)
+            t_g = t_best * (1.0 + 1e-4) + 1e-7
+            en_eff = jnp.where(
+                en_pr <= jnp.broadcast_to(t_g, (sm, k)), en_pr, inf)
+            en_min = jnp.min(en_eff, axis=0, keepdims=True)
+            return jnp.where(vis_scr[:] > 0, SAT,
+                             _selection_keys(en_min, k, cb))
 
-        def inner_cond(c2):
-            j, sel, sel_b, keys, s_kb, worst, s_slot = c2
-            return (j - j0 < recull) & ((sel & ~cmask) < worst)
+        vis_scr[:] = jnp.zeros((1, k), jnp.int32)
+        sel0, keys0 = _next_cluster(rekeys(kb0))
+        keys_scr[:] = keys0
+        worst0 = jnp.max(kb0, axis=0, keepdims=True)[0, 0]
 
-        def inner_body(c2):
-            j, sel, sel_b, keys, s_kb, worst, s_slot = c2
-            sel2, keys2 = _next_cluster(keys)       # visit after next
-            worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
-            idx = sel & cmask
-            vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
+        def outer_cond(carry):
+            j, sel, worst = carry
+            return (sel & ~cmask) < worst
+
+        def outer_body(carry):
+            j0, sel_in, worst_in = carry
+            keys_in = keys_scr[:]
+            s_kb_in = skb_scr[r0:r1]
+            s_slot_in = slot_scr[r0:r1]
+            # depth-2 pipelining (see _kernel): the carry holds the indices
+            # of the current AND next visit so each extract->dynamic-slice
+            # chain gets ~two triangle bodies of slack; HBM prefetches ride
+            # a TRIPLE-buffered scratch (two DMAs in flight)
+            sel_b0, keys_in2 = _next_cluster(keys_in)
             if hbm_refs is not None:
-                slot = jax.lax.rem(j, 3)
-                dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
-                dma(idx, slot).wait()
-                tri = tbuf[slot]
-            else:
-                tri = table_ref[idx]
-            t, tri_ok = _mt_body(rays, tri, c, tm)
-            tb = jax.lax.bitcast_convert_type(
-                jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38),
-                jnp.int32,
-            )
-            key = (tb & ~lane_mask) | lanes
-            kmin = jnp.min(key, axis=1, keepdims=True)
-            improved = kmin < s_kb
-            slot_w = (idx << lb) | (kmin & lane_mask)
-            if t_scr is not None:
-                win = (lanes == jnp.broadcast_to(kmin & lane_mask, (tm, c))) & tri_ok
-                t_exact = jnp.min(jnp.where(win, t, 3.402823466e38),
-                                  axis=1, keepdims=True)
-                t_scr[:] = jnp.where(improved, t_exact, t_scr[:])
-            s_kb = jnp.where(improved, kmin, s_kb)
-            s_slot = jnp.where(improved, slot_w, s_slot)
-            return j + 1, sel_b, sel2, keys2, s_kb, worst2, s_slot
+                # outer_cond held, so sel_in is viable: start this chain
+                dma(sel_in & cmask, jax.lax.rem(j0, 3)).start()
+                dma(sel_b0 & cmask, jax.lax.rem(j0 + 1, 3)).start()
 
-        j_end, _, _, _, s_kb, _, s_slot = jax.lax.while_loop(
-            inner_cond, inner_body,
-            (j0, sel_in, sel_b0, keys_in2, s_kb_in, worst_in, s_slot_in))
+            def inner_cond(c2):
+                j, sel, sel_b, keys, s_kb, worst, s_slot = c2
+                return (j - j0 < recull) & ((sel & ~cmask) < worst)
 
-        if hbm_refs is not None:
-            # drain the two outstanding prefetches of this round
-            dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
-            dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
+            def inner_body(c2):
+                j, sel, sel_b, keys, s_kb, worst, s_slot = c2
+                sel2, keys2 = _next_cluster(keys)       # visit after next
+                worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+                idx = sel & cmask
+                vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
+                if hbm_refs is not None:
+                    slot = jax.lax.rem(j, 3)
+                    dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
+                    dma(idx, slot).wait()
+                    tri = tbuf[slot]
+                else:
+                    tri = table_ref[idx]
+                t, tri_ok = _mt_body(rays_s, tri, c, sm)
+                tb = jax.lax.bitcast_convert_type(
+                    jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38),
+                    jnp.int32,
+                )
+                key = (tb & ~lane_mask) | lanes
+                kmin = jnp.min(key, axis=1, keepdims=True)
+                improved = kmin < s_kb
+                slot_w = (idx << lb) | (kmin & lane_mask)
+                if t_scr is not None:
+                    win = (lanes == jnp.broadcast_to(
+                        kmin & lane_mask, (sm, c))) & tri_ok
+                    t_exact = jnp.min(jnp.where(win, t, 3.402823466e38),
+                                      axis=1, keepdims=True)
+                    t_scr[r0:r1] = jnp.where(improved, t_exact,
+                                             t_scr[r0:r1])
+                s_kb = jnp.where(improved, kmin, s_kb)
+                s_slot = jnp.where(improved, slot_w, s_slot)
+                return j + 1, sel_b, sel2, keys2, s_kb, worst2, s_slot
 
-        skb_scr[:] = s_kb
-        slot_scr[:] = s_slot
-        sel3, keys3 = _next_cluster(rekeys(s_kb))
-        keys_scr[:] = keys3
-        worst3 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
-        return j_end, sel3, worst3
+            j_end, _, _, _, s_kb, _, s_slot = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (j0, sel_in, sel_b0, keys_in2, s_kb_in, worst_in, s_slot_in))
 
-    jax.lax.while_loop(outer_cond, outer_body,
-                       (jnp.int32(0), sel0, worst0))
-    return skb_scr[:], slot_scr[:], kb0
+            if hbm_refs is not None:
+                # drain the two outstanding prefetches of this round
+                dma(jnp.int32(0), jax.lax.rem(j_end, 3)).wait()
+                dma(jnp.int32(0), jax.lax.rem(j_end + 1, 3)).wait()
+
+            skb_scr[r0:r1] = s_kb
+            slot_scr[r0:r1] = s_slot
+            sel3, keys3 = _next_cluster(rekeys(s_kb))
+            keys_scr[:] = keys3
+            worst3 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
+            return j_end, sel3, worst3
+
+        jax.lax.while_loop(outer_cond, outer_body,
+                           (jnp.int32(0), sel0, worst0))
+    return skb_scr[:], slot_scr[:], kb0_full
 
 
 def _next_member(mkeys):
@@ -1247,7 +1273,8 @@ def _occl_kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
 
 
 def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
-            k: int, exact: bool, recull: int = 0, rich: bool = False):
+            k: int, exact: bool, recull: int = 0, rich: bool = False,
+            ssub: int = 1):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
     (t_bits | lane) key; out = [t_approx, table_slot] per ray, or the
     refined row-major record (_refine_winners) when rich=True.
@@ -1272,7 +1299,8 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
 
     if recull and exact:
         s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_ref, None,
-                                       scr, c=c, tm=tm, k=k, recull=recull)
+                                       scr, c=c, tm=tm, k=k, recull=recull,
+                                       ssub=ssub)
         if rich:
             _refine_winners(rays, s_slot, out_ref,
                             lambda cur: table_ref[cur], c=c, tm=tm)
@@ -1349,7 +1377,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
 
 def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
                 c: int, tm: int, k: int, exact: bool, recull: int = 0,
-                rich: bool = False):
+                rich: bool = False, ssub: int = 1):
     """Closest hit with the cluster table in HBM (scenes too big for a
     VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
     one-iteration lookahead that software-pipelines the selection extracts
@@ -1377,7 +1405,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     if recull and exact:
         s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_hbm,
                                        (tbuf, sem), scr, c=c, tm=tm, k=k,
-                                       recull=recull)
+                                       recull=recull, ssub=ssub)
         if rich:
             _refine_winners(rays, s_slot, out_ref, fetch_hbm, c=c, tm=tm)
             return
@@ -1635,7 +1663,7 @@ VMEM_TABLE_LIMIT = 8 * 2**20
 
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "rich", "interpret", "sort_mode"),
+    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "rich", "interpret", "sort_mode", "ssub"),
 )
 def trace_resident(
     scene: DeviceScene,
@@ -1650,6 +1678,7 @@ def trace_resident(
     rich: bool = None,
     interpret: bool = None,
     sort_mode: str = "auto",
+    ssub: int = None,
 ):
     """Closest-hit trace with the resident-table kernel.  Same contract as
     pallas_tracer.trace_pallas: (HitRecord, dropped_pair_count), or
@@ -1874,6 +1903,20 @@ def trace_resident(
         grouped = False
     grouped = grouped and (exact_cull or not any_hit)
 
+    if ssub is None:
+        # in-kernel sub-block retiling (see _recull_loop).  MEASURED
+        # (sweep_sched ssub, 64k incoherent cluster-sorted): splitting a
+        # 128-ray tile into narrower selection loops LOSES (ssub=2 12.96 ms
+        # = baseline, 4 -> 15.5, 8 -> 19.9): closest-hit visits are
+        # LATENCY-bound (~0.19 us fixed + ~0.3 us x rows/128), so sub-
+        # blocks raise the visit count (4 x 16.9 unions vs 38.2) faster
+        # than they shrink per-visit cost.  Default stays 1; the knob
+        # exists for width>128 tiles (sub-blocks of 128 rays: same unions,
+        # fewer grid steps) and future occlusion-style loops.
+        ssub = 1
+    if any_hit or grouped or not recull or tm % ssub or (tm // ssub) % 8:
+        ssub = 1
+
     ray_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(
@@ -1973,7 +2016,7 @@ def trace_resident(
             scratch = []
         kern = partial(kern, recull=recull)
         if not any_hit:
-            kern = partial(kern, rich=rich)
+            kern = partial(kern, rich=rich, ssub=ssub)
         if recull:
             # round-crossing vector state of the re-cull loops (see
             # _recull_loop / _occl_recull_loop: the outer while carries only

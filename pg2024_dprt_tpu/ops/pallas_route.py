@@ -15,11 +15,11 @@ Per ray tile the kernel runs:
      one-hot reduce per cluster) since there is no XLA refinement epilogue;
   2. proxy-AABB march — ops/pallas_march.py semantics with
      t_cap = local hit t (or the caller's uncapped tmax on miss);
-  3. vis + depth inference — presence-gated stacked-weight form: all
-     objects' weights VMEM-resident, but each tile only runs the nets of
-     objects its march actually hit (`pl.when` skip — a Morton-sorted
-     wavefront touches 1-3 proxies per tile, so this is ~p x cheaper than
-     the dense all-objects loop at production width);
+  3. vis + depth inference — ALL objects in ONE matmul per layer: weights
+     ride concatenated along the OUT dim ((in, p*out) bf16) and each row's
+     result is narrowed to its own object's block after every layer
+     (_forward_all_objects — the stage is layer-latency-bound, so the
+     dependent-step count, not FLOPs or rows, is what matters);
   4. consumption — tMax/targetNode/env-miss decisions
      (render/proxy_stages.py consumption block; reference
      frame_buffer_update.cu:222-324).
@@ -63,28 +63,44 @@ def _leaky(x):
     return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
 
 
-def _forward_stacked(x, refs, o: int, cfg: MLPConfig, final_activation: str):
-    """One net's forward over (Q, F) rows using object o's slice of the
-    stacked (O, ...) weight refs (o is a static Python int)."""
-    def dot(h, wn, bn):
-        w = refs[wn][o]                                  # (in, out) bf16
-        b = refs[bn][o:o + 1]                            # (1, out) f32
-        return (
-            jnp.dot(h.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
-            + b
-        )
+def _forward_all_objects(x, refs, p: int, cfg: MLPConfig,
+                         final_activation: str, sel_cols):
+    """One net's forward over (Q, F) rows for ALL p objects in ONE matmul
+    per layer.  Weight refs hold every object's layer concatenated along
+    the OUT dim ((in, p*out) bf16, biases (1, p*out) f32 — see the wrapper
+    prep); after each layer the per-row result is narrowed back to the
+    row's OWN object's block with a static-slice select tree (sel_cols[o]
+    is the (Q, 1) f32 membership column).
 
+    Why this shape: the per-object loop (even over COMPACTED rows,
+    ops/pallas_compact.py) is LAYER-LATENCY-bound — p objects x ~26
+    dependent small matmuls dominate regardless of row count (measured
+    25.2 -> 21.1 ms only after a 6x row cut).  One concatenated matmul per
+    layer costs p x the MXU FLOPs (cheap at these widths) but collapses
+    the dependent-step count by p."""
+    def dot(h, wn, bn, out_w: int):
+        full = (
+            jnp.dot(h.astype(jnp.bfloat16), refs[wn][0],
+                    preferred_element_type=jnp.float32)
+            + refs[bn][0]
+        )                                                # (Q, p*out)
+        acc = full[:, 0:out_w] * sel_cols[0]
+        for o in range(1, p):
+            acc = acc + full[:, o * out_w:(o + 1) * out_w] * sel_cols[o]
+        return acc                                       # (Q, out)
+
+    w = cfg.width
     origin = x[:, : cfg.in_features - 2]
     direction = x[:, cfg.in_features - 2:]
-    ho = _leaky(dot(origin, "enc_o_w0", "enc_o_b0"))
-    ho = _leaky(dot(ho, "enc_o_w1", "enc_o_b1"))
-    hd = _leaky(dot(direction, "enc_d_w0", "enc_d_b0"))
-    hd = _leaky(dot(hd, "enc_d_w1", "enc_d_b1"))
+    ho = _leaky(dot(origin, "enc_o_w0", "enc_o_b0", cfg.enc_hidden))
+    ho = _leaky(dot(ho, "enc_o_w1", "enc_o_b1", cfg.enc_out))
+    hd = _leaky(dot(direction, "enc_d_w0", "enc_d_b0", cfg.enc_hidden))
+    hd = _leaky(dot(hd, "enc_d_w1", "enc_d_b1", cfg.enc_out))
     h = jnp.concatenate([ho, hd], axis=-1)
     for i in range(cfg.depth):
-        h = _leaky(h + dot(h, f"res_w{i}", f"res_b{i}"))
-    h = _leaky(dot(h, "head_w0", "head_b0"))
-    out = dot(h, "head_w1", "head_b1")
+        h = _leaky(h + dot(h, f"res_w{i}", f"res_b{i}", w))
+    h = _leaky(dot(h, "head_w0", "head_b0", cfg.head_hidden))
+    out = dot(h, "head_w1", "head_b1", 1)
     if final_activation == "leaky_relu":
         out = _leaky(out)
     elif final_activation == "sigmoid":
@@ -93,7 +109,7 @@ def _forward_stacked(x, refs, o: int, cfg: MLPConfig, final_activation: str):
 
 
 def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, rc_scr, *, c,
-                   tm, k, hbm: bool, recull: int = 0):
+                   tm, k, hbm: bool, recull: int = 0, ssub: int = 1):
     """pallas_resident's selection loop (_kernel / _kernel_hbm), additionally
     tracking the exact winner t per ray in a VMEM scratch (a loop-carried
     value hits a Mosaic vector-layout legalization conflict: the init is a
@@ -106,7 +122,7 @@ def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, rc_scr, *, c,
         hbm_refs = (tbuf, sem) if hbm else None
         s_kb, _, kb0 = _recull_loop(rays, boxes, table_ref, hbm_refs,
                                     rc_scr, c=c, tm=tm, k=k, recull=recull,
-                                    t_scr=t_scr)
+                                    t_scr=t_scr, ssub=ssub)
         return t_scr[:], s_kb < kb0
     tmax = rays[:, 7:8]
     lb = _lane_bits(c)
@@ -182,7 +198,7 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
                   *rest, c: int, tm: int, k: int, p: int, max_hits: int,
                   eps: float, cfg: MLPConfig, vis_final: str,
                   depth_final: str, n_params: int, hbm: bool,
-                  recull: int = 0):
+                  recull: int = 0, ssub: int = 1):
     """rays cols (16): [o(3), d(3), tmin|FMAX, tmax_eff|0, phi, theta,
     inv(3), act, tmax_raw, pad]; pboxes rows (8, P): [min(3), max(3),
     allowed, pad]; pdiag (1, P): proxy max_length.  out cols (8):
@@ -198,8 +214,8 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
         scr = scr[2:]
     else:
         tbuf = sem = None
-    t_scr, nn_scr = scr[:2]
-    rc_scr = scr[2:] if recull else None
+    t_scr = scr[0]
+    rc_scr = scr[1:] if recull else None
 
     rays = rays_ref[:]
     act = rays[:, 13:14] > 0.5
@@ -208,7 +224,7 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
     # ---- 1. local closest hit (tmax_eff is scene-exit capped) ----
     local_t, local_hit = _trace_exact_t(
         rays, boxes_ref[:], table_ref, tbuf, sem, t_scr, rc_scr, c=c,
-        tm=tm, k=k, hbm=hbm, recull=recull)
+        tm=tm, k=k, hbm=hbm, recull=recull, ssub=ssub)
     local_hit = local_hit & act
     # proxies live OUTSIDE the local scene: the march/routing bound on a
     # local miss is the caller's UNCAPPED tmax, not the scene-exit cap
@@ -277,22 +293,25 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
         seen = jnp.where(record, seen | (jnp.int32(1) << best), seen)
         t_lo = jnp.where(found, best_t, t_lo)
 
-    # ---- 3. presence-gated vis/depth inference (all hits batched) ----
+    # ---- 3. all-objects-in-one-matmul vis/depth inference ----
+    # Two rejected forms, both measured on-chip: (a) presence-gated — each
+    # PRESENT object's nets over ALL mh*tm rows (~25.2 ms whole-kernel:
+    # scattered wavefronts touch every proxy per tile, the pl.when gate
+    # never skipped); (b) object-compacted (ops/pallas_compact.py, the
+    # reference's Work_Efficient_Scan_For_NN grouping in-kernel) — a 6x
+    # row cut bought only ~4 ms because the stage is LAYER-LATENCY-bound:
+    # p objects x 26 dependent matmuls dominate at any row count.  The
+    # winning form runs ONE concatenated matmul per layer for all objects
+    # (_forward_all_objects).
     xs = jnp.concatenate([h[0] for h in hits_feat], axis=0)      # (mh*tm, 5)
     objs = jnp.concatenate([h[1] for h in hits_feat], axis=0)    # (mh*tm, 1)
-    nn_scr[:] = jnp.zeros((max_hits * tm, 2), jnp.float32)
-    for o in range(p):
-        sel = objs == o
-        # a Morton-sorted tile's march touches only a few proxies: skip the
-        # other objects' nets entirely (value flows through the scratch)
-        @pl.when(jnp.any(sel))
-        def _(o=o, sel=sel):
-            fv = _forward_stacked(xs, vis_refs, o, cfg, vis_final)
-            fd = _forward_stacked(xs, depth_refs, o, cfg, depth_final)
-            nn_scr[:, 0:1] = jnp.where(sel, fv, nn_scr[:, 0:1])
-            nn_scr[:, 1:2] = jnp.where(sel, fd, nn_scr[:, 1:2])
-    vis = nn_scr[:, 0:1]
-    depth = nn_scr[:, 1:2]
+    objs_f = objs.astype(jnp.float32)
+    sel_cols = [jnp.where(objs_f == o, 1.0, 0.0) for o in range(p)]
+    valid_col = jnp.where(objs_f >= 0.0, 1.0, 0.0)
+    vis = _forward_all_objects(xs, vis_refs, p, cfg, vis_final,
+                               sel_cols) * valid_col
+    depth = _forward_all_objects(xs, depth_refs, p, cfg, depth_final,
+                                 sel_cols) * valid_col
 
     # ---- 4. consumption (frame_buffer_update.cu:222-324) ----
     best_pred_t = jnp.full((tm, 1), _FMAX)
@@ -483,15 +502,26 @@ def route_fused(
         table = jnp.pad(table, ((0, 0), (0, 0), (0, c_k - c)))
 
     names = _param_names(cfg)
-    # per-call casts sit in ENTRY and CSE across the unrolled bounce loop —
-    # measured negligible under the chained slope, so no precast caching
-    # (a cached copy goes stale when callers replace params)
-    wv = [models.vis_params[nm].astype(
-        jnp.bfloat16 if models.vis_params[nm].ndim == 3 else jnp.float32)
-        for nm in names]
-    wd = [models.depth_params[nm].astype(
-        jnp.bfloat16 if models.depth_params[nm].ndim == 3 else jnp.float32)
-        for nm in names]
+
+    # per-call casts/reshapes sit in ENTRY and CSE across the unrolled
+    # bounce loop — measured negligible under the chained slope, so no
+    # precast caching (a cached copy goes stale when callers replace
+    # params).  Layout: every object's layer concatenated along OUT
+    # ((1, in, p*out) bf16 / (1, 1, p*out) f32 biases) so the kernel runs
+    # one matmul per layer for all objects (_forward_all_objects).
+    def prep(params):
+        arrs = []
+        for nm in names:
+            a = params[nm]
+            if a.ndim == 3:                     # (O, in, out)
+                arrs.append(jnp.transpose(a, (1, 0, 2))
+                            .reshape(1, a.shape[1], -1).astype(jnp.bfloat16))
+            else:                               # bias (O, out)
+                arrs.append(a.reshape(1, 1, -1).astype(jnp.float32))
+        return arrs
+
+    wv = prep(models.vis_params)
+    wd = prep(models.depth_params)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((tm, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -503,6 +533,10 @@ def route_fused(
     # resident NN weights (2 MiB cap; the composed budget in
     # pallas_resident gives trace-only kernels 4 MiB)
     recull = 8 if tm * k * 4 <= 2 * 2**20 else 0
+    # sub-block retiling measured a LOSS for closest-hit selection loops
+    # (pallas_resident ssub policy note) — keep 1; the knob stays plumbed
+    # for width>128 tiles
+    ssub = 1
 
     scratch = []
     if hbm_table:
@@ -512,7 +546,6 @@ def route_fused(
         ]
     scratch += [
         pltpu.VMEM((tm, 1), jnp.float32),
-        pltpu.VMEM((max_hits * tm, 2), jnp.float32),
     ]
     if recull:
         # round-crossing vector state of the re-cull trace loop
@@ -527,7 +560,8 @@ def route_fused(
         partial(_route_kernel, c=c_k, tm=tm, k=k, p=p, max_hits=max_hits,
                 eps=eps, cfg=cfg, vis_final=models.vis_cfg.final_activation,
                 depth_final=models.depth_cfg.final_activation,
-                n_params=len(names), hbm=hbm_table, recull=recull),
+                n_params=len(names), hbm=hbm_table, recull=recull,
+                ssub=ssub),
         grid=(mp // tm,),
         in_specs=[ray_spec, vmem, vmem, vmem, table_spec]
                  + [vmem] * (2 * len(names)),

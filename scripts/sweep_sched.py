@@ -30,16 +30,45 @@ def main():
     if stage == "mode":
         combos = [dict(sort_mode=m, tile_rays=tm)
                   for m in ("morton", "cluster") for tm in (128, 256)]
-    else:  # knobs under the cluster sort
+    elif stage == "knobs":  # knobs under the cluster sort
         combos = [dict(sort_mode="cluster", tile_rays=128, recull=rc, rich=rich)
                   for rc in (4, 8, 16) for rich in (False, True)]
+    elif stage == "ssub":  # in-kernel sub-block retiling (narrower loops)
+        combos = [dict(sort_mode="cluster", tile_rays=128, ssub=ss)
+                  for ss in (1, 2, 4, 8, 16)]
+    else:  # WIDER tiles with 128-ray sub-blocks: same unions per loop,
+           # fewer grid steps (per-grid-step overhead probe)
+        combos = [dict(sort_mode="cluster", tile_rays=256, ssub=2),
+                  dict(sort_mode="cluster", tile_rays=512, ssub=4),
+                  dict(sort_mode="cluster", tile_rays=1024, ssub=8),
+                  dict(camera=True, tile_rays=128, ssub=1),
+                  dict(camera=True, tile_rays=256, ssub=2),
+                  dict(camera=True, tile_rays=512, ssub=4)]
 
+    cam_o = cam_d = None
     for kw in combos:
-        def t(o, d, tmx, act, sc, kw=kw):
+        kw = dict(kw)
+        camera = kw.pop("camera", False)
+        if camera and cam_o is None:
+            from pg2024_dprt_tpu.core.camera import Camera
+            cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5],
+                                 [0, 1, 0], 45.0, 256, 256)
+            bs, side = 16, 256
+            ids = np.arange(n)
+            by, bx = ids // (side * bs), ids % (side * bs)
+            blk, inner = bx // (bs * bs), bx % (bs * bs)
+            pix = jnp.asarray(((by * bs + inner // bs) * side
+                               + (blk * bs + inner % bs)).astype(np.int32))
+            cam_o, cam_d = cam.generate_rays(
+                pix // side, pix % side, jnp.zeros(n), jnp.zeros(n))
+        o_, d_ = (cam_o, cam_d) if camera else (ro, rd)
+
+        def t(o, d, tmx, act, sc, kw=kw, camera=camera):
             return trace_resident(sc, o, d, 1e-3, tmx, act,
-                                  sort_rays=True, **kw)[0].t
-        per = chained_time(t, ro, rd, tmx, act, scene, short=2, long=10)
-        print(f"incoherent {kw}: {per*1e3:7.2f} ms "
+                                  sort_rays=not camera, **kw)[0].t
+        per = chained_time(t, o_, d_, tmx, act, scene, short=2, long=10)
+        name = "camera" if camera else "incoherent"
+        print(f"{name} {kw}: {per*1e3:7.2f} ms "
               f"({n/per/1e6:6.2f} Mrays/s)", flush=True)
 
 

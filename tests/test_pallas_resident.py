@@ -414,3 +414,25 @@ def test_resident_grouped_interval_matches_oracle():
     _check(scene, o, d, jnp.full((n,), 1e30, jnp.float32),
            jnp.ones((n,), bool), tile_rays=128, grouped=True,
            exact_cull=False, hbm_table=True)
+
+
+def test_resident_ssub_variants():
+    """In-kernel sub-block retiling (_recull_loop ssub): every sub-block
+    width must agree exactly with the oracle — including finite per-ray
+    t_max and inactive rays — and with the ssub=1 winners."""
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=31)],
+                                     tris_per_cluster=64)
+    n = 1024
+    rng = np.random.RandomState(33)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tmax = jnp.asarray(
+        np.where(rng.rand(n) < 0.25, 0.4, 1e30).astype(np.float32))
+    act = jnp.asarray(rng.rand(n) > 0.2)
+    for ssub in (2, 4, 8, 16):
+        _check(scene, o, d, tmax, act, tile_rays=128, sort_rays=True,
+               ssub=ssub)
+    # HBM streaming path with sub-blocks (per-sub DMA chains)
+    _check(scene, o, d, tmax, act, tile_rays=128, sort_rays=True,
+           ssub=4, hbm_table=True)
