@@ -235,7 +235,7 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                   hbm: bool, recull: int, orecull: int,
                   width: int, height: int, tiny: bool = False, ct: int = 8,
                   textured: bool = False, tr: int = 8, twm: int = 8,
-                  ntp: int = 8, ssub: int = 1):
+                  ntp: int = 8, ssub: int = 1, csub: int = 1):
     """One (ray tile, sample) grid step, all bounces.  The grid is
     (tiles, spp) with spp innermost: consecutive sample steps revisit the
     same out block, accumulating in place (the matmul-k reduction pattern)
@@ -363,10 +363,17 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                     (skb_scr, slot_scr, vis_scr, keys_scr),
                     c=c, tm=tm, k=k, kg=kg, g=grp, recull=recull)
             else:
+                # bounce>=1 rays are pixel-ordered but directionally
+                # scattered: sub-blocked selection (csub subgroups of
+                # tm/csub pixels, pallas_resident._recull_loop ssub) bounds
+                # each selection union to its subgroup — the same in-kernel
+                # retiling as the NEE ssub below.  Camera rays (b=0) are
+                # coherent; their tile union is already tight (keep 1).
                 _, s_slot, _ = _recull_loop(
                     rays8, boxes_ref[:], table_ref, hbm_refs,
                     (skb_scr, slot_scr, vis_scr, keys_scr),
-                    c=c, tm=tm, k=k, recull=recull)
+                    c=c, tm=tm, k=k, recull=recull,
+                    ssub=csub if b >= 1 else 1)
             slot_r = jnp.transpose(s_slot, (1, 0))             # (1, TM)
             hit = (slot_r >= 0) & act
 
@@ -812,12 +819,14 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp", "tile_rays", "interpret",
-                                   "recull", "orecull", "grouped", "ssub"))
+                                   "recull", "orecull", "grouped", "ssub",
+                                   "csub"))
 def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                        spp: int = 1,
                        tile_rays: int = TILE_RAYS, interpret: bool = None,
                        recull: int = 8, orecull: int = 8,
-                       grouped: bool = None, ssub: int = None):
+                       grouped: bool = None, ssub: int = None,
+                       csub: int = None):
     """`spp` samples of the whole-frame megakernel in ONE kernel launch
     (grid (tiles, spp), sample accumulation in the revisited out block).
     Returns summed (direct (npix,3), env (npix,3), diag) — divide by spp
@@ -970,6 +979,12 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                      and tm % 4 == 0 and (s * tm) // 4 % 8 == 0) else 1
     if tiny or grouped or s == 0:
         ssub = 1
+    # sub-blocked BOUNCE closest traces (csub subgroups of tm/csub pixels):
+    # default off until measured — set explicitly or via the sweep knobs
+    if csub is None:
+        csub = 1
+    if tiny or grouped or bounces < 2 or tm % csub or (tm // csub) % 8:
+        csub = 1
     scratch += [
         pltpu.VMEM((1, 24, c_k), jnp.float32),
         pltpu.SemaphoreType.DMA((1,)),
@@ -990,7 +1005,8 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                 lp=lp, l_count=l_count, ep=ep, eh=eh, ew=ew,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
                 width=cfg.width, height=cfg.height, tiny=tiny, ct=ct,
-                textured=textured, tr=tr, twm=twm, ntp=ntp, ssub=ssub),
+                textured=textured, tr=tr, twm=twm, ntp=ntp, ssub=ssub,
+                csub=csub),
         grid=(mp // tm, spp),
         in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
                   vmem, vmem, vmem, vmem, vmem, vmem, smem, smem],
@@ -1012,9 +1028,11 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
 
 def render_sample_fused(scene, lights, env, camera, sample_count, cfg,
                         tile_rays: int = TILE_RAYS, interpret: bool = None,
-                        recull: int = 8, orecull: int = 8, ssub: int = None):
+                        recull: int = 8, orecull: int = 8, ssub: int = None,
+                        csub: int = None):
     """One spp — same contract as render/engine.py render_sample:
     (direct (npix,3), env (npix,3), diag)."""
     return render_frame_fused(scene, lights, env, camera, sample_count, cfg,
                               spp=1, tile_rays=tile_rays, interpret=interpret,
-                              recull=recull, orecull=orecull, ssub=ssub)
+                              recull=recull, orecull=orecull, ssub=ssub,
+                              csub=csub)

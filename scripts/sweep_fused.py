@@ -42,12 +42,18 @@ def main():
         rc = int(kv.get("rc", 8))
         oc = int(kv.get("oc", 8))
         spp = int(kv.get("spp", 1))
+        ss = kv.get("ss")
+        ss = int(ss) if ss is not None else None
+        cs = kv.get("cs")
+        cs = int(cs) if cs is not None else None
         cfg = RenderConfig(width=size, height=size, spp=spp, bounces=b,
                            shadow_path_count=s)
-        fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm, rc=rc, oc=oc, spp=spp:
+        fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm, rc=rc, oc=oc, spp=spp,
+                     ss=ss, cs=cs:
                      render_frame_fused(sc, lights, env, camera, smp, cfg,
                                         spp=spp, tile_rays=tm,
-                                        recull=rc, orecull=oc))
+                                        recull=rc, orecull=oc, ssub=ss,
+                                        csub=cs))
         t0 = time.time()
         try:
             out = fn(scene, 0)
