@@ -2,11 +2,11 @@
 
 Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
   * camera_64k        — coherent primary wavefront, resident tracer
-  * incoherent_64k    — random rays, morton-sorted, resident tracer
+  * incoherent_64k    — random rays, cluster-schedule sorted, resident tracer
   * camera_1m         — 1M-triangle scene (HBM-streaming resident kernel:
                         the 89 MiB cluster table exceeds VMEM), the
                         massive-scene regime the reference targets
-  * incoherent_1m     — random rays over the 1M scene, morton-sorted
+  * incoherent_1m     — random rays over the 1M scene, auto-sorted
   * anyhit_64k        — occlusion wavefront, resident tracer
   * frame_exact       — 256x256 1spp 4-bounce full frame (trace+shade+NEE)
   * frame_1m          — the same full frame over the 1M-triangle scene
@@ -90,7 +90,8 @@ def main():
     row("camera_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
 
     per = chained_time(t_res_sorted, ro, rd, tmx, act, scene)
-    row("incoherent_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront, morton-sorted")
+    row("incoherent_64k", n / per / 1e6, "Mrays/s",
+        f"{per*1e3:.2f} ms/wavefront, cluster-schedule sorted")
 
     per = chained_time(t_occl, co, cd, tmx, act, scene)
     row("anyhit_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
@@ -109,12 +110,13 @@ def main():
         f"{per*1e3:.2f} ms/wavefront, 1M tris, adaptive 512-tri clusters, "
         "HBM-streaming resident kernel")
 
-    # incoherent rays over the 1M scene: morton-sorted, short chain (an
+    # incoherent rays over the 1M scene: auto-sorted (cluster when K<4096),
+    # short chain (an
     # unsorted long chain exceeds the device watchdog on this relay)
     per = chained_time(t_res_sorted, ro, rd, tmx, act, scene1m,
                        short=1, long=4, reps=2)
     row("incoherent_1m", n / per / 1e6, "Mrays/s",
-        f"{per*1e3:.2f} ms/wavefront, 1M tris, morton-sorted")
+        f"{per*1e3:.2f} ms/wavefront, 1M tris, auto-sorted")
 
     # full exact frame — packed at the frame megakernel's tuned cluster
     # size (tpc=512 -> K=128: fewer, larger front-to-back visits; the
