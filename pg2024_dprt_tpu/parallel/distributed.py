@@ -120,32 +120,35 @@ def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfi
                     sort_rays=True):
     """The primaryRayModule while-loop (renderer.cpp:1230-1315).
 
-    Returns (paths, env_img, diag, truncated): `truncated` counts paths still
-    wanting to migrate when the `max_migrations` safety bound trips — they
-    get shaded at the wrong partition, so the count is surfaced instead of
-    silently accepted (the reference's 2x-buffer assert analogue,
-    renderer.cpp:1562)."""
+    Returns (paths, env_img, diag, truncated, overflow): `truncated` counts
+    paths still wanting to migrate when the `max_migrations` safety bound
+    trips — they get shaded at the wrong partition, so the count is surfaced
+    instead of silently accepted (the reference's 2x-buffer assert analogue,
+    renderer.cpp:1562).  `overflow` counts path-rounds denied by bucket
+    capacity or receiver back-pressure (each retried next round) — a
+    diagnostic that the small-bucket regime was actually exercised."""
     npix = cfg.frame_buffer_size
     bucket = max(1, int(paths.capacity * cfg.bucket_fraction) // max(1, proxies.num_partitions))
 
     def body(carry):
-        paths, env_img, _pending, it, diag = carry
+        paths, env_img, _pending, it, diag, ovf = carry
         paths, env_add, d = _trace_and_route(scene, proxies, env, paths, my_id,
                                              cfg.t_epsilon, npix, cfg.tracer, sort_rays)
         paths, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=bucket)
         pending = jax.lax.psum(waiting + arrivals, NODES_AXIS)
-        return paths, env_img + env_add, pending, it + 1, diag + d
+        return paths, env_img + env_add, pending, it + 1, diag + d, ovf + waiting
 
     def cond(carry):
-        _, _, pending, it, _ = carry
+        _, _, pending, it, _, _ = carry
         return (pending > 0) & (it < cfg.max_migrations)
 
-    paths, env_img, _, _, diag = jax.lax.while_loop(
-        cond, body, (paths, env_img, jnp.int32(1), jnp.int32(0), jnp.int32(0))
+    paths, env_img, _, _, diag, overflow = jax.lax.while_loop(
+        cond, body,
+        (paths, env_img, jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
     still_migrating = paths.is_valid & (paths.target_node >= 0) & (paths.target_node != my_id)
     truncated = jnp.sum(still_migrating.astype(jnp.int32))
-    return paths, env_img, diag, truncated
+    return paths, env_img, diag, truncated, overflow
 
 
 def _sample_program(scene_block, proxies, models, lights, env, camera, sample_count, cfg: RenderConfig):
@@ -161,6 +164,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     env_img = jnp.zeros((npix, 3), jnp.float32)
     diag = jnp.int32(0)
     truncated = jnp.int32(0)
+    overflow = jnp.int32(0)
 
     for bounce in range(cfg.bounces):
         if bounce > 0 and cfg.use_neural_proxies:
@@ -174,10 +178,12 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
         # bounce-0 wavefronts are camera/pixel-block coherent: the morton
         # sort's fixed launch cost is pure loss there (see render/engine.py)
         sort = bounce >= 1
-        paths, env_img, d, tr = _migration_loop(scene, proxies, env, paths, env_img,
-                                                my_id, cfg, sort_rays=sort)
+        paths, env_img, d, tr, ov = _migration_loop(scene, proxies, env, paths,
+                                                    env_img, my_id, cfg,
+                                                    sort_rays=sort)
         diag = diag + d
         truncated = truncated + tr
+        overflow = overflow + ov
 
         # settle + shade locally: fresh re-trace exactly like MainRay
         live = paths.is_valid & (~paths.is_shadow)
@@ -218,8 +224,9 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     # image reduce across partitions (MPI_Reduce equivalent)
     direct = jax.lax.psum(direct, NODES_AXIS)
     env_img = jax.lax.psum(env_img, NODES_AXIS)
-    # stats: [tracer diag, migration truncations] psum'd over the mesh
-    stats = jax.lax.psum(jnp.stack([diag, truncated]), NODES_AXIS)
+    # stats: [tracer diag, migration truncations, bucket-overflow retries]
+    # psum'd over the mesh
+    stats = jax.lax.psum(jnp.stack([diag, truncated, overflow]), NODES_AXIS)
     return direct, env_img, stats
 
 
@@ -261,11 +268,12 @@ def render_image_distributed(
     base_sample: int = 0, return_stats: bool = False,
 ):
     """Full frame over the mesh; returns (H, W, 3), or (image, stats) with
-    stats = {"tracer_diag", "migration_truncated"} when return_stats."""
+    stats = {"tracer_diag", "migration_truncated", "migration_overflow_waits"}
+    when return_stats."""
     npix = cfg.frame_buffer_size
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
-    stats = jnp.zeros((2,), jnp.int32)
+    stats = jnp.zeros((3,), jnp.int32)
     for s in range(cfg.spp):
         d, e, st = render_sample_distributed(
             partitioned.stacked, partitioned.proxies, models, lights, env,
@@ -279,5 +287,6 @@ def render_image_distributed(
         return img, {
             "tracer_diag": int(stats[0]),
             "migration_truncated": int(stats[1]),
+            "migration_overflow_waits": int(stats[2]),
         }
     return img
