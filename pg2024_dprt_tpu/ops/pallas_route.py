@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.mlp import LEAKY_SLOPE, MLPConfig
+from .pallas_compact import chunk_onehot, lane_cumsum_exclusive
 from .pallas_mlp import _param_names
 from .pallas_resident import (
     VMEM_TABLE_LIMIT, _cluster_enters, _lane_bits, _mt_body, _next_cluster,
@@ -198,7 +199,7 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
                   *rest, c: int, tm: int, k: int, p: int, max_hits: int,
                   eps: float, cfg: MLPConfig, vis_final: str,
                   depth_final: str, n_params: int, hbm: bool,
-                  recull: int = 0, ssub: int = 1):
+                  recull: int = 0, ssub: int = 1, nn_chunk: int = 0):
     """rays cols (16): [o(3), d(3), tmin|FMAX, tmax_eff|0, phi, theta,
     inv(3), act, tmax_raw, pad]; pboxes rows (8, P): [min(3), max(3),
     allowed, pad]; pdiag (1, P): proxy max_length.  out cols (8):
@@ -215,7 +216,8 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
     else:
         tbuf = sem = None
     t_scr = scr[0]
-    rc_scr = scr[1:] if recull else None
+    rc_scr = scr[1:5] if recull else None
+    y_scr = scr[-1] if nn_chunk else None
 
     rays = rays_ref[:]
     act = rays[:, 13:14] > 0.5
@@ -306,12 +308,54 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
     xs = jnp.concatenate([h[0] for h in hits_feat], axis=0)      # (mh*tm, 5)
     objs = jnp.concatenate([h[1] for h in hits_feat], axis=0)    # (mh*tm, 1)
     objs_f = objs.astype(jnp.float32)
-    sel_cols = [jnp.where(objs_f == o, 1.0, 0.0) for o in range(p)]
     valid_col = jnp.where(objs_f >= 0.0, 1.0, 0.0)
-    vis = _forward_all_objects(xs, vis_refs, p, cfg, vis_final,
-                               sel_cols) * valid_col
-    depth = _forward_all_objects(xs, depth_refs, p, cfg, depth_final,
-                                 sel_cols) * valid_col
+    if nn_chunk:
+        # Valid-row chunking: most rows of the (mh*tm) stack are ZEROED
+        # (rays with a local hit record no proxy queries), yet the dense
+        # concatenated matmuls pay for every row.  Rank-compact the valid
+        # rows (lane prefix sum, ops/pallas_compact.py) and run the nets
+        # chunk-by-chunk of `nn_chunk` rows, each chunk pl.when-gated on
+        # `count > chunk_base` — query-empty tiles skip the NN entirely and
+        # the common sparse tile runs ONE chunk instead of mh.  One-hot
+        # gather/scatter rides the MXU at HIGHEST (exact for 0/1), and
+        # matmul rows are independent, so the outputs are BIT-IDENTICAL to
+        # the unchunked form (tests/test_pallas_route.py).
+        hp = jax.lax.Precision.HIGHEST
+        q = max_hits * tm
+        v_row = jnp.transpose(valid_col, (1, 0))                 # (1, q)
+        rank_row = lane_cumsum_exclusive(v_row, q)               # (1, q)
+        count = jnp.sum(v_row, axis=1, keepdims=True)[0, 0]
+        rank_col = jnp.transpose(rank_row, (1, 0))               # (q, 1)
+        lane_g = jax.lax.broadcasted_iota(
+            jnp.int32, (nn_chunk, q), 0).astype(jnp.float32)
+        y_scr[...] = jnp.zeros((q, 2), jnp.float32)
+        for j in range(-(-q // nn_chunk)):
+            @pl.when(count > float(j * nn_chunk))
+            def _(j=j):
+                base = float(j * nn_chunk)
+                rr = jnp.broadcast_to(rank_row, (nn_chunk, q)) - base
+                vv = jnp.broadcast_to(v_row, (nn_chunk, q))
+                g = jnp.where((rr == lane_g) & (vv > 0.5), 1.0, 0.0)
+                xs_c = jnp.dot(g, xs, precision=hp)              # (CH, 5)
+                obj_c = jnp.dot(g, objs_f, precision=hp)         # (CH, 1)
+                val_c = jnp.dot(g, valid_col, precision=hp)      # (CH, 1)
+                sel_c = [jnp.where((obj_c == o) & (val_c > 0.5), 1.0, 0.0)
+                         for o in range(p)]
+                vis_c = _forward_all_objects(
+                    xs_c, vis_refs, p, cfg, vis_final, sel_c) * val_c
+                dep_c = _forward_all_objects(
+                    xs_c, depth_refs, p, cfg, depth_final, sel_c) * val_c
+                gt = chunk_onehot(rank_col, valid_col, base, nn_chunk)
+                y_scr[...] += jnp.dot(
+                    gt, jnp.concatenate([vis_c, dep_c], axis=1), precision=hp)
+        vis = y_scr[:, 0:1]
+        depth = y_scr[:, 1:2]
+    else:
+        sel_cols = [jnp.where(objs_f == o, 1.0, 0.0) for o in range(p)]
+        vis = _forward_all_objects(xs, vis_refs, p, cfg, vis_final,
+                                   sel_cols) * valid_col
+        depth = _forward_all_objects(xs, depth_refs, p, cfg, depth_final,
+                                     sel_cols) * valid_col
 
     # ---- 4. consumption (frame_buffer_update.cu:222-324) ----
     best_pred_t = jnp.full((tm, 1), _FMAX)
@@ -352,7 +396,8 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
 
 
 @partial(jax.jit, static_argnames=(
-    "max_hits", "eps", "tile_rays", "sort_rays", "hbm_table", "interpret"))
+    "max_hits", "eps", "tile_rays", "sort_rays", "hbm_table", "interpret",
+    "nn_compact"))
 def route_fused(
     scene, proxies, models,
     origin, direction, t_min, t_max, active, my_id,
@@ -362,6 +407,7 @@ def route_fused(
     hbm_table: bool = None,
     interpret: bool = None,
     sort_mode: str = "auto",
+    nn_compact: bool = True,
 ):
     """One-kernel secondary routing.  Returns a dict of per-ray decisions:
     settled_node (my_id substituted for the local sentinel), new_t,
@@ -538,6 +584,11 @@ def route_fused(
     # for width>128 tiles
     ssub = 1
 
+    # valid-row NN chunking (see _route_kernel): chunk = one ray tile of
+    # rows; the pl.when gates make sparse tiles run 1 chunk and empty
+    # tiles 0 instead of the full mh*tm row stack
+    nn_chunk = tm if nn_compact else 0
+
     scratch = []
     if hbm_table:
         scratch += [
@@ -555,13 +606,15 @@ def route_fused(
             pltpu.VMEM((1, k), jnp.int32),
             pltpu.VMEM((1, k), jnp.int32),
         ]
+    if nn_chunk:
+        scratch += [pltpu.VMEM((max_hits * tm, 2), jnp.float32)]
 
     (out,) = pl.pallas_call(
         partial(_route_kernel, c=c_k, tm=tm, k=k, p=p, max_hits=max_hits,
                 eps=eps, cfg=cfg, vis_final=models.vis_cfg.final_activation,
                 depth_final=models.depth_cfg.final_activation,
                 n_params=len(names), hbm=hbm_table, recull=recull,
-                ssub=ssub),
+                ssub=ssub, nn_chunk=nn_chunk),
         grid=(mp // tm,),
         in_specs=[ray_spec, vmem, vmem, vmem, table_spec]
                  + [vmem] * (2 * len(names)),

@@ -116,3 +116,26 @@ def test_fused_route_hbm_unsorted_match_vmem_sorted():
                 np.asarray(base[key]), np.asarray(got[key]), err_msg=str((key, variant)))
         np.testing.assert_allclose(np.asarray(base["new_t"]),
                                    np.asarray(got["new_t"]), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_route_nn_compact_bit_identical():
+    """Valid-row NN chunking (nn_compact) must be BIT-identical to the
+    dense all-rows form: the one-hot gather/scatter is exact at HIGHEST
+    precision and matmul rows are independent, so every query's network
+    output is unchanged — only zeroed rows stop paying FLOPs."""
+    from pg2024_dprt_tpu.ops.pallas_route import route_fused
+
+    # vis_bias=0: decisions sit wherever the nets put them; bit-identity
+    # must hold even at knife edges
+    scene, proxies, models, paths, env = _setup(vis_bias=0.0, seed=11, n=512)
+    kw = dict(max_hits=3, eps=1e-3)
+    dense = route_fused(scene, proxies, models, paths.origin, paths.direction,
+                        1e-3, paths.tmax, paths.is_valid, jnp.int32(8),
+                        nn_compact=False, **kw)
+    chunked = route_fused(scene, proxies, models, paths.origin,
+                          paths.direction, 1e-3, paths.tmax, paths.is_valid,
+                          jnp.int32(8), nn_compact=True, **kw)
+    for key in ("settled_node", "has_node", "env_miss", "no_route",
+                "local_hit", "new_t"):
+        np.testing.assert_array_equal(
+            np.asarray(dense[key]), np.asarray(chunked[key]), err_msg=key)
