@@ -18,8 +18,12 @@ Per ray tile the kernel runs:
   3. vis + depth inference — ALL objects in ONE matmul per layer: weights
      ride concatenated along the OUT dim ((in, p*out) bf16) and each row's
      result is narrowed to its own object's block after every layer
-     (_forward_all_objects — the stage is layer-latency-bound, so the
-     dependent-step count, not FLOPs or rows, is what matters);
+     (_forward_all_objects — the stage is layer-latency-bound at small
+     widths, so the dependent-step count matters); at production widths
+     the concat matmuls turn FLOP-bound, so the valid query rows are
+     rank-compacted in-kernel and the nets run per pl.when-gated tm-row
+     chunk (nn_compact — bit-identical, measured 27.9 -> 21.6 ms at
+     PROD w256 d4, p=8, max_hits=3);
   4. consumption — tMax/targetNode/env-miss decisions
      (render/proxy_stages.py consumption block; reference
      frame_buffer_update.cu:222-324).
