@@ -306,8 +306,12 @@ def main():
         return jnp.reshape(loss + 1e-9 * reg, (1,))
 
     # params/opt ride as ARGS (the file-wide rule): keeps the HLO byte-stable
-    # and the relay compile body small
-    per = chained_time(train_t, tx_x, tparams, topt, short=2, long=12, reps=2)
+    # and the relay compile body small.  A 0.05-0.3 ms step sits below
+    # tunnel RTT noise at chain length 12 (committed rows swung 40-258
+    # Msamples/s run to run) — the tiny-kernel rule from bench.py applies:
+    # long chains + more reps
+    per = chained_time(train_t, tx_x, tparams, topt, short=10, long=110,
+                       reps=3)
     row("train_step", tb / per / 1e6, "Msamples/s",
         f"{per*1e3:.2f} ms/step, batch 12800, PROD vis net (w256 d4), Adam")
 
