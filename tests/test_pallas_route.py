@@ -139,3 +139,28 @@ def test_fused_route_nn_compact_bit_identical():
                 "local_hit", "new_t"):
         np.testing.assert_array_equal(
             np.asarray(dense[key]), np.asarray(chunked[key]), err_msg=key)
+
+
+def test_fused_route_nn_compact_odd_shapes():
+    """Chunking must stay exact for non-128 tiles (tm = n when n < 128,
+    so q = mh*n rides odd lane counts through the prefix sum) and for
+    max_hits=1 (a single gated chunk)."""
+    from pg2024_dprt_tpu.ops.pallas_route import route_fused
+
+    for n, mh in ((96, 3), (512, 1)):
+        scene, proxies, models, paths, env = _setup(vis_bias=0.0, seed=13,
+                                                    n=n)
+        kw = dict(max_hits=mh, eps=1e-3)
+        dense = route_fused(scene, proxies, models, paths.origin,
+                            paths.direction, 1e-3, paths.tmax,
+                            paths.is_valid, jnp.int32(8),
+                            nn_compact=False, **kw)
+        chunked = route_fused(scene, proxies, models, paths.origin,
+                              paths.direction, 1e-3, paths.tmax,
+                              paths.is_valid, jnp.int32(8),
+                              nn_compact=True, **kw)
+        for key in ("settled_node", "has_node", "env_miss", "no_route",
+                    "local_hit", "new_t"):
+            np.testing.assert_array_equal(
+                np.asarray(dense[key]), np.asarray(chunked[key]),
+                err_msg=str((n, mh, key)))
