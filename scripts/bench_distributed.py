@@ -77,10 +77,46 @@ def main():
         "pass": bool(rel.mean() < 1e-3),
     }
     print(json.dumps(row))
+
+    # neural-proxy mode: compiles the fused routing megakernel INSIDE
+    # shard_map against the real Mosaic toolchain (the reference's
+    # production secondaryRayModuleBasedNN mode).  With one partition no
+    # remote proxy is allowed, so every routing decision is local/env and
+    # the image must still match the exact single-device render.
+    import dataclasses
+
+    cfg_nn = dataclasses.replace(cfg, use_neural_proxies=True)
+
+    def sample_nn(s):
+        d, e, st = render_sample_distributed(
+            part.stacked, part.proxies, models, lights, env, camera, s,
+            cfg_nn, mesh)
+        return d + e
+
+    img_nn = np.asarray(sample_nn(0))
+    best_nn = float("inf")
+    for s in range(1, 6):
+        t0 = time.time()
+        np.asarray(sample_nn(s))
+        best_nn = min(best_nn, time.time() - t0)
+    rel_nn = np.abs(img_nn.reshape(side, side, 3) - ref) / denom
+    row_nn = {
+        "name": "render_sample_distributed_neural",
+        "value": best_nn * 1e3,
+        "unit": "ms",
+        "detail": f"{side}x{side} 1spp {cfg.bounces} bounces, neural-proxy "
+                  "routing (fused route megakernel inside shard_map) on the "
+                  "real chip, 1 partition",
+        "mean_rel_vs_single": float(rel_nn.mean()),
+        "pass": bool(rel_nn.mean() < 1e-3),
+    }
+    print(json.dumps(row_nn))
+
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/bench_distributed.json", "w") as f:
-        json.dump({"ts": time.time(), "rows": [row]}, f, indent=1)
+        json.dump({"ts": time.time(), "rows": [row, row_nn]}, f, indent=1)
     assert row["pass"], "distributed != single-device"
+    assert row_nn["pass"], "neural distributed != single-device"
     print("BENCH_DISTRIBUTED PASS")
 
 
