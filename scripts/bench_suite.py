@@ -13,6 +13,7 @@ Rows (all chained-slope timed, see utils/benchmarking.py and CLAUDE.md):
   * frame_cornell     — the same full frame on the BASELINE-scale scene
   * frame_textured    — textured cornell (in-kernel bilinear fetch)
   * neural_route_64k  — secondaryRayModuleBasedNN analogue (fused route)
+  * neural_route_1m   — the same at 1M tris (HBM-streamed cluster table)
   * grouped_mlp       — neural-proxy inference engine (vis net, 8 objects),
                         the VisNNTime analogue (renderer.cpp:921,968)
   * train_step        — one fwd+bwd+Adam step of the offline training stack
@@ -117,6 +118,34 @@ def main():
                        short=1, long=4, reps=2)
     row("incoherent_1m", n / per / 1e6, "Mrays/s",
         f"{per*1e3:.2f} ms/wavefront, 1M tris, auto-sorted")
+
+    # neural routing at 1M triangles: the fused route megakernel with the
+    # HBM-streamed cluster table (double-buffered in-kernel DMA) — the
+    # massive-scene regime of the reference's production mode
+    from pg2024_dprt_tpu.models.proxy import random_proxy_models as _rpm
+    from pg2024_dprt_tpu.ops.pallas_route import route_fused
+    from pg2024_dprt_tpu.scene.geometry import ProxyTable as _PT
+
+    offs1m = np.asarray(
+        [[-1.05, 0, 0], [1.05, 0, 0], [0, -1.05, 0], [0, 1.05, 0],
+         [0, 0, -1.05], [0, 0, 1.05], [-1.05, -1.05, 0], [1.05, 1.05, 0]],
+        np.float32)
+    proxies1m = _PT(
+        aabb_min=jnp.asarray(offs1m), aabb_max=jnp.asarray(offs1m + 1.0),
+        max_length=jnp.asarray(np.linalg.norm(np.ones((8, 3)), axis=1)
+                               .astype(np.float32)))
+    models1m = _rpm(jax.random.PRNGKey(1), 8)
+
+    def route1m_t(o, d, tmx, act, sc):
+        dd = route_fused(sc, proxies1m, models1m, o, d, 1e-3, tmx, act,
+                         jnp.int32(0), 3, 1e-3)
+        return dd["new_t"]
+
+    per = chained_time(route1m_t, ro, rd, tmx, act, scene1m,
+                       short=1, long=4, reps=2)
+    row("neural_route_1m", n / per / 1e6, "Mpaths/s",
+        f"{per*1e3:.2f} ms: trace + march + vis/depth NN + routing, "
+        "1M tris, HBM-streamed table, 8 proxies")
 
     # full exact frame — packed at the frame megakernel's tuned cluster
     # size (tpc=512 -> K=128: fewer, larger front-to-back visits; the
