@@ -40,7 +40,15 @@ Role parity: the reference's secondaryRayModuleBasedNN pipeline
 (/root/reference/src/render/renderer.cpp:1407-1452) as one device program.
 Scope: untextured (no-cutout) scenes, architecturally identical vis/depth
 nets, stacked weights within the VMEM budget — the composed per-stage path
-remains for everything else (render/proxy_stages.py dispatches).
+remains for everything else (render/proxy_stages.py dispatches).  Instanced
+proxy tables are supported in-kernel (`instanced`): per-hit object-space
+featurization via the winning instance's world_to_obj affine, net selection
+by obj_id, routing by node_id, and the world/object depth scale t_ratio in
+consumption (reference instanceID semantics,
+/root/reference/optix/secondary_ray_kernel.cu:289-316).  Multi-geo models
+(ONE shared 6-feature net, reference MultiGeoNeuralVisNetwork,
+trainingcode/module.py:531-582) run in-kernel as a pn=1 forward with the
+instanceID/INSTANCE_DIVISOR column appended to the features.
 """
 from __future__ import annotations
 
@@ -53,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.mlp import LEAKY_SLOPE, MLPConfig
 from .pallas_compact import chunk_onehot, lane_cumsum_exclusive
+from .pallas_frame import _acos, _atan2
 from .pallas_mlp import _param_names
 from .pallas_resident import (
     VMEM_TABLE_LIMIT, _cluster_enters, _lane_bits, _mt_body, _next_cluster,
@@ -199,16 +208,35 @@ def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, rc_scr, *, c,
     return t_scr[:], s_kb < kb0
 
 
-def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
-                  *rest, c: int, tm: int, k: int, p: int, max_hits: int,
-                  eps: float, cfg: MLPConfig, vis_final: str,
-                  depth_final: str, n_params: int, hbm: bool,
-                  recull: int = 0, ssub: int = 1, nn_chunk: int = 0):
+def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, pxf_ref,
+                  table_ref, *rest, c: int, tm: int, k: int, p: int,
+                  pn: int, max_hits: int, eps: float, cfg: MLPConfig,
+                  vis_final: str, depth_final: str, n_params: int,
+                  hbm: bool, recull: int = 0, ssub: int = 1,
+                  nn_chunk: int = 0, instanced: bool = False,
+                  multi_geo: bool = False, inst_div: float = 1.0,
+                  shadow: bool = False):
     """rays cols (16): [o(3), d(3), tmin|FMAX, tmax_eff|0, phi, theta,
     inv(3), act, tmax_raw, pad]; pboxes rows (8, P): [min(3), max(3),
-    allowed, pad]; pdiag (1, P): proxy max_length.  out cols (8):
-    [settled(-2=local), new_t, has_node, env_miss, no_route, local_hit,
-    0, 0]."""
+    allowed, pad]; pdiag (1, P): proxy max_length (object-space diagonal
+    when instanced).  pxf (24, P), read only when `instanced`:
+    [world_to_obj lin row-major (9), trans (3), obj_min (3), obj_span (3),
+    obj_id, node_id, pad (4)] — instanced rows carry the object-space
+    feature transform + net/partition indirection (reference instanceID
+    semantics, secondary_ray_kernel.cu:289-316).  `pn` = number of NETS
+    (== p unless instanced; 1 when `multi_geo` — ONE shared 6-feature net,
+    instanceID/INSTANCE_DIVISOR appended as the 6th input column,
+    models/proxy.py apply_multigeo parity).  out cols (8): [settled node
+    (-2=local), new_t, has_node, env_miss, no_route, local_hit, 0, 0].
+
+    `shadow` switches the program to the shadowRayModuleBasedNN semantics
+    (render/proxy_stages.py shadow_direct_light_nn; reference
+    renderer.cpp:1349-1404 + frame_buffer_update.cu:31-127): locally
+    occluded rays die, survivors march with the full shadow tmax (no
+    local-t cap), vis>0.5 plus the inside-hit depth-vs-normalized-entry
+    comparison sets per-hit occlusion, and the output is the max-occlusion
+    light weight.  out cols (8): [weight = survives*(1-max_occ),
+    occluded_local, survives, 0, 0, 0, 0, 0]."""
     names = _param_names(cfg)
     vis_refs = dict(zip(names, rest[:n_params]))
     depth_refs = dict(zip(names, rest[n_params:2 * n_params]))
@@ -232,13 +260,22 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
         rays, boxes_ref[:], table_ref, tbuf, sem, t_scr, rc_scr, c=c,
         tm=tm, k=k, hbm=hbm, recull=recull, ssub=ssub)
     local_hit = local_hit & act
-    # proxies live OUTSIDE the local scene: the march/routing bound on a
-    # local miss is the caller's UNCAPPED tmax, not the scene-exit cap
-    cmp_t = jnp.where(local_hit, local_t, tmax_raw)
+    if shadow:
+        # occlusion semantics: a local hit kills the shadow ray outright;
+        # survivors march against the full shadow tmax (composed path:
+        # march_proxies(cap=tmax, active=survives))
+        march_act = act & (~local_hit)
+        cmp_t = tmax_raw
+    else:
+        # proxies live OUTSIDE the local scene: the march/routing bound on
+        # a local miss is the caller's UNCAPPED tmax, not the scene-exit cap
+        march_act = act
+        cmp_t = jnp.where(local_hit, local_t, tmax_raw)
 
     # ---- 2. proxy march (ops/pallas_march.py semantics) ----
     pboxes = pboxes_ref[:]
     pdiag = pdiag_ref[:]
+    pxf = pxf_ref[:] if instanced else None
     cb = _lane_bits(p)
     cmask = jnp.int32((1 << cb) - 1)
     SAT = jnp.int32(0x7FFFFFFF)
@@ -256,11 +293,13 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
         t1 = (B(pboxes[3 + ax:4 + ax, :]) - o) * iv
         te = jnp.maximum(te, jnp.minimum(t0, t1))
         tx = jnp.minimum(tx, jnp.maximum(t0, t1))
-    box_ok = (B(pboxes[6:7, :]) > 0.0) & B(act) & (tx >= te)
+    box_ok = (B(pboxes[6:7, :]) > 0.0) & B(march_act) & (tx >= te)
 
     t_lo = jnp.zeros((tm, 1), jnp.float32)
     seen = jnp.zeros((tm, 1), jnp.int32)
-    hits_feat = []          # per hit: (x (tm,5), aabb|-1, inside, t, ml)
+    # per hit: (x (tm,5), obj|-1 f32 net-select, node|-1 i32 routing
+    # target, inside, t, ml, ratio) — obj == node == lane unless instanced
+    hits_feat = []
     for _ in range(max_hits):
         lo = t_lo + eps
         inside = te <= B(lo)
@@ -278,23 +317,65 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
         dup = best_inside & (((seen >> best) & 1) > 0)
         record = found & (~dup)
 
-        phi_n = jnp.where(best_inside, phi + _PI, phi)
-        phi_n = jnp.where(phi_n >= 2.0 * _PI, phi_n - 2.0 * _PI, phi_n)
-        theta_n = jnp.where(best_inside, _PI - theta, theta)
-        cols = []
-        for ax in range(3):
-            bmin = jnp.sum(oh * B(pboxes[ax:ax + 1, :]), axis=1, keepdims=True)
-            bmax = jnp.sum(oh * B(pboxes[3 + ax:4 + ax, :]), axis=1, keepdims=True)
-            span = jnp.maximum(bmax - bmin, 1e-12)
-            point = rays[:, ax:ax + 1] + best_t * rays[:, 3 + ax:4 + ax]
-            cols.append((point - bmin) / span)
-        x = jnp.concatenate(
-            cols + [phi_n / (2.0 * _PI), theta_n / _PI], axis=-1)   # (tm, 5)
-        x = jnp.where(jnp.broadcast_to(record, (tm, 5)), x, 0.0)
+        if instanced:
+            # object-space featurization (march_proxies_xla parity,
+            # reference originLocal/directionLocal + tMax ratio,
+            # secondary_ray_kernel.cu:289-303): one-hot extract the
+            # winning instance's affine rows from pxf, transform the hit
+            # point + direction, spherical via the in-kernel Cephes
+            # atan/acos (pallas_frame._atan2/_acos)
+            ext = lambda r: jnp.sum(oh * B(pxf[r:r + 1, :]), axis=1,
+                                    keepdims=True)
+            pt = [rays[:, ax:ax + 1] + best_t * rays[:, 3 + ax:4 + ax]
+                  for ax in range(3)]
+            dw = [rays[:, 3 + ax:4 + ax] for ax in range(3)]
+            p_l, d_l = [], []
+            for i in range(3):
+                li = [ext(3 * i + j) for j in range(3)]
+                p_l.append(li[0] * pt[0] + li[1] * pt[1] + li[2] * pt[2]
+                           + ext(9 + i))
+                d_l.append(li[0] * dw[0] + li[1] * dw[1] + li[2] * dw[2])
+            # world-t / object-t scale: constant along the ray for an
+            # affine instance (d unit in world space)
+            ratio = 1.0 / jnp.maximum(
+                jnp.sqrt(d_l[0] * d_l[0] + d_l[1] * d_l[1]
+                         + d_l[2] * d_l[2]), 1e-12)
+            cols = [(p_l[i] - ext(12 + i))
+                    / jnp.maximum(ext(15 + i), 1e-12) for i in range(3)]
+            sgn = jnp.where(best_inside, -ratio, ratio)
+            dn = [d_l[i] * sgn for i in range(3)]
+            theta_n = _acos(dn[1])
+            phi_n = _atan2(dn[2], dn[0])
+            phi_n = jnp.where(phi_n < 0.0, phi_n + 2.0 * _PI, phi_n)
+            obj_f = ext(18)
+            node_i = ext(19).astype(jnp.int32)
+        else:
+            phi_n = jnp.where(best_inside, phi + _PI, phi)
+            phi_n = jnp.where(phi_n >= 2.0 * _PI, phi_n - 2.0 * _PI, phi_n)
+            theta_n = jnp.where(best_inside, _PI - theta, theta)
+            cols = []
+            for ax in range(3):
+                bmin = jnp.sum(oh * B(pboxes[ax:ax + 1, :]), axis=1,
+                               keepdims=True)
+                bmax = jnp.sum(oh * B(pboxes[3 + ax:4 + ax, :]), axis=1,
+                               keepdims=True)
+                span = jnp.maximum(bmax - bmin, 1e-12)
+                point = rays[:, ax:ax + 1] + best_t * rays[:, 3 + ax:4 + ax]
+                cols.append((point - bmin) / span)
+            ratio = jnp.ones((tm, 1), jnp.float32)
+            obj_f = best.astype(jnp.float32)
+            node_i = best
+        feat_cols = cols + [phi_n / (2.0 * _PI), theta_n / _PI]
+        if multi_geo:
+            feat_cols.append(obj_f / inst_div)
+        nf = cfg.in_features
+        x = jnp.concatenate(feat_cols, axis=-1)                 # (tm, nf)
+        x = jnp.where(jnp.broadcast_to(record, (tm, nf)), x, 0.0)
         ml = jnp.sum(oh * B(pdiag), axis=1, keepdims=True)
         hits_feat.append(
-            (x, jnp.where(record, best, -1), best_inside & record,
-             best_t, ml)
+            (x, jnp.where(record, obj_f, -1.0),
+             jnp.where(record, node_i, -1), best_inside & record,
+             best_t, ml, ratio)
         )
         seen = jnp.where(record, seen | (jnp.int32(1) << best), seen)
         t_lo = jnp.where(found, best_t, t_lo)
@@ -309,9 +390,8 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
     # p objects x 26 dependent matmuls dominate at any row count.  The
     # winning form runs ONE concatenated matmul per layer for all objects
     # (_forward_all_objects).
-    xs = jnp.concatenate([h[0] for h in hits_feat], axis=0)      # (mh*tm, 5)
-    objs = jnp.concatenate([h[1] for h in hits_feat], axis=0)    # (mh*tm, 1)
-    objs_f = objs.astype(jnp.float32)
+    xs = jnp.concatenate([h[0] for h in hits_feat], axis=0)      # (mh*tm, nf)
+    objs_f = jnp.concatenate([h[1] for h in hits_feat], axis=0)  # (mh*tm, 1)
     valid_col = jnp.where(objs_f >= 0.0, 1.0, 0.0)
     if nn_chunk:
         # Valid-row chunking: most rows of the (mh*tm) stack are ZEROED
@@ -340,38 +420,68 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
                 rr = jnp.broadcast_to(rank_row, (nn_chunk, q)) - base
                 vv = jnp.broadcast_to(v_row, (nn_chunk, q))
                 g = jnp.where((rr == lane_g) & (vv > 0.5), 1.0, 0.0)
-                xs_c = jnp.dot(g, xs, precision=hp)              # (CH, 5)
+                xs_c = jnp.dot(g, xs, precision=hp)              # (CH, nf)
                 obj_c = jnp.dot(g, objs_f, precision=hp)         # (CH, 1)
                 val_c = jnp.dot(g, valid_col, precision=hp)      # (CH, 1)
-                sel_c = [jnp.where((obj_c == o) & (val_c > 0.5), 1.0, 0.0)
-                         for o in range(p)]
+                if multi_geo:
+                    sel_c = [jnp.where(val_c > 0.5, 1.0, 0.0)]
+                else:
+                    sel_c = [jnp.where((obj_c == o) & (val_c > 0.5),
+                                       1.0, 0.0) for o in range(pn)]
                 vis_c = _forward_all_objects(
-                    xs_c, vis_refs, p, cfg, vis_final, sel_c) * val_c
+                    xs_c, vis_refs, pn, cfg, vis_final, sel_c) * val_c
                 dep_c = _forward_all_objects(
-                    xs_c, depth_refs, p, cfg, depth_final, sel_c) * val_c
+                    xs_c, depth_refs, pn, cfg, depth_final, sel_c) * val_c
                 gt = chunk_onehot(rank_col, valid_col, base, nn_chunk)
                 y_scr[...] += jnp.dot(
                     gt, jnp.concatenate([vis_c, dep_c], axis=1), precision=hp)
         vis = y_scr[:, 0:1]
         depth = y_scr[:, 1:2]
     else:
-        sel_cols = [jnp.where(objs_f == o, 1.0, 0.0) for o in range(p)]
-        vis = _forward_all_objects(xs, vis_refs, p, cfg, vis_final,
+        if multi_geo:
+            sel_cols = [valid_col]
+        else:
+            sel_cols = [jnp.where(objs_f == o, 1.0, 0.0) for o in range(pn)]
+        vis = _forward_all_objects(xs, vis_refs, pn, cfg, vis_final,
                                    sel_cols) * valid_col
-        depth = _forward_all_objects(xs, depth_refs, p, cfg, depth_final,
+        depth = _forward_all_objects(xs, depth_refs, pn, cfg, depth_final,
                                      sel_cols) * valid_col
+
+    if shadow:
+        # ---- 4'. shadow occlusion blend (frame_buffer_update.cu:31-127):
+        # per-hit occluded = vis>0.5, inside-hits additionally require
+        # depth <= object-space normalized entry t; weight = 1 - max ----
+        max_occ = jnp.zeros((tm, 1), jnp.float32)
+        for h in range(max_hits):
+            _, _, node_h, inside_h, t_h, ml_h, ratio_h = hits_feat[h]
+            valid_h = node_h >= 0
+            vis_h = vis[h * tm:(h + 1) * tm]
+            dep_h = depth[h * tm:(h + 1) * tm]
+            norm_t = t_h / jnp.maximum(ratio_h * ml_h, 1e-12)
+            occ_h = valid_h & (vis_h > 0.5) & (
+                (~inside_h) | (dep_h <= norm_t))
+            max_occ = jnp.maximum(max_occ, occ_h.astype(jnp.float32))
+        survives = march_act
+        w = jnp.where(survives, 1.0 - max_occ, 0.0)
+        out_ref[:, 0:1] = w
+        out_ref[:, 1:2] = local_hit.astype(jnp.float32)
+        out_ref[:, 2:3] = survives.astype(jnp.float32)
+        out_ref[:, 3:8] = jnp.zeros((tm, 5), jnp.float32)
+        return
 
     # ---- 4. consumption (frame_buffer_update.cu:222-324) ----
     best_pred_t = jnp.full((tm, 1), _FMAX)
     best_pred_node = jnp.full((tm, 1), -1, jnp.int32)
     any_query = jnp.zeros((tm, 1), bool)
     for h in range(max_hits):
-        _, aabb_h, inside_h, t_h, ml_h = hits_feat[h]
-        valid_h = aabb_h >= 0
+        _, _, node_h, inside_h, t_h, ml_h, ratio_h = hits_feat[h]
+        valid_h = node_h >= 0
         vis_h = vis[h * tm:(h + 1) * tm]
         dep_h = depth[h * tm:(h + 1) * tm]
         pred_hit = valid_h & (vis_h > 0.5)
-        pred_len = ml_h * dep_h                           # t_ratio == 1
+        # world length = t_ratio * maxLength * depth (tMaxFloatTypeKernel,
+        # frame_buffer_update.cu:222-257; ratio == 1 unless instanced)
+        pred_len = ratio_h * ml_h * dep_h
         pred_t = jnp.where(
             inside_h,
             jnp.where(pred_len > t_h, 0.0, t_h - pred_len),
@@ -379,7 +489,7 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
         )
         pred_t = jnp.where(pred_hit & (pred_t > 1.1920929e-7), pred_t, _FMAX)
         better = pred_t < best_pred_t
-        best_pred_node = jnp.where(better, aabb_h, best_pred_node)
+        best_pred_node = jnp.where(better, node_h, best_pred_node)
         best_pred_t = jnp.where(better, pred_t, best_pred_t)
         any_query = any_query | valid_h
     use_pred = act & (best_pred_t < cmp_t)
@@ -399,10 +509,7 @@ def _route_kernel(rays_ref, boxes_ref, pboxes_ref, pdiag_ref, table_ref,
     out_ref[:, 6:8] = jnp.zeros((tm, 2), jnp.float32)
 
 
-@partial(jax.jit, static_argnames=(
-    "max_hits", "eps", "tile_rays", "sort_rays", "hbm_table", "interpret",
-    "nn_compact"))
-def route_fused(
+def _fused_impl(
     scene, proxies, models,
     origin, direction, t_min, t_max, active, my_id,
     max_hits: int, eps: float,
@@ -412,16 +519,11 @@ def route_fused(
     interpret: bool = None,
     sort_mode: str = "auto",
     nn_compact: bool = True,
+    shadow: bool = False,
 ):
-    """One-kernel secondary routing.  Returns a dict of per-ray decisions:
-    settled_node (my_id substituted for the local sentinel), new_t,
-    has_node, env_miss, no_route, local_hit — the caller applies them to
-    the PathState and accumulates the env image (proxy_stages.py).
-
-    sort_mode: same policy as pallas_resident.trace_resident — secondary
-    wavefronts are scattered by construction, and the in-kernel trace loop
-    dominates this kernel, so the cluster-schedule sort (_sched_kernel)
-    pays off identically (measured 18.5 -> 13.0 ms on the bare trace)."""
+    """Shared body of route_fused / shadow_route_fused (one traced+jitted
+    entry each below): pack rays, build proxy/instance/weight tables, run
+    _route_kernel, inverse-permute and decode the per-ray decision rows."""
     n = origin.shape[0]
     tm = min(tile_rays, max(n, 8))
     pad = (-n) % tm
@@ -507,10 +609,14 @@ def route_fused(
             (key, jnp.arange(mp, dtype=jnp.int32)), num_keys=1)
         rays = jnp.take(rays, perm, axis=0)
 
-    # proxy boxes + allowed row (own partition and empties excluded)
-    ids = jnp.arange(p, dtype=jnp.int32)
+    # proxy boxes + allowed row (own partition and empties excluded).
+    # Exclusion is by OWNING NODE when instanced: an instance hosted by my
+    # partition is local geometry, not a proxy (march_proxies_xla parity).
+    row_node = (proxies.node_id if proxies.node_id is not None
+                else jnp.arange(p, dtype=jnp.int32))
     allowed = (
-        (ids != jnp.asarray(my_id, jnp.int32)) & (proxies.max_length > 0.0)
+        (row_node != jnp.asarray(my_id, jnp.int32))
+        & (proxies.max_length > 0.0)
     ).astype(jnp.float32)
     pbmin = jnp.where(jnp.isfinite(proxies.aabb_min), proxies.aabb_min, 0.0)
     pbmax = jnp.where(jnp.isfinite(proxies.aabb_max), proxies.aabb_max, 0.0)
@@ -519,6 +625,24 @@ def route_fused(
         axis=0,
     )
     pdiag = proxies.max_length[None, :]
+
+    # instance transform table (see _route_kernel docstring): world_to_obj
+    # affine rows + object AABB + obj/node indirection, column per instance
+    instanced = proxies.instanced
+    if instanced:
+        lin = jnp.transpose(
+            proxies.world_to_obj[:, :, :3].reshape(p, 9), (1, 0))  # (9, P)
+        trans = jnp.transpose(proxies.world_to_obj[:, :, 3], (1, 0))
+        pxf = jnp.concatenate(
+            [lin, trans, proxies.obj_min.T, proxies.obj_span.T,
+             proxies.obj_id.astype(jnp.float32)[None, :],
+             row_node.astype(jnp.float32)[None, :],
+             jnp.zeros((4, p), jnp.float32)], axis=0)              # (24, P)
+        pn = (1 if models.multi_geo
+              else next(iter(models.vis_params.values())).shape[0])
+    else:
+        pxf = jnp.zeros((24, p), jnp.float32)
+        pn = 1 if models.multi_geo else p
 
     # triangle table (lane-padded when HBM-streamed; pallas_resident.py
     # convention, precomputed at scene-pack time)
@@ -563,6 +687,8 @@ def route_fused(
         arrs = []
         for nm in names:
             a = params[nm]
+            if models.multi_geo:                # single shared net: O == 1
+                a = a[None]
             if a.ndim == 3:                     # (O, in, out)
                 arrs.append(jnp.transpose(a, (1, 0, 2))
                             .reshape(1, a.shape[1], -1).astype(jnp.bfloat16))
@@ -572,6 +698,8 @@ def route_fused(
 
     wv = prep(models.vis_params)
     wd = prep(models.depth_params)
+
+    from ..train.datasets import INSTANCE_DIVISOR
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((tm, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -614,19 +742,22 @@ def route_fused(
         scratch += [pltpu.VMEM((max_hits * tm, 2), jnp.float32)]
 
     (out,) = pl.pallas_call(
-        partial(_route_kernel, c=c_k, tm=tm, k=k, p=p, max_hits=max_hits,
+        partial(_route_kernel, c=c_k, tm=tm, k=k, p=p, pn=pn,
+                max_hits=max_hits,
                 eps=eps, cfg=cfg, vis_final=models.vis_cfg.final_activation,
                 depth_final=models.depth_cfg.final_activation,
                 n_params=len(names), hbm=hbm_table, recull=recull,
-                ssub=ssub, nn_chunk=nn_chunk),
+                ssub=ssub, nn_chunk=nn_chunk, instanced=instanced,
+                multi_geo=models.multi_geo,
+                inst_div=float(INSTANCE_DIVISOR), shadow=shadow),
         grid=(mp // tm,),
-        in_specs=[ray_spec, vmem, vmem, vmem, table_spec]
+        in_specs=[ray_spec, vmem, vmem, vmem, vmem, table_spec]
                  + [vmem] * (2 * len(names)),
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((mp, 8), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(rays, boxes, pboxes, pdiag, table, *wv, *wd)
+    )(rays, boxes, pboxes, pdiag, pxf, table, *wv, *wd)
 
     if perm is not None:
         # ONE inverse-permutation gather on the packed (n, 8) decision rows
@@ -637,6 +768,12 @@ def route_fused(
         out = jnp.take(out, inv_n, axis=0)
     else:
         out = out[:n]
+    if shadow:
+        return dict(
+            weight=out[:, 0],
+            occluded_local=out[:, 1] > 0.5,
+            survives=out[:, 2] > 0.5,
+        )
     settled = jnp.round(out[:, 0]).astype(jnp.int32)
     settled = jnp.where(settled == -2, jnp.asarray(my_id, jnp.int32), settled)
     return dict(
@@ -647,3 +784,62 @@ def route_fused(
         no_route=out[:, 4] > 0.5,
         local_hit=out[:, 5] > 0.5,
     )
+
+
+@partial(jax.jit, static_argnames=(
+    "max_hits", "eps", "tile_rays", "sort_rays", "hbm_table", "interpret",
+    "sort_mode", "nn_compact"))
+def route_fused(
+    scene, proxies, models,
+    origin, direction, t_min, t_max, active, my_id,
+    max_hits: int, eps: float,
+    tile_rays: int = 128,
+    sort_rays: bool = True,
+    hbm_table: bool = None,
+    interpret: bool = None,
+    sort_mode: str = "auto",
+    nn_compact: bool = True,
+):
+    """One-kernel secondary routing.  Returns a dict of per-ray decisions:
+    settled_node (my_id substituted for the local sentinel), new_t,
+    has_node, env_miss, no_route, local_hit — the caller applies them to
+    the PathState and accumulates the env image (proxy_stages.py).
+
+    sort_mode: same policy as pallas_resident.trace_resident — secondary
+    wavefronts are scattered by construction, and the in-kernel trace loop
+    dominates this kernel, so the cluster-schedule sort (_sched_kernel)
+    pays off identically (measured 18.5 -> 13.0 ms on the bare trace)."""
+    return _fused_impl(scene, proxies, models, origin, direction, t_min,
+                       t_max, active, my_id, max_hits, eps, tile_rays,
+                       sort_rays, hbm_table, interpret, sort_mode,
+                       nn_compact, shadow=False)
+
+
+@partial(jax.jit, static_argnames=(
+    "max_hits", "eps", "tile_rays", "sort_rays", "hbm_table", "interpret",
+    "sort_mode", "nn_compact"))
+def shadow_route_fused(
+    scene, proxies, models,
+    origin, direction, t_min, t_max, active, my_id,
+    max_hits: int, eps: float,
+    tile_rays: int = 128,
+    sort_rays: bool = False,
+    hbm_table: bool = None,
+    interpret: bool = None,
+    sort_mode: str = "auto",
+    nn_compact: bool = True,
+):
+    """One-kernel neural shadow visibility (shadowRayModuleBasedNN,
+    reference renderer.cpp:1349-1404): local occlusion kill + proxy march +
+    vis/depth nets + max-occlusion blend in ONE Pallas program.  Returns
+    per-ray `weight` = survives * (1 - max_occlusion) — the caller
+    multiplies throughput/shadow_path_count and segment-sums into the
+    direct-light image (render/proxy_stages.py shadow_direct_light_nn).
+
+    Pass t_max already scaled by the caller's occlusion margin.  Default
+    UNSORTED: NEE shadow wavefronts keep pixel order (engine sort policy —
+    morton sorting measured ~3x slower for one-light shadow fans)."""
+    return _fused_impl(scene, proxies, models, origin, direction, t_min,
+                       t_max, active, my_id, max_hits, eps, tile_rays,
+                       sort_rays, hbm_table, interpret, sort_mode,
+                       nn_compact, shadow=True)

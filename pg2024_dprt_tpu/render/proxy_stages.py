@@ -213,10 +213,6 @@ def _use_fused_route(scene, models: ProxyModels, tracer: str) -> bool:
     weights fit the VMEM budget."""
     if jax.default_backend() == "cpu" or tracer not in ("auto", "resident"):
         return False
-    if models.multi_geo:
-        # the fused kernel runs stacked per-object weights; the shared
-        # multi-geo net takes the composed path (apply_multigeo)
-        return False
     tex = scene.albedo_textures
     if tex is not None and tex.count > 0 and tex.has_cutout:
         return False
@@ -290,7 +286,7 @@ def secondary_route(
     n = paths.capacity
     live = paths.is_valid & (~paths.is_shadow)
 
-    if _use_fused_route(scene, models, tracer) and not proxies.instanced:
+    if _use_fused_route(scene, models, tracer):
         from ..ops.pallas_route import route_fused
 
         dec = route_fused(
@@ -411,6 +407,22 @@ def shadow_direct_light_nn(
     depth nets for inside-hits), max-occlusion blend, direct-light image add.
     Returns (direct-light increment (npix, 3), diag)."""
     valid = shadow_paths.is_valid
+
+    if _use_fused_route(scene, models, tracer):
+        # one-kernel form (ops/pallas_route.py shadow_route_fused): local
+        # occlusion + march + vis/depth nets + max-occlusion blend fused —
+        # same launch-count law as the secondary route above
+        from ..ops.pallas_route import shadow_route_fused
+
+        dec = shadow_route_fused(
+            scene, proxies, models,
+            shadow_paths.origin, shadow_paths.direction, eps,
+            shadow_paths.tmax * (1.0 - 1e-3), valid, my_id, max_hits, eps)
+        contrib = (shadow_paths.throughput * dec["weight"][:, None]
+                   / shadow_path_count)
+        return jax.ops.segment_sum(
+            contrib, shadow_paths.pixel_index,
+            num_segments=frame_buffer_size), jnp.int32(0)
 
     occluded_local, diag = trace_occlusion(
         scene,

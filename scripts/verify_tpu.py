@@ -152,6 +152,81 @@ def main():
     results.append(row)
     print(json.dumps(row), flush=True)
 
+    # fused route megakernel (COMPILED Mosaic) vs its interpret form on the
+    # CPU device: plain + INSTANCED proxy tables (the CPU A-B tests tie the
+    # interpret form to the composed march_proxies_xla oracle, so this row
+    # closes the chip side).  vis nets biased off the 0.5 threshold; a tiny
+    # knife-edge budget absorbs pred_t ~ local_t ties under MXU-vs-CPU bf16.
+    import dataclasses
+
+    from pg2024_dprt_tpu.models.mlp import MLPConfig
+    from pg2024_dprt_tpu.models.proxy import random_proxy_models
+    from pg2024_dprt_tpu.ops.pallas_route import route_fused
+
+    rcfg = MLPConfig(width=64, depth=2)
+
+    def bias_vis(models, b):
+        return dataclasses.replace(
+            models,
+            vis_params={k: (v + b if k == "head_b1" else v)
+                        for k, v in models.vis_params.items()})
+
+    offs_r = np.asarray(
+        [[-1.05, 0, 0], [1.05, 0, 0], [0, -1.05, 0], [0, 1.05, 0],
+         [0, 0, -1.05], [0, 0, 1.05], [-1.05, -1.05, 0], [1.05, 1.05, 0]],
+        np.float32)
+    plain_px = ProxyTable(
+        aabb_min=jnp.asarray(offs_r), aabb_max=jnp.asarray(offs_r + 1.0),
+        max_length=jnp.asarray(np.full((8,), np.sqrt(3.0), np.float32)))
+    plain_m = bias_vis(random_proxy_models(jax.random.PRNGKey(21), 8,
+                                           rcfg, rcfg), 6.0)
+    sc_i = np.asarray([0.5, 0.5, 0.7, 0.7], np.float32)
+    m_i = np.zeros((4, 3, 4), np.float32)
+    for i in range(4):
+        m_i[i, :, :3] = np.eye(3, dtype=np.float32) / sc_i[i]
+        m_i[i, :, 3] = -offs_r[i] / sc_i[i]
+    inst_px = ProxyTable(
+        aabb_min=jnp.asarray(offs_r[:4]),
+        aabb_max=jnp.asarray(offs_r[:4] + sc_i[:, None]),
+        max_length=jnp.asarray(np.full((4,), np.sqrt(3.0), np.float32)),
+        obj_id=jnp.asarray([0, 1, 0, 1], jnp.int32),
+        node_id=jnp.asarray([1, 2, 3, 4], jnp.int32),
+        world_to_obj=jnp.asarray(m_i),
+        obj_min=jnp.zeros((4, 3), jnp.float32),
+        obj_span=jnp.ones((4, 3), jnp.float32))
+    inst_m = bias_vis(random_proxy_models(jax.random.PRNGKey(22), 2,
+                                          rcfg, rcfg), 6.0)
+    r_tmax = jnp.full((n,), 3.4e38, jnp.float32)
+    for rname, r_px, r_m in (("route_fused", plain_px, plain_m),
+                             ("route_fused_instanced", inst_px, inst_m)):
+        kwr = dict(max_hits=3, eps=1e-3)
+        got = route_fused(scene2, r_px, r_m, ro, rd, 1e-3, r_tmax, act,
+                          jnp.int32(0), **kwr)
+        got = {kk: np.asarray(vv) for kk, vv in got.items()}
+        with jax.default_device(cpu):
+            put = lambda a: jax.device_put(a, cpu)
+            want_r = route_fused(
+                jax.tree.map(put, scene2), jax.tree.map(put, r_px),
+                jax.tree.map(put, r_m), put(ro), put(rd), 1e-3, put(r_tmax),
+                put(act), jnp.int32(0), interpret=True, **kwr)
+        want_r = {kk: np.asarray(vv) for kk, vv in want_r.items()}
+        mism = {kk: int((got[kk] != want_r[kk]).sum())
+                for kk in ("settled_node", "has_node", "env_miss",
+                           "no_route", "local_hit")}
+        both_n = got["has_node"] & want_r["has_node"] \
+            & (got["settled_node"] == want_r["settled_node"])
+        dtr = np.abs(got["new_t"] - want_r["new_t"])[both_n] / np.maximum(
+            1.0, np.abs(want_r["new_t"])[both_n])
+        budget = max(2, n // 1000)
+        row = {"scene": "soup_incoherent", "kernel": rname, "rays": n,
+               "decision_mismatches": mism,
+               "new_t_rel_mean": float(dtr.mean()),
+               "new_t_rel_max": float(dtr.max()), "gating": True,
+               "pass": all(v <= budget for v in mism.values())
+                       and float(dtr.mean()) < 1e-3}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
     # whole-sample frame megakernel (COMPILED) vs the composed render with
     # the stackless oracle tracer on the CPU backend
     from pg2024_dprt_tpu.ops.pallas_frame import render_sample_fused

@@ -119,6 +119,96 @@ def test_scaled_instance_ratio_and_features():
     assert (np.asarray(qi.aabb_id)[v] == 0).all()
 
 
+def _instanced_setup(vis_bias, seed=0, n=512):
+    """4 instances of 2 objects (scaled + offset), 2 nets, soup scene."""
+    scene = device_scene_from_meshes([random_tri_soup(512, seed=seed)],
+                                     tris_per_cluster=64)
+    offs = np.asarray(
+        [[-1.6, 0, 0], [1.2, 0, 0], [0, -1.6, 0], [0, 1.2, 0]], np.float32)
+    scales = np.asarray([0.5, 0.5, 0.7, 0.7], np.float32)
+    obj_lo = np.zeros((4, 3), np.float32)
+    obj_hi = np.ones((4, 3), np.float32)
+    m = np.zeros((4, 3, 4), np.float32)
+    for i in range(4):
+        m[i, :, :3] = np.eye(3, dtype=np.float32) / scales[i]
+        m[i, :, 3] = -offs[i] / scales[i]
+    proxies = ProxyTable(
+        aabb_min=jnp.asarray(offs),
+        aabb_max=jnp.asarray(offs + scales[:, None]),
+        max_length=jnp.asarray(np.linalg.norm(obj_hi - obj_lo, axis=1)),
+        obj_id=jnp.asarray([0, 1, 0, 1], jnp.int32),
+        node_id=jnp.asarray([1, 2, 3, 4], jnp.int32),
+        world_to_obj=jnp.asarray(m),
+        obj_min=jnp.asarray(obj_lo), obj_span=jnp.asarray(obj_hi - obj_lo),
+    )
+    cfg = MLPConfig(width=64, depth=2)
+    models = random_proxy_models(jax.random.PRNGKey(seed + 1), 2, cfg, cfg)
+    models = dataclasses.replace(
+        models,
+        vis_params={k: (v + vis_bias if k == "head_b1" else v)
+                    for k, v in models.vis_params.items()},
+    )
+    rng = np.random.RandomState(seed + 2)
+    o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.6 - 0.3)
+    d = rng.randn(n, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    paths = PathState.empty(n)._replace(
+        origin=o, direction=d,
+        tmax=jnp.full((n,), 3.4e38, jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        pixel_index=jnp.asarray(np.arange(n, dtype=np.int32)),
+        is_valid=jnp.asarray(rng.rand(n) > 0.1),
+    )
+    env = EnvironmentMap.constant((0.4, 0.5, 0.7))
+    return scene, proxies, models, paths, env
+
+
+def _route_both_instanced(vis_bias, seed, my_id):
+    import pg2024_dprt_tpu.render.proxy_stages as ps
+
+    scene, proxies, models, paths, env = _instanced_setup(vis_bias, seed)
+    n = paths.capacity
+    composed = ps.secondary_route(scene, proxies, models, env, paths,
+                                  jnp.int32(my_id), 3, 1e-3, n)
+    orig = ps._use_fused_route
+    ps._use_fused_route = lambda *a: True
+    try:
+        fused = ps.secondary_route(scene, proxies, models, env, paths,
+                                   jnp.int32(my_id), 3, 1e-3, n)
+    finally:
+        ps._use_fused_route = orig
+    return composed, fused
+
+
+def _compare_routes(composed, fused):
+    (cp, ce, _), (fp, fe, _) = composed, fused
+    np.testing.assert_array_equal(np.asarray(cp.target_node),
+                                  np.asarray(fp.target_node))
+    np.testing.assert_array_equal(np.asarray(cp.current_node),
+                                  np.asarray(fp.current_node))
+    np.testing.assert_array_equal(np.asarray(cp.is_hit), np.asarray(fp.is_hit))
+    np.testing.assert_array_equal(np.asarray(cp.is_valid),
+                                  np.asarray(fp.is_valid))
+    np.testing.assert_allclose(np.asarray(cp.tmax), np.asarray(fp.tmax),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(fe),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_route_instanced_matches_composed():
+    """The route megakernel's in-kernel instancing (object-space features,
+    obj-id net select, node-id routing, t_ratio consumption) must agree
+    end-to-end with the composed march_proxies_xla + grouped-NN path."""
+    _compare_routes(*_route_both_instanced(vis_bias=10.0, seed=17, my_id=0))
+    _compare_routes(*_route_both_instanced(vis_bias=-10.0, seed=19, my_id=0))
+
+
+def test_fused_route_instanced_node_exclusion():
+    """Own-partition exclusion is by OWNING NODE: with my_id = an instance's
+    node, both paths must skip exactly that instance."""
+    _compare_routes(*_route_both_instanced(vis_bias=10.0, seed=23, my_id=2))
+
+
 def test_instanced_route_consumption():
     """End-to-end secondary_route over a scaled instance: with rigged
     constant nets (vis ~ 1, depth = const), the settled tmax must be
@@ -178,3 +268,40 @@ def test_instanced_route_consumption():
     got_node = np.asarray(new_paths.target_node)
     np.testing.assert_allclose(got_t[v0], expect[v0], rtol=1e-4)
     assert (got_node[v0] == 1).all()
+
+
+def test_fused_shadow_route_instanced_matches_composed():
+    """Shadow-mode megakernel over an INSTANCED proxy table: the in-kernel
+    object-space normalized entry depth (t / (ratio * max_length)) must
+    reproduce the composed inside-hit depth comparison."""
+    import pg2024_dprt_tpu.render.proxy_stages as ps
+
+    for vis_bias, depth_bias, seed in ((10.0, -10.0, 61), (10.0, 10.0, 67)):
+        scene, proxies, models, paths, env = _instanced_setup(vis_bias,
+                                                              seed)
+        models = dataclasses.replace(
+            models,
+            depth_params={k: (v + depth_bias if k == "head_b1" else v)
+                          for k, v in models.depth_params.items()},
+        )
+        n = paths.capacity
+        rng = np.random.RandomState(seed + 9)
+        shadow = PathState.empty(n)._replace(
+            origin=paths.origin, direction=paths.direction,
+            tmax=jnp.asarray((rng.rand(n) * 2.5 + 0.3).astype(np.float32)),
+            throughput=jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+            pixel_index=jnp.asarray((np.arange(n) % 97).astype(np.int32)),
+            is_valid=paths.is_valid,
+        )
+        composed, _ = ps.shadow_direct_light_nn(
+            scene, proxies, models, shadow, jnp.int32(0), 3, 1e-3, 4, 97)
+        orig = ps._use_fused_route
+        ps._use_fused_route = lambda *a: True
+        try:
+            fused, _ = ps.shadow_direct_light_nn(
+                scene, proxies, models, shadow, jnp.int32(0), 3, 1e-3, 4, 97)
+        finally:
+            ps._use_fused_route = orig
+        np.testing.assert_allclose(
+            np.asarray(composed), np.asarray(fused), rtol=1e-5, atol=1e-6,
+            err_msg=str((vis_bias, depth_bias, seed)))

@@ -142,3 +142,73 @@ def test_multigeo_render_path():
     if noroute.any():
         assert (tnode[noroute] == 7).all()
     assert np.isfinite(np.asarray(env_add)).all()
+
+
+def test_fused_route_multigeo_matches_composed():
+    """The route megakernel's in-kernel multi-geo form (pn=1 shared net,
+    iid feature column) must agree end-to-end with the composed
+    march_proxies_xla + apply_multigeo path."""
+    import dataclasses
+
+    import pg2024_dprt_tpu.render.proxy_stages as ps
+    from pg2024_dprt_tpu.core.types import PathState
+    from pg2024_dprt_tpu.scene import random_tri_soup
+    from pg2024_dprt_tpu.scene.geometry import ProxyTable
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap
+
+    scene = device_scene_from_meshes([random_tri_soup(900, seed=0)],
+                                     tris_per_cluster=64)
+    offs = np.asarray(
+        [[-1.05, 0, 0], [1.05, 0, 0], [0, -1.05, 0], [0, 1.05, 0],
+         [0, 0, -1.05], [0, 0, 1.05]], np.float32)
+    proxies = ProxyTable(
+        aabb_min=jnp.asarray(offs), aabb_max=jnp.asarray(offs + 1.0),
+        max_length=jnp.asarray(np.linalg.norm(np.ones((6, 3)), axis=1)
+                               .astype(np.float32)),
+    )
+    cfg6 = MLPConfig(width=64, depth=2, in_features=6)
+    key = jax.random.PRNGKey(9)
+    for vis_bias, seed in ((10.0, 31), (-10.0, 37)):
+        models = multigeo_proxy_models(
+            init_mlp(key, cfg6), init_mlp(jax.random.fold_in(key, 1), cfg6),
+            6, cfg6, cfg6)
+        models = dataclasses.replace(
+            models,
+            vis_params={k: (v + vis_bias if k == "head_b1" else v)
+                        for k, v in models.vis_params.items()})
+        rng = np.random.RandomState(seed)
+        n = 512
+        o = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 1.4 - 0.2)
+        d = rng.randn(n, 3).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+        paths = PathState.empty(n)._replace(
+            origin=o, direction=d,
+            tmax=jnp.full((n,), 3.4e38, jnp.float32),
+            throughput=jnp.ones((n, 3), jnp.float32),
+            pixel_index=jnp.asarray(np.arange(n, dtype=np.int32)),
+            is_valid=jnp.asarray(rng.rand(n) > 0.1),
+        )
+        env = EnvironmentMap.constant((0.4, 0.5, 0.7))
+        composed = ps.secondary_route(scene, proxies, models, env, paths,
+                                      jnp.int32(6), 3, 1e-3, n)
+        orig = ps._use_fused_route
+        ps._use_fused_route = lambda *a: True
+        try:
+            fused = ps.secondary_route(scene, proxies, models, env, paths,
+                                       jnp.int32(6), 3, 1e-3, n)
+        finally:
+            ps._use_fused_route = orig
+        (cp, ce, _), (fp, fe, _) = composed, fused
+        np.testing.assert_array_equal(np.asarray(cp.target_node),
+                                      np.asarray(fp.target_node),
+                                      err_msg=str(vis_bias))
+        np.testing.assert_array_equal(np.asarray(cp.current_node),
+                                      np.asarray(fp.current_node))
+        np.testing.assert_array_equal(np.asarray(cp.is_hit),
+                                      np.asarray(fp.is_hit))
+        np.testing.assert_array_equal(np.asarray(cp.is_valid),
+                                      np.asarray(fp.is_valid))
+        np.testing.assert_allclose(np.asarray(cp.tmax), np.asarray(fp.tmax),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(ce), np.asarray(fe),
+                                   rtol=1e-5, atol=1e-6)

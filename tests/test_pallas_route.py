@@ -164,3 +164,71 @@ def test_fused_route_nn_compact_odd_shapes():
             np.testing.assert_array_equal(
                 np.asarray(dense[key]), np.asarray(chunked[key]),
                 err_msg=str((n, mh, key)))
+
+
+def _shadow_setup(vis_bias, depth_bias, seed, n=768):
+    import dataclasses
+
+    scene, proxies, models, paths, env = _setup(vis_bias, seed, n)
+    models = dataclasses.replace(
+        models,
+        depth_params={k: (v + depth_bias if k == "head_b1" else v)
+                      for k, v in models.depth_params.items()},
+    )
+    rng = np.random.RandomState(seed + 9)
+    shadow = PathState.empty(n)._replace(
+        origin=paths.origin, direction=paths.direction,
+        tmax=jnp.asarray((rng.rand(n) * 2.5 + 0.3).astype(np.float32)),
+        throughput=jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        pixel_index=jnp.asarray((np.arange(n) % 97).astype(np.int32)),
+        is_valid=paths.is_valid,
+    )
+    return scene, proxies, models, shadow
+
+
+def test_fused_shadow_route_matches_composed():
+    """The shadow-mode megakernel (local occlusion + march + vis/depth +
+    max-occlusion blend in one program) must reproduce the composed
+    shadow_direct_light_nn image.  vis/depth biased off both decision
+    thresholds (vis>0.5 and the inside-hit depth comparison)."""
+    for vis_bias, depth_bias, seed in (
+        (10.0, -10.0, 41),   # everything marched occludes
+        (10.0, 10.0, 43),    # inside-hits pass the depth test
+        (-10.0, 0.0, 47),    # nothing occludes
+    ):
+        scene, proxies, models, shadow = _shadow_setup(vis_bias, depth_bias,
+                                                       seed)
+        npix = 97
+        composed, _ = ps.shadow_direct_light_nn(
+            scene, proxies, models, shadow, jnp.int32(8), 3, 1e-3, 4, npix)
+        orig = ps._use_fused_route
+        ps._use_fused_route = lambda *a: True
+        try:
+            fused, _ = ps.shadow_direct_light_nn(
+                scene, proxies, models, shadow, jnp.int32(8), 3, 1e-3, 4,
+                npix)
+        finally:
+            ps._use_fused_route = orig
+        np.testing.assert_allclose(
+            np.asarray(composed), np.asarray(fused), rtol=1e-5, atol=1e-6,
+            err_msg=str((vis_bias, depth_bias, seed)))
+
+
+def test_fused_shadow_route_sorted_matches_unsorted():
+    """Shadow weights are per-ray and order-independent: the sorted-wrapper
+    variant must agree with the default unsorted form."""
+    from pg2024_dprt_tpu.ops.pallas_route import shadow_route_fused
+
+    scene, proxies, models, shadow = _shadow_setup(10.0, 10.0, 53, n=256)
+    kw = dict(max_hits=3, eps=1e-3)
+    base = shadow_route_fused(scene, proxies, models, shadow.origin,
+                              shadow.direction, 1e-3,
+                              shadow.tmax * (1.0 - 1e-3), shadow.is_valid,
+                              jnp.int32(8), **kw)
+    got = shadow_route_fused(scene, proxies, models, shadow.origin,
+                             shadow.direction, 1e-3,
+                             shadow.tmax * (1.0 - 1e-3), shadow.is_valid,
+                             jnp.int32(8), sort_rays=True, **kw)
+    for key in ("weight", "occluded_local", "survives"):
+        np.testing.assert_array_equal(np.asarray(base[key]),
+                                      np.asarray(got[key]), err_msg=key)
