@@ -1,0 +1,194 @@
+"""Command-line renderer — the analogue of the reference's renderer
+executable (`/root/reference/src/main.cpp` + `Renderer::launch`,
+renderer.cpp:1938-2060): load a scene (an .obj from disk or a named builtin),
+set up camera/lights, render N frames, write PNG/EXR.
+
+Usage:
+    python -m pg2024_dprt_tpu.render SCENE [options]
+
+SCENE is a path to a .obj file (materials + PNG textures resolved relative
+to it, scene/obj.py) or a builtin:
+    cornell | cornell-water | city[:N] | soup[:N] | rooms[:N]
+
+Examples:
+    python -m pg2024_dprt_tpu.render cornell --size 256 --spp 8 --out /tmp/r
+    python -m pg2024_dprt_tpu.render bunny.obj --spp 4 --format both
+    python -m pg2024_dprt_tpu.render rooms:2 --partitions 2 --spp 2
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ..scene import device_scene_from_meshes
+from ..scene.lights import EnvironmentMap, LightTable
+from ..utils.timing import Timing
+from .config import RenderConfig
+
+
+def _parse_vec3(s: str):
+    parts = [float(x) for x in s.split(",")]
+    if len(parts) != 3:
+        raise argparse.ArgumentTypeError(f"expected 'x,y,z', got {s!r}")
+    return parts
+
+
+def load_scene(spec: str, default_color=(0.8, 0.8, 0.8)):
+    """Resolve a SCENE spec -> (meshes, lights-or-None, texture images)."""
+    from ..scene.procedural import (
+        city_scene, cornell_box, random_tri_soup, two_room_scene)
+
+    name, _, arg = spec.partition(":")
+    if name == "cornell" or name == "cornell-water":
+        meshes, lights = cornell_box(with_water_sphere=name == "cornell-water")
+        return meshes, lights, None
+    if name == "city":
+        return [city_scene(int(arg or 20000))], None, None
+    if name == "soup":
+        return [random_tri_soup(int(arg or 65536))], None, None
+    if name == "rooms":
+        meshes, lights = two_room_scene(int(arg or 2))
+        return meshes, lights, None
+    if not os.path.exists(spec):
+        raise SystemExit(f"scene {spec!r}: no such file and not a builtin "
+                         f"(cornell | cornell-water | city[:N] | soup[:N] | rooms[:N])")
+    from ..scene.obj import load_obj, load_texture_images
+
+    meshes, texture_paths = load_obj(spec, default_color=default_color)
+    images = load_texture_images(texture_paths, base_dir=os.path.dirname(spec))
+    return meshes, None, images
+
+
+def scene_bounds(meshes):
+    lo = np.full(3, np.inf, np.float32)
+    hi = np.full(3, -np.inf, np.float32)
+    for m in meshes:
+        for v in (m.v0, m.v1, m.v2):
+            lo = np.minimum(lo, np.asarray(v).min(axis=0))
+            hi = np.maximum(hi, np.asarray(v).max(axis=0))
+    return lo, hi
+
+
+def auto_camera(lo, hi, fov: float, width: int, height: int):
+    """Frame the scene AABB from a 3/4 view (the scene-agnostic default the
+    reference hard-codes per scene, renderer.cpp:1726-1796)."""
+    from ..core import Camera
+
+    center = 0.5 * (lo + hi)
+    radius = 0.5 * float(np.linalg.norm(hi - lo))
+    radius = max(radius, 1e-3)
+    dist = radius / np.tan(np.deg2rad(fov) * 0.5) * 1.15
+    eye = center + np.asarray([0.45, 0.35, 1.0]) / np.linalg.norm(
+        [0.45, 0.35, 1.0]) * dist
+    return Camera.look_at(eye, center, [0.0, 1.0, 0.0], fov, width, height)
+
+
+def auto_light(lo, hi, intensity: float) -> LightTable:
+    """Area light hovering over the scene AABB (for .obj scenes, which carry
+    no emitters — mirrors the reference's per-scene light setup)."""
+    cx, cz = 0.5 * (lo[0] + hi[0]), 0.5 * (lo[2] + hi[2])
+    ex, ez = hi[0] - lo[0], hi[2] - lo[2]
+    y = hi[1] + 0.25 * max(hi[1] - lo[1], 1e-3)
+    hx, hz = 0.2 * max(ex, 1e-3), 0.2 * max(ez, 1e-3)
+    quad = np.asarray(
+        [[[cx - hx, y, cz - hz], [cx + hx, y, cz - hz], [cx + hx, y, cz + hz]],
+         [[cx - hx, y, cz - hz], [cx + hx, y, cz + hz], [cx - hx, y, cz + hz]]],
+        np.float32)
+    # scale radiance with scene extent so total power covers the footprint
+    rad = intensity * max(ex * ez, 1e-6) / max(4.0 * hx * hz, 1e-6)
+    return LightTable.from_arrays(quad, np.full((2, 3), rad, np.float32))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="python -m pg2024_dprt_tpu.render", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("scene", help=".obj path or builtin (cornell | cornell-water"
+                                 " | city[:N] | soup[:N] | rooms[:N])")
+    p.add_argument("--size", type=int, default=256, help="square image size")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--shadow-paths", type=int, default=4,
+                   help="NEE samples per shading point (reference shadowPathCount)")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--out", default="out", help="output directory")
+    p.add_argument("--format", choices=("png", "exr", "both"), default="png")
+    p.add_argument("--partitions", type=int, default=0,
+                   help="render distributed over an N-partition device mesh "
+                        "(exact mode: migration + ring shadows)")
+    p.add_argument("--env", type=_parse_vec3, default=[0.0, 0.0, 0.0],
+                   metavar="R,G,B", help="constant environment radiance")
+    p.add_argument("--cam-pos", type=_parse_vec3, default=None, metavar="X,Y,Z")
+    p.add_argument("--cam-target", type=_parse_vec3, default=None, metavar="X,Y,Z")
+    p.add_argument("--fov", type=float, default=45.0)
+    p.add_argument("--light-intensity", type=float, default=8.0,
+                   help="auto area-light radiance scale (scenes without emitters)")
+    p.add_argument("--tracer", default="auto",
+                   choices=("auto", "stackless", "cluster", "resident"))
+    p.add_argument("--fused-frame", default="auto", choices=("auto", "on", "off"))
+    args = p.parse_args(argv)
+
+    from ..core import Camera
+
+    w = args.width or args.size
+    h = args.height or args.size
+    meshes, lights, textures = load_scene(args.scene)
+    lo, hi = scene_bounds(meshes)
+    if lights is None:
+        lights = auto_light(lo, hi, args.light_intensity)
+    if args.cam_pos is not None:
+        target = args.cam_target if args.cam_target is not None \
+            else list(0.5 * (lo + hi))
+        camera = Camera.look_at(args.cam_pos, target, [0, 1, 0], args.fov, w, h)
+    else:
+        camera = auto_camera(lo, hi, args.fov, w, h)
+    env = EnvironmentMap.constant(args.env)
+    cfg = RenderConfig(width=w, height=h, spp=args.spp, bounces=args.bounces,
+                       shadow_path_count=args.shadow_paths, tracer=args.tracer,
+                       fused_frame=args.fused_frame)
+    timing = Timing()
+
+    from .frames import render_frames
+
+    if args.partitions > 1:
+        import jax
+
+        from ..models import random_proxy_models
+        from ..parallel import make_mesh
+        from ..scene import build_partitioned_scene
+
+        part = build_partitioned_scene(meshes, args.partitions)
+        mesh = make_mesh(args.partitions)
+        models = random_proxy_models(jax.random.PRNGKey(0), args.partitions)
+        images = render_frames(
+            None, lights, env, camera, cfg, num_frames=args.frames,
+            timing=timing, distributed=(part, models, mesh))
+    else:
+        scene = device_scene_from_meshes(meshes, textures=textures)
+        images = render_frames(scene, lights, env, camera, cfg,
+                               num_frames=args.frames, timing=timing)
+
+    os.makedirs(args.out, exist_ok=True)
+    for i, img in enumerate(images):
+        if args.format in ("exr", "both"):
+            from ..utils.exr import write_exr
+
+            write_exr(os.path.join(args.out, f"frame{i}.exr"), img)
+        if args.format in ("png", "both"):
+            from ..utils.png import write_png
+
+            write_png(os.path.join(args.out, f"frame{i}.png"), img)
+    print(timing.report())
+    print(f"wrote {len(images)} frame(s) ({w}x{h}, {args.spp}spp, "
+          f"{args.bounces} bounces) to {args.out}/; mean luminance "
+          f"{float(np.mean(images[0])):.4f}")
+    return images
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
