@@ -128,6 +128,10 @@ def main(argv=None):
     p.add_argument("--fov", type=float, default=45.0)
     p.add_argument("--light-intensity", type=float, default=8.0,
                    help="auto area-light radiance scale (scenes without emitters)")
+    p.add_argument("--light-velocity", type=_parse_vec3, default=None,
+                   metavar="X,Y,Z", help="LIGHT_MOVE: light offset per frame")
+    p.add_argument("--dolly", type=_parse_vec3, default=None, metavar="X,Y,Z",
+                   help="CAMERA_MOVE: camera offset per frame")
     p.add_argument("--tracer", default="auto",
                    choices=("auto", "stackless", "cluster", "resident"))
     p.add_argument("--fused-frame", default="auto", choices=("auto", "on", "off"))
@@ -167,11 +171,14 @@ def main(argv=None):
         models = random_proxy_models(jax.random.PRNGKey(0), args.partitions)
         images = render_frames(
             None, lights, env, camera, cfg, num_frames=args.frames,
-            timing=timing, distributed=(part, models, mesh))
+            timing=timing, distributed=(part, models, mesh),
+            light_velocity=args.light_velocity, camera_velocity=args.dolly)
     else:
         scene = device_scene_from_meshes(meshes, textures=textures)
         images = render_frames(scene, lights, env, camera, cfg,
-                               num_frames=args.frames, timing=timing)
+                               num_frames=args.frames, timing=timing,
+                               light_velocity=args.light_velocity,
+                               camera_velocity=args.dolly)
 
     os.makedirs(args.out, exist_ok=True)
     for i, img in enumerate(images):
