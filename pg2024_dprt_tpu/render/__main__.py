@@ -102,6 +102,43 @@ def auto_light(lo, hi, intensity: float) -> LightTable:
     return LightTable.from_arrays(quad, np.full((2, 3), rad, np.float32))
 
 
+def train_partition_proxies(meshes, part, parts: int, samples: int,
+                            epochs: int, width: int = 64, depth: int = 2):
+    """Offline stage of the flagship workflow (reference trainingcode/main.py):
+    train vis+depth proxy nets per partition on its real geometry, deploy
+    stacked (see examples/neural_two_rooms.py for the long-form version)."""
+    from ..models import stack_params
+    from ..models.mlp import MLPConfig
+    from ..models.proxy import ProxyModels
+    from ..scene.partition import partition_meshes
+    from ..train import (
+        TrainConfig, balance_vis, depth_only, fit, generate_proxy_dataset)
+
+    assignment = partition_meshes(meshes, parts)
+    cfg = MLPConfig(width=width, depth=depth)
+    vis_list, depth_list = [], []
+    for p, idxs in enumerate(assignment):
+        sub = device_scene_from_meshes([meshes[i] for i in idxs])
+        lo = np.asarray(part.proxies.aabb_min[p])
+        hi = np.asarray(part.proxies.aabb_max[p])
+        feats, d = generate_proxy_dataset(sub, lo, hi, samples, seed=100 + p)
+        xv, yv = balance_vis(feats, d)
+        vp, hist = fit(xv, yv, cfg, TrainConfig(
+            nn_type="vis", epochs=epochs, batch=4096, learn_rate=5e-3))
+        print(f"partition {p}: vis loss {hist['test_loss'][-1]:.4f}", flush=True)
+        xd, yd = depth_only(feats, d)
+        if xd.shape[0] < 256:
+            xd, yd = feats, d
+        dp, hist = fit(xd, yd, cfg, TrainConfig(
+            nn_type="depth", epochs=epochs, batch=4096, learn_rate=5e-3))
+        print(f"partition {p}: depth loss {hist['test_loss'][-1]:.4f}", flush=True)
+        vis_list.append(vp)
+        depth_list.append(dp)
+    return ProxyModels(
+        vis_params=stack_params(vis_list), depth_params=stack_params(depth_list),
+        num_objects=parts, vis_cfg=cfg, depth_cfg=cfg)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="python -m pg2024_dprt_tpu.render", description=__doc__,
@@ -121,6 +158,15 @@ def main(argv=None):
     p.add_argument("--partitions", type=int, default=0,
                    help="render distributed over an N-partition device mesh "
                         "(exact mode: migration + ring shadows)")
+    p.add_argument("--neural", action="store_true",
+                   help="with --partitions: train per-partition vis/depth "
+                        "proxies (the offline trainingcode stage), then route "
+                        "secondary/shadow rays through them "
+                        "(secondaryRayModuleBasedNN)")
+    p.add_argument("--proxy-samples", type=int, default=30000,
+                   help="--neural: training rays per partition")
+    p.add_argument("--proxy-epochs", type=int, default=25,
+                   help="--neural: training epochs per net")
     p.add_argument("--env", type=_parse_vec3, default=[0.0, 0.0, 0.0],
                    metavar="R,G,B", help="constant environment radiance")
     p.add_argument("--cam-pos", type=_parse_vec3, default=None, metavar="X,Y,Z")
