@@ -15,7 +15,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .mlp import MLPConfig, PROD_DEPTH, PROD_VIS, apply_mlp, init_mlp, stack_params
+from .mlp import (MLPConfig, PROD_DEPTH, PROD_VIS, _bias_name, apply_mlp,
+                  init_mlp, net_forward, stack_params)
 
 
 @jax.tree_util.register_dataclass
@@ -31,9 +32,10 @@ class ProxyModels:
     depth_cfg: MLPConfig = dataclasses.field(metadata=dict(static=True), default=PROD_DEPTH)
     # multi-geo mode (reference MultiGeoNeuralVisNetwork,
     # /root/reference/trainingcode/module.py:531-582): ONE net serves every
-    # object, taking instanceID/INSTANCE_DIVISOR as a 6th input feature.
+    # object, with instanceID/INSTANCE_DIVISOR fed to the dedicated
+    # instance-ID encoder branch as the 6th input column.
     # vis_params/depth_params are then SINGLE-net dicts (no leading O dim)
-    # with cfg.in_features == 6.
+    # with cfg.multi_geo == True.
     multi_geo: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
@@ -41,6 +43,7 @@ def multigeo_proxy_models(vis_params: dict, depth_params: dict,
                           num_objects: int, vis_cfg: MLPConfig,
                           depth_cfg: MLPConfig) -> ProxyModels:
     """Wrap one 6-feature net pair as the proxy model table for N objects."""
+    assert vis_cfg.multi_geo and depth_cfg.multi_geo
     assert vis_cfg.in_features == 6 and depth_cfg.in_features == 6
     return ProxyModels(vis_params, depth_params, num_objects,
                        vis_cfg, depth_cfg, multi_geo=True)
@@ -48,12 +51,12 @@ def multigeo_proxy_models(vis_params: dict, depth_params: dict,
 
 def apply_multigeo(params: dict, cfg: MLPConfig, features, obj_id, valid,
                    compute_dtype=jnp.bfloat16):
-    """Multi-geo inference: append instanceID/INSTANCE_DIVISOR to the 5
-    features and run the ONE shared net over the whole batch (replaces the
-    grouped per-object dispatch — no grouping needed when one net serves
-    every object)."""
+    """Multi-geo inference: append instanceID/INSTANCE_DIVISOR as the 6th
+    column (routed to the dedicated instance-ID encoder inside apply_mlp,
+    reference module.py:572-582) and run the ONE shared net over the whole
+    batch (replaces the grouped per-object dispatch — no grouping needed
+    when one net serves every object)."""
     from ..train.datasets import INSTANCE_DIVISOR
-    from .mlp import apply_mlp
 
     iid = (jnp.maximum(obj_id, 0).astype(jnp.float32)
            / jnp.float32(INSTANCE_DIVISOR))[:, None]
@@ -155,35 +158,16 @@ def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
         g = jnp.dot(onehot, flat, preferred_element_type=jnp.float32)
         return g.reshape((nb,) + w.shape[1:])
 
-    def dot(h, wname, bname):
+    def dot(h, wname, out_w):
         w = pick_w(wname).astype(compute_dtype)
-        b = pick_w(bname)
+        b = pick_w(_bias_name(wname))
         y = jnp.einsum(
             "nqi,nio->nqo", h.astype(compute_dtype), w,
             preferred_element_type=jnp.float32,
         )
         return y + b[:, None, :]
 
-    from .mlp import LEAKY_SLOPE
-
-    leaky = lambda v: jnp.where(v >= 0, v, LEAKY_SLOPE * v)
-
-    origin = x[..., : cfg.in_features - 2]
-    direction = x[..., cfg.in_features - 2 :]
-    h_o = leaky(dot(origin, "enc_o_w0", "enc_o_b0"))
-    h_o = leaky(dot(h_o, "enc_o_w1", "enc_o_b1"))
-    h_d = leaky(dot(direction, "enc_d_w0", "enc_d_b0"))
-    h_d = leaky(dot(h_d, "enc_d_w1", "enc_d_b1"))
-    h = jnp.concatenate([h_o, h_d], axis=-1)
-    for i in range(cfg.depth):
-        h = leaky(h + dot(h, f"res_w{i}", f"res_b{i}"))
-    h = leaky(dot(h, "head_w0", "head_b0"))
-    pred = dot(h, "head_w1", "head_b1")[..., 0]           # (NB, BQ)
-
-    if cfg.final_activation == "leaky_relu":
-        pred = leaky(pred)
-    elif cfg.final_activation == "sigmoid":
-        pred = jax.nn.sigmoid(pred)
+    pred = net_forward(x, dot, cfg, cfg.final_activation)[..., 0]  # (NB, BQ)
 
     # unscatter: sorted query i lives at slot[i]
     pred_flat = jnp.concatenate([pred.reshape(-1), jnp.zeros((1,), pred.dtype)])

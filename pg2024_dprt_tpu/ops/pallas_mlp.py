@@ -24,20 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.mlp import LEAKY_SLOPE, MLPConfig
-
-_PARAM_ORDER = (
-    "enc_o_w0", "enc_o_b0", "enc_o_w1", "enc_o_b1",
-    "enc_d_w0", "enc_d_b0", "enc_d_w1", "enc_d_b1",
-)
-
-
-def _param_names(cfg: MLPConfig):
-    names = list(_PARAM_ORDER)
-    for i in range(cfg.depth):
-        names += [f"res_w{i}", f"res_b{i}"]
-    names += ["head_w0", "head_b0", "head_w1", "head_b1"]
-    return names
+from ..models.mlp import (LEAKY_SLOPE, MLPConfig, _bias_name, net_forward,
+                          param_names as _param_names)
 
 
 def _leaky(x):
@@ -47,33 +35,18 @@ def _leaky(x):
 def _forward(x, refs, cfg: MLPConfig, final_activation: str):
     """One net's forward over a (BQ, F) block; refs is a name->ref dict of
     (1, ...) weight blocks.  bf16 dots with f32 accumulation (the
-    reference's fp16 inference mode, renderer.cpp:801)."""
-    w = lambda name: refs[name][0]                    # (in, out) bf16
-    b = lambda name: refs[name][0]                    # (1, out) f32
+    reference's fp16 inference mode, renderer.cpp:801).  Structure comes
+    from the shared models.mlp.net_forward (incl. the global out1+out2
+    skip, module.py:793)."""
 
-    def dot(h, wn, bn):
+    def dot(h, wn, out_w):
         return (
-            jnp.dot(h.astype(jnp.bfloat16), w(wn),
+            jnp.dot(h.astype(jnp.bfloat16), refs[wn][0],
                     preferred_element_type=jnp.float32)
-            + b(bn)
+            + refs[_bias_name(wn)][0]
         )
 
-    origin = x[:, : cfg.in_features - 2]
-    direction = x[:, cfg.in_features - 2:]
-    ho = _leaky(dot(origin, "enc_o_w0", "enc_o_b0"))
-    ho = _leaky(dot(ho, "enc_o_w1", "enc_o_b1"))
-    hd = _leaky(dot(direction, "enc_d_w0", "enc_d_b0"))
-    hd = _leaky(dot(hd, "enc_d_w1", "enc_d_b1"))
-    h = jnp.concatenate([ho, hd], axis=-1)
-    for i in range(cfg.depth):
-        h = _leaky(h + dot(h, f"res_w{i}", f"res_b{i}"))
-    h = _leaky(dot(h, "head_w0", "head_b0"))
-    out = dot(h, "head_w1", "head_b1")               # (BQ, 1)
-    if final_activation == "leaky_relu":
-        out = _leaky(out)
-    elif final_activation == "sigmoid":
-        out = jax.nn.sigmoid(out)
-    return out
+    return net_forward(x, dot, cfg, final_activation)  # (BQ, 1)
 
 
 def _pair_kernel(block_obj_ref, x_ref, *refs, cfg: MLPConfig,

@@ -59,7 +59,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.mlp import LEAKY_SLOPE, MLPConfig
+from ..models.mlp import LEAKY_SLOPE, MLPConfig, _bias_name, net_forward
 from .pallas_compact import chunk_onehot, lane_cumsum_exclusive
 from .pallas_frame import _acos, _atan2
 from .pallas_mlp import _param_names
@@ -91,35 +91,20 @@ def _forward_all_objects(x, refs, p: int, cfg: MLPConfig,
     dependent small matmuls dominate regardless of row count (measured
     25.2 -> 21.1 ms only after a 6x row cut).  One concatenated matmul per
     layer costs p x the MXU FLOPs (cheap at these widths) but collapses
-    the dependent-step count by p."""
-    def dot(h, wn, bn, out_w: int):
+    the dependent-step count by p.  Structure comes from the shared
+    models.mlp.net_forward (incl. the global out1+out2 skip)."""
+    def dot(h, wn, out_w: int):
         full = (
             jnp.dot(h.astype(jnp.bfloat16), refs[wn][0],
                     preferred_element_type=jnp.float32)
-            + refs[bn][0]
+            + refs[_bias_name(wn)][0]
         )                                                # (Q, p*out)
         acc = full[:, 0:out_w] * sel_cols[0]
         for o in range(1, p):
             acc = acc + full[:, o * out_w:(o + 1) * out_w] * sel_cols[o]
         return acc                                       # (Q, out)
 
-    w = cfg.width
-    origin = x[:, : cfg.in_features - 2]
-    direction = x[:, cfg.in_features - 2:]
-    ho = _leaky(dot(origin, "enc_o_w0", "enc_o_b0", cfg.enc_hidden))
-    ho = _leaky(dot(ho, "enc_o_w1", "enc_o_b1", cfg.enc_out))
-    hd = _leaky(dot(direction, "enc_d_w0", "enc_d_b0", cfg.enc_hidden))
-    hd = _leaky(dot(hd, "enc_d_w1", "enc_d_b1", cfg.enc_out))
-    h = jnp.concatenate([ho, hd], axis=-1)
-    for i in range(cfg.depth):
-        h = _leaky(h + dot(h, f"res_w{i}", f"res_b{i}", w))
-    h = _leaky(dot(h, "head_w0", "head_b0", cfg.head_hidden))
-    out = dot(h, "head_w1", "head_b1", 1)
-    if final_activation == "leaky_relu":
-        out = _leaky(out)
-    elif final_activation == "sigmoid":
-        out = jax.nn.sigmoid(out)
-    return out                                            # (Q, 1)
+    return net_forward(x, dot, cfg, final_activation)    # (Q, 1)
 
 
 def _trace_exact_t(rays, boxes, table_ref, tbuf, sem, t_scr, rc_scr, *, c,

@@ -158,7 +158,8 @@ def test_multigeo_mlp_variant():
     import jax
     from pg2024_dprt_tpu.models.mlp import MLPConfig, apply_mlp, init_mlp
 
-    cfg = MLPConfig(width=128, depth=2, in_features=6, final_activation="sigmoid")
+    cfg = MLPConfig(width=128, depth=2, in_features=6,
+                    final_activation="sigmoid", multi_geo=True)
     params = init_mlp(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(np.random.RandomState(1).rand(32, 6).astype(np.float32))
     y = np.asarray(apply_mlp(params, x, cfg))

@@ -49,7 +49,7 @@ def test_multigeo_net_replaces_singles():
     cfg5 = MLPConfig(width=128, depth=2, in_features=5, head_hidden=32,
                      final_activation="sigmoid")
     cfg6 = MLPConfig(width=128, depth=2, in_features=6, head_hidden=32,
-                     final_activation="sigmoid")
+                     final_activation="sigmoid", multi_geo=True)
     tcfg = TrainConfig(nn_type="vis", batch=256, epochs=120, seed=11)
 
     single_accs, tests = [], []
@@ -97,9 +97,23 @@ def test_multigeo_render_path():
         max_length=jnp.asarray(np.linalg.norm(np.ones((2, 3)), axis=1)),
     )
     cfg6 = MLPConfig(width=32, depth=1, in_features=6, head_hidden=16,
-                     final_activation="sigmoid")
+                     final_activation="sigmoid", multi_geo=True)
     key = jax.random.PRNGKey(5)
-    models = multigeo_proxy_models(init_mlp(key, cfg6),
+    vis_p = init_mlp(key, cfg6)
+    # a freshly initialized net is near-constant pre-sigmoid (the global
+    # out1+out2 skip dominates); amplify + center the head so the test gets
+    # a MIX of >0.5 and <0.5 predictions to exercise routing with
+    cfg_pre = MLPConfig(width=32, depth=1, in_features=6, head_hidden=16,
+                        final_activation="none", multi_geo=True)
+    rngp = np.random.RandomState(99)
+    probe = np.concatenate(
+        [rngp.rand(512, 5), rngp.randint(0, 2, (512, 1)) / 4.0],
+        axis=1).astype(np.float32)
+    center = float(np.mean(np.asarray(
+        apply_mlp(vis_p, jnp.asarray(probe), cfg_pre))))
+    vis_p = {**vis_p, "head_w2": vis_p["head_w2"] * 30.0,
+             "head_b2": vis_p["head_b2"] * 30.0 - 30.0 * center}
+    models = multigeo_proxy_models(vis_p,
                                    init_mlp(jax.random.fold_in(key, 1), cfg6),
                                    2, cfg6, cfg6)
     rng = np.random.RandomState(6)
@@ -166,7 +180,7 @@ def test_fused_route_multigeo_matches_composed():
         max_length=jnp.asarray(np.linalg.norm(np.ones((6, 3)), axis=1)
                                .astype(np.float32)),
     )
-    cfg6 = MLPConfig(width=64, depth=2, in_features=6)
+    cfg6 = MLPConfig(width=64, depth=2, in_features=6, multi_geo=True)
     key = jax.random.PRNGKey(9)
     for vis_bias, seed in ((10.0, 31), (-10.0, 37)):
         models = multigeo_proxy_models(
@@ -174,7 +188,7 @@ def test_fused_route_multigeo_matches_composed():
             6, cfg6, cfg6)
         models = dataclasses.replace(
             models,
-            vis_params={k: (v + vis_bias if k == "head_b1" else v)
+            vis_params={k: (v + vis_bias if k == "head_b2" else v)
                         for k, v in models.vis_params.items()})
         rng = np.random.RandomState(seed)
         n = 512
