@@ -178,10 +178,22 @@ def main(argv=None):
                    metavar="X,Y,Z", help="LIGHT_MOVE: light offset per frame")
     p.add_argument("--dolly", type=_parse_vec3, default=None, metavar="X,Y,Z",
                    help="CAMERA_MOVE: camera offset per frame")
+    p.add_argument("--cpu-mesh", action="store_true",
+                   help="with --partitions: run on a virtual N-device CPU "
+                        "mesh (xla_force_host_platform_device_count) — the "
+                        "dryrun_multichip recipe for machines with fewer "
+                        "attached accelerators than partitions")
     p.add_argument("--tracer", default="auto",
                    choices=("auto", "stackless", "cluster", "resident"))
     p.add_argument("--fused-frame", default="auto", choices=("auto", "on", "off"))
     args = p.parse_args(argv)
+
+    if args.partitions > 1 and args.cpu_mesh:
+        # must run before the first jax backend use in this process
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.partitions)
 
     from ..core import Camera
 
@@ -206,15 +218,33 @@ def main(argv=None):
     from .frames import render_frames
 
     if args.partitions > 1:
+        import dataclasses
+
         import jax
 
         from ..models import random_proxy_models
         from ..parallel import make_mesh
         from ..scene import build_partitioned_scene
 
-        part = build_partitioned_scene(meshes, args.partitions)
+        if jax.device_count() < args.partitions:
+            raise SystemExit(
+                f"--partitions {args.partitions} needs {args.partitions} "
+                f"devices but this process sees {jax.device_count()} "
+                f"({jax.default_backend()}); re-run with --cpu-mesh to use a "
+                f"virtual {args.partitions}-device CPU mesh, or lower "
+                f"--partitions")
+        part = build_partitioned_scene(meshes, args.partitions,
+                                       textures=textures)
         mesh = make_mesh(args.partitions)
-        models = random_proxy_models(jax.random.PRNGKey(0), args.partitions)
+        if args.neural:
+            models = train_partition_proxies(
+                meshes, part, args.partitions, args.proxy_samples,
+                args.proxy_epochs)
+            cfg = dataclasses.replace(cfg, use_neural_proxies=True)
+        else:
+            # exact mode still needs a (unused-prediction) model table for
+            # the jitted program's static structure
+            models = random_proxy_models(jax.random.PRNGKey(0), args.partitions)
         images = render_frames(
             None, lights, env, camera, cfg, num_frames=args.frames,
             timing=timing, distributed=(part, models, mesh),
