@@ -195,9 +195,7 @@ def march_proxies(
     test oracle)."""
     import jax as _jax
 
-    if _jax.default_backend() == "cpu" or proxies.instanced:
-        # instanced tables take the XLA path (the Pallas march kernel has
-        # no object-space transform stage yet)
+    if _jax.default_backend() == "cpu":
         return march_proxies_xla(proxies, origin, direction, t_cap, active,
                                  my_node, max_hits, eps)
     from ..ops.pallas_march import march_proxies_pallas
