@@ -39,6 +39,15 @@ class PathState(NamedTuple):
     is_delta: jax.Array      # (N,)   bool
     is_valid: jax.Array      # (N,)   bool
     is_hit: jax.Array        # (N,)   bool
+    # carried winning-hit payload (tri id + barycentrics at the partition
+    # that owns the nearest hit, i.e. current_node): lets the distributed
+    # settle stage shade WITHOUT the reference's MainRay relaunch re-trace
+    # (optix/kernel.cu:382-413) — the hit was already computed by the
+    # migration loop's bounded traces and rides the all_to_all with the rest
+    # of the path. t is paths.tmax.
+    hit_tri: jax.Array = None   # (N,) i32 (-1 = none)
+    hit_u: jax.Array = None     # (N,) f32
+    hit_v: jax.Array = None     # (N,) f32
 
     @property
     def capacity(self) -> int:
@@ -60,6 +69,9 @@ class PathState(NamedTuple):
             is_delta=jnp.zeros((n,), bool),
             is_valid=jnp.zeros((n,), bool),
             is_hit=jnp.zeros((n,), bool),
+            hit_tri=jnp.full((n,), -1, jnp.int32),
+            hit_u=jnp.zeros((n,), jnp.float32),
+            hit_v=jnp.zeros((n,), jnp.float32),
         )
 
     def gather(self, idx: jax.Array) -> "PathState":

@@ -105,6 +105,10 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
         num_segments=npix,
     )
 
+    # carry the winning-hit payload (replaces the reference's MainRay
+    # settle relaunch, optix/kernel.cu:382-413): a bounded-trace hit is by
+    # construction nearer than every previously recorded one
+    upd = do_local & hits.is_hit
     new_paths = paths._replace(
         tmax=jnp.where(live, new_tmax, paths.tmax),
         current_node=current,
@@ -112,6 +116,9 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
         visited_mask=visited,
         is_hit=is_hit,
         is_valid=paths.is_valid & (~env_miss),
+        hit_tri=jnp.where(upd, hits.tri_index, paths.hit_tri),
+        hit_u=jnp.where(upd, hits.u, paths.hit_u),
+        hit_v=jnp.where(upd, hits.v, paths.hit_v),
     )
     return new_paths, env_add, diag
 
@@ -185,17 +192,40 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
         truncated = truncated + tr
         overflow = overflow + ov
 
-        # settle + shade locally: fresh re-trace exactly like MainRay
         live = paths.is_valid & (~paths.is_shadow)
-        hits, d = trace_closest(
-            scene, paths.origin, paths.direction, cfg.t_epsilon,
-            jnp.full((paths.capacity,), _F32_MAX), live, tracer=cfg.tracer,
-            sort_rays=sort,
-        )
-        diag = diag + d
+        if cfg.use_neural_proxies and bounce > 0:
+            # neural routing only decided WHERE to settle (the vis/depth
+            # prediction is approximate and the migration loop was
+            # transport-only, visited=ALL) — the local re-trace at the
+            # destination is the real closest hit, exactly the reference's
+            # MainRay relaunch (optix/kernel.cu:382-413); it also resolves
+            # the no-route quirk's env misses (frame_buffer_update.cu:292)
+            hits, d = trace_closest(
+                scene, paths.origin, paths.direction, cfg.t_epsilon,
+                jnp.full((paths.capacity,), _F32_MAX), live,
+                tracer=cfg.tracer, sort_rays=sort,
+            )
+            diag = diag + d
+        else:
+            # exact mode: settle + shade from the CARRIED hit payload — the
+            # migration loop's bounded traces already found the nearest
+            # hit, so the MainRay relaunch (a full extra closest trace per
+            # bounce) is unnecessary: tri/u/v rode the all_to_all with the
+            # path.  A truncated path parked at the wrong partition
+            # (counted in `truncated`) shades as a miss here — its carried
+            # tri id indexes another partition's soup.
+            from ..core.types import HitRecord
+
+            settled_here = live & paths.is_hit & (paths.current_node == my_id)
+            hits = HitRecord(
+                t=paths.tmax,
+                tri_index=jnp.where(settled_here, paths.hit_tri, -1),
+                u=paths.hit_u, v=paths.hit_v,
+                is_hit=settled_here,
+            )
         next_paths, shadow_paths, env_add = shade(
             scene, lights, env, paths, hits, sample_count, bounce,
-            cfg.shadow_path_count, npix,
+            cfg.shadow_path_count, npix, nee_mode=cfg.nee_mode,
         )
         env_img = env_img + env_add
 

@@ -59,4 +59,7 @@ def generate_camera_paths(camera: Camera, sample_count, tile_block: int = 16) ->
         is_delta=jnp.zeros((n,), bool),
         is_valid=jnp.ones((n,), bool),
         is_hit=jnp.zeros((n,), bool),
+        hit_tri=jnp.full((n,), -1, jnp.int32),
+        hit_u=jnp.zeros((n,), jnp.float32),
+        hit_v=jnp.zeros((n,), jnp.float32),
     )
