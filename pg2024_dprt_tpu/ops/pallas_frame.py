@@ -235,15 +235,17 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                   hbm: bool, recull: int, orecull: int,
                   width: int, height: int, tiny: bool = False, ct: int = 8,
                   textured: bool = False, tr: int = 8, twm: int = 8,
-                  ntp: int = 8, ssub: int = 1, csub: int = 1):
+                  ntp: int = 8, ssub: int = 1, csub: int = 1,
+                  ris: bool = False):
     """One (ray tile, sample) grid step, all bounces.  The grid is
     (tiles, spp) with spp innermost: consecutive sample steps revisit the
     same out block, accumulating in place (the matmul-k reduction pattern)
     — a whole multi-spp frame is ONE kernel launch.
 
     pix (1, TM) i32: tiled pixel ids (-1 = padding lane); camera rays are
-    generated IN-KERNEL (pathgen.py math) from meta_f.  meta_i (SPP, 16)
-    i32: cols 0..7 per-bounce TEA salts, col 8 the sample id.  meta_f
+    generated IN-KERNEL (pathgen.py math) from meta_f.  meta_i (SPP, 24)
+    i32: cols 0..7 per-bounce TEA salts, col 8 the sample id, cols 16..23
+    per-bounce RIS u-draw salts.  meta_f
     (1, 24) f32: [scene_lo(3), scene_hi(3), env_rotation, pad, cam_origin
     (3), forward(3), right(3), up(3), tan_half_fov, tan_half_fov*aspect,
     pad2].  out ROWS (8, TM): [direct(3), env(3), 0, 0] summed over spp.
@@ -691,39 +693,44 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
             # with identical output
             valid_s = (tile_s(shadow_valid) & (contrib_s > 0.0)
                        & ((beta_s[0] + beta_s[1] + beta_s[2]) > 0.0))
-            if tiny:
-                # transposed dense any-hit, directly in shadow-row layout
-                # (no pack transpose, no selection loops)
-                rows8s = jnp.concatenate([
-                    point_s[0], point_s[1], point_s[2],
-                    wi_s[0], wi_s[1], wi_s[2],
-                    jnp.where(valid_s, eps_srow,
-                              jnp.full((1, stm), jnp.float32(_FMAX))),
-                    jnp.where(valid_s, dist * (1.0 - 1e-3),
-                              jnp.zeros((1, stm), jnp.float32)),
-                ], axis=0)                                   # (8, S*TM)
-                t_o, ok_o = _mt_body_t(rows8s, tt_ref[:], ct, stm)
-                ok_o = ok_o & (t_o < jnp.broadcast_to(rows8s[7:8, :],
-                                                      t_o.shape))
-                occ_r = jnp.max(jnp.where(ok_o, 1, 0),
-                                axis=0, keepdims=True)       # (1, S*TM)
-            else:
-                srays = _pack_rays_rows(point_s, wi_s, valid_s, eps_srow,
-                                        dist * (1.0 - 1e-3))  # (S*TM, 8)
+
+            def occl_rows(point_t, wi_t, valid_t, dist_t, sn):
+                """Occlusion bits (1, sn*TM) for sn sample rows per pixel
+                (sample-major)."""
+                n_r = sn * tm
+                eps_r = jnp.full((1, n_r), jnp.float32(eps))
+                if tiny:
+                    # transposed dense any-hit, directly in shadow-row
+                    # layout (no pack transpose, no selection loops)
+                    rows8s = jnp.concatenate([
+                        point_t[0], point_t[1], point_t[2],
+                        wi_t[0], wi_t[1], wi_t[2],
+                        jnp.where(valid_t, eps_r,
+                                  jnp.full((1, n_r), jnp.float32(_FMAX))),
+                        jnp.where(valid_t, dist_t * (1.0 - 1e-3),
+                                  jnp.zeros((1, n_r), jnp.float32)),
+                    ], axis=0)                               # (8, sn*TM)
+                    t_o, ok_o = _mt_body_t(rows8s, tt_ref[:], ct, n_r)
+                    ok_o = ok_o & (t_o < jnp.broadcast_to(rows8s[7:8, :],
+                                                          t_o.shape))
+                    return jnp.max(jnp.where(ok_o, 1, 0),
+                                   axis=0, keepdims=True)    # (1, sn*TM)
+                srays = _pack_rays_rows(point_t, wi_t, valid_t, eps_r,
+                                        dist_t * (1.0 - 1e-3))  # (sn*TM, 8)
                 if grouped:
                     occ = _grouped_occl_loop(
                         srays, gboxes_ref[:], mboxes_ref, table_ref, hbm_refs,
                         (occ_scr, vis_scr, keys_scr),
-                        c=c, tm=stm, k=k, kg=kg, g=grp,
-                        recull=orecull)                      # (S*TM, 1)
-                    occ_r = jnp.transpose(occ, (1, 0))       # (1, S*TM)
-                elif ssub > 1:
+                        c=c, tm=n_r, k=k, kg=kg, g=grp,
+                        recull=orecull)                      # (sn*TM, 1)
+                    return jnp.transpose(occ, (1, 0))        # (1, sn*TM)
+                if ssub > 1:
                     # IN-KERNEL SHADOW RETILING: the occlusion union toward
                     # the light grows with the tile's PIXEL footprint (the
                     # composed path's 32-pixel shadow tiles measured a
-                    # large win over 128-pixel blocks).  Trace the S*TM
+                    # large win over 128-pixel blocks).  Trace the sn*TM
                     # shadow rows as `ssub` subgroups of tm/ssub pixels
-                    # (x their S samples): static row slices of the
+                    # (x their sn samples): static row slices of the
                     # sample-major block, one occl loop each, lanes
                     # reassembled sample-major.  Visits are never more than
                     # the single-block form (per-subgroup unions are
@@ -734,29 +741,76 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                         blk = jnp.concatenate(
                             [srays[j * tm + p_i * gsz:
                                    j * tm + p_i * gsz + gsz]
-                             for j in range(s)], axis=0)     # (S*gsz, 8)
+                             for j in range(sn)], axis=0)    # (sn*gsz, 8)
                         occ_p = _occl_recull_loop(
                             blk, boxes_ref[:], table_ref, hbm_refs,
                             (socc_scr, vis_scr, keys_scr),
-                            c=c, tm=s * gsz, k=k, recull=orecull)
+                            c=c, tm=sn * gsz, k=k, recull=orecull)
                         parts.append(jnp.transpose(occ_p, (1, 0)))
-                    occ_r = jnp.concatenate(
+                    return jnp.concatenate(
                         [parts[p_i][:, j * gsz:(j + 1) * gsz]
-                         for j in range(s) for p_i in range(ssub)],
-                        axis=1)                              # (1, S*TM)
-                else:
-                    occ = _occl_recull_loop(
-                        srays, boxes_ref[:], table_ref, hbm_refs,
-                        (occ_scr, vis_scr, keys_scr),
-                        c=c, tm=stm, k=k, recull=orecull)    # (S*TM, 1)
-                    occ_r = jnp.transpose(occ, (1, 0))       # (1, S*TM)
-            wgt = jnp.where(valid_s & (occ_r == 0),
-                            jnp.float32(1.0 / s), 0.0)
-            direct = tuple(
-                direct[comp] + jnp.sum(
-                    (contrib[comp] * wgt).reshape(s, tm),
-                    axis=0, keepdims=True)
-                for comp in range(3))
+                         for j in range(sn) for p_i in range(ssub)],
+                        axis=1)                              # (1, sn*TM)
+                occ = _occl_recull_loop(
+                    srays, boxes_ref[:], table_ref, hbm_refs,
+                    (occ_scr, vis_scr, keys_scr),
+                    c=c, tm=n_r, k=k, recull=orecull)        # (sn*TM, 1)
+                return jnp.transpose(occ, (1, 0))            # (1, sn*TM)
+
+            if ris and s > 1:
+                # ---- RIS NEE (cfg.nee_mode="ris", streaming weighted
+                # reservoir, Talbot et al. 2005): S light candidates, ONE
+                # occlusion ray — pick j with p_j = w_j/W (w = unshadowed
+                # contribution luminance), estimate c_j*V_j*W/(w_j*S); same
+                # expectation as the S-ray sum at 1/S the shadow-trace
+                # cost.  Selection order and the u draw bit-match
+                # render/shade.py (the TEA i32 re-derivation). ----
+                w_row = jnp.where(
+                    valid_s, contrib[0] + contrib[1] + contrib[2], 0.0)
+                cums, accw = [], None
+                for j in range(s):
+                    wj = w_row[:, j * tm:(j + 1) * tm]
+                    accw = wj if accw is None else accw + wj
+                    cums.append(accw)
+                w_tot = accw                                 # (1, TM)
+                u_salt = meta_i_ref[s_idx, 16 + b]
+                useed = _tea_i32(pixc, jnp.full((1, tm), u_salt, jnp.int32))
+                useed, u_draw = _rnd_i32(useed)
+                thresh = u_draw * w_tot
+                picked = jnp.zeros((1, tm), jnp.bool_)
+                sel = []
+                for j in range(s):
+                    gt = cums[j] > thresh
+                    sel.append(gt & (~picked))
+                    picked = picked | gt
+
+                def pick_row(x):                             # (1,S*TM)->(1,TM)
+                    acc = jnp.zeros((1, tm), x.dtype)
+                    for j in range(s):
+                        acc = jnp.where(sel[j],
+                                        x[:, j * tm:(j + 1) * tm], acc)
+                    return acc
+
+                wi_1 = tuple(pick_row(wi_s[ax]) for ax in range(3))
+                dist_1 = pick_row(dist)
+                c_1 = tuple(pick_row(contrib[comp]) for comp in range(3))
+                w_1 = pick_row(w_row)
+                valid_1 = picked                              # implies W>0
+                scale_1 = w_tot / jnp.maximum(w_1, jnp.float32(1e-30))
+                occ_r = occl_rows(point, wi_1, valid_1, dist_1, 1)
+                wgt = jnp.where(valid_1 & (occ_r == 0),
+                                scale_1 * jnp.float32(1.0 / s), 0.0)
+                direct = tuple(direct[comp] + c_1[comp] * wgt
+                               for comp in range(3))
+            else:
+                occ_r = occl_rows(point_s, wi_s, valid_s, dist, s)
+                wgt = jnp.where(valid_s & (occ_r == 0),
+                                jnp.float32(1.0 / s), 0.0)
+                direct = tuple(
+                    direct[comp] + jnp.sum(
+                        (contrib[comp] * wgt).reshape(s, tm),
+                        axis=0, keepdims=True)
+                    for comp in range(3))
 
         # ---- next bounce state ----
         tp = _mul3(tp, _scale3(albedo, weight * cos_theta))
@@ -850,15 +904,22 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
     bounces = cfg.bounces
 
     # per-(sample, bounce) TEA salts (render/shade.py bounce_salt) + the
-    # sample id for in-kernel camera jitter: (SPP, 16) i32
+    # sample id for in-kernel camera jitter + per-bounce RIS u-draw salts
+    # (render/shade.py RIS_SALT stream): (SPP, 24) i32,
+    # cols 0-7 bounce salts, 8 sample id, 16-23 RIS salts
+    from ..render.shade import RIS_SALT
+
     sample_ids = jnp.asarray(base_sample, jnp.int32) + jnp.arange(
         spp, dtype=jnp.int32)
+    b_salts = [tea(sample_ids.astype(jnp.uint32), jnp.uint32(b))
+               for b in range(bounces)]
     salts = jnp.stack(
-        [tea(sample_ids.astype(jnp.uint32), jnp.uint32(b)).astype(jnp.int32)
-         for b in range(bounces)]
+        [bs.astype(jnp.int32) for bs in b_salts]
         + [jnp.zeros((spp,), jnp.int32)] * (8 - bounces)
         + [sample_ids]
-        + [jnp.zeros((spp,), jnp.int32)] * 7, axis=1)         # (SPP, 16)
+        + [jnp.zeros((spp,), jnp.int32)] * 7
+        + [tea(bs, jnp.uint32(RIS_SALT)).astype(jnp.int32) for bs in b_salts]
+        + [jnp.zeros((spp,), jnp.int32)] * (8 - bounces), axis=1)  # (SPP, 24)
 
     aspect = jnp.float32(cfg.width / cfg.height)
     meta_f = jnp.concatenate(
@@ -894,11 +955,15 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
     # two-level grouped dispatch at giant K (pallas_resident policy): the
     # flat (., K) cull/rekeys matrices of the trace and occlusion loops
     # dominate large scenes; grouped runs them at (., Kg)
+    # RIS NEE (cfg.nee_mode): one reservoir-selected occlusion ray per
+    # shading point — the occlusion loops then run at TM rows, not S*TM
+    ris = cfg.nee_mode == "ris" and s > 1
+    s_occ = 1 if ris else max(s, 1)
     can_group = scene.cl_gboxes is not None
     if grouped is None:
-        # the binding matrix is the OCCLUSION loop's ((1+s)*TM, K) per-ray
-        # enter/rekeys state, not the closest loop's (TM, K)
-        grouped = can_group and (1 + s) * tm * k * 4 > 4 * 2**20
+        # the binding matrix is the OCCLUSION loop's ((1+s_occ)*TM, K)
+        # per-ray enter/rekeys state, not the closest loop's (TM, K)
+        grouped = can_group and (1 + s_occ) * tm * k * 4 > 4 * 2**20
     grouped = grouped and can_group
     kg = scene.cl_gboxes.shape[1] if can_group else k
     grp = scene.cl_mboxes.shape[1] if can_group else 1
@@ -976,7 +1041,7 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
     # (no unions) and the grouped loop keeps its own stm-row state.
     if ssub is None:
         ssub = 4 if (not tiny and not grouped and s > 0
-                     and tm % 4 == 0 and (s * tm) // 4 % 8 == 0) else 1
+                     and tm % 4 == 0 and (s_occ * tm) // 4 % 8 == 0) else 1
     if tiny or grouped or s == 0:
         ssub = 1
     # sub-blocked BOUNCE closest traces (csub subgroups of tm/csub pixels):
@@ -992,12 +1057,12 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
         pltpu.VMEM((tm, 1), jnp.int32),       # slot
         pltpu.VMEM((1, k_scr), jnp.int32),    # vis
         pltpu.VMEM((1, k_scr), jnp.int32),    # keys
-        pltpu.VMEM((max(s, 1) * tm, 1), jnp.int32),   # occ
+        pltpu.VMEM((s_occ * tm, 1), jnp.int32),       # occ
         pltpu.VMEM((40, tm), jnp.float32),    # attr rows
         pltpu.VMEM((1, tm), jnp.int32),       # attr-fetch done mask
     ]
     if ssub > 1:
-        scratch += [pltpu.VMEM((s * (tm // ssub), 1), jnp.int32)]  # socc
+        scratch += [pltpu.VMEM((s_occ * (tm // ssub), 1), jnp.int32)]  # socc
 
     (out,) = pl.pallas_call(
         partial(_frame_kernel, c=c_k, tm=tm, k=k, kg=kg, grp=grp,
@@ -1006,7 +1071,7 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
                 width=cfg.width, height=cfg.height, tiny=tiny, ct=ct,
                 textured=textured, tr=tr, twm=twm, ntp=ntp, ssub=ssub,
-                csub=csub),
+                csub=csub, ris=ris),
         grid=(mp // tm, spp),
         in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
                   vmem, vmem, vmem, vmem, vmem, vmem, smem, smem],

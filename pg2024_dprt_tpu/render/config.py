@@ -41,6 +41,13 @@ class RenderConfig:
     fused_frame: str = "auto"
     # Per-destination all_to_all bucket capacity as a fraction of path capacity.
     bucket_fraction: float = 1.0
+    # NEE estimator: "ris" (default) draws shadow_path_count light candidates
+    # but traces ONE occlusion ray chosen by weighted reservoir sampling
+    # (streaming RIS, Talbot et al. 2005) — same expectation as the
+    # reference's shadowPathCount-sum at 1/S the shadow-trace cost; "sum"
+    # is the reference's estimator (frame_buffer_update.cu / kernel.cu:444)
+    # with S occlusion rays per shading point.
+    nee_mode: str = "ris"
 
     @property
     def frame_buffer_size(self) -> int:

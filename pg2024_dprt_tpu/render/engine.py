@@ -86,6 +86,7 @@ def render_sample(
             bounce,
             cfg.shadow_path_count,
             npix,
+            nee_mode=cfg.nee_mode,
         )
         env_img = env_img + env_add
 

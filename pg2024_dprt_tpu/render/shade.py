@@ -22,12 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from ..core import math as cmath
-from ..core.rng import rnd2, rnd3, tea
+from ..core.rng import rnd, rnd2, rnd3, tea
 from ..core.types import BSDF_DIFFUSE, BSDF_WATER, PathState
 from ..scene.geometry import DeviceScene
 from ..scene.lights import EnvironmentMap, LightTable
 
 _F32_MAX = jnp.float32(3.402823466e38)
+# TEA stream id for the RIS reservoir u draw ("RIS1") — shared with the
+# in-kernel form (ops/pallas_frame.py) so both paths select identically
+RIS_SALT = 0x52495331
 
 
 class SurfaceAttributes(NamedTuple):
@@ -154,8 +157,14 @@ def shade(
     bounce,
     shadow_path_count: int,
     frame_buffer_size: int,
+    nee_mode: str = "sum",
 ):
     """One shade pass. Returns (next_paths, shadow_paths, env_image_add).
+
+    nee_mode="ris" emits ONE reservoir-selected shadow path per shading
+    point instead of shadow_path_count (RenderConfig.nee_mode docs);
+    consumers' contract is unchanged (contribution = throughput /
+    shadow_path_count when unoccluded).
 
     * misses: accumulate throughput * env(direction) into the env image and
       invalidate (kernel.cu:415-422)
@@ -201,6 +210,9 @@ def shade(
         is_delta=is_delta & hit,
         is_valid=hit,
         is_hit=jnp.zeros((n,), bool),
+        hit_tri=jnp.full((n,), -1, jnp.int32),
+        hit_u=jnp.zeros((n,), jnp.float32),
+        hit_v=jnp.zeros((n,), jnp.float32),
     )
 
     # --- NEE shadow paths: S per shading point ---
@@ -244,6 +256,57 @@ def shade(
     # the light / black throughput) need no occlusion trace — all factors
     # are nonnegative, so a zero sum means the add is zero either way
     shadow_valid = rep(hit & (~is_delta)) & (jnp.sum(contribution, axis=-1) > 0.0)
+
+    if nee_mode == "ris" and s > 1:
+        # ---- RIS NEE (streaming weighted reservoir, Talbot et al. 2005):
+        # keep the S light candidates but trace ONE occlusion ray, chosen
+        # with probability w_j/W (w = unshadowed contribution luminance);
+        # throughput carries c_j * W / w_j so consumers' /shadow_path_count
+        # yields the unbiased estimate c_j*V_j*W/(w_j*S) — same expectation
+        # as the reference's S-ray sum (kernel.cu:444-465) at 1/S the
+        # shadow-trace cost.  Weight-sum order and the u draw bit-match the
+        # in-kernel form (ops/pallas_frame.py RIS block). ----
+        w_all = jnp.where(
+            shadow_valid,
+            contribution[:, 0] + contribution[:, 1] + contribution[:, 2],
+            0.0).reshape(n, s)
+        cums, accw = [], None
+        for j in range(s):
+            accw = w_all[:, j] if accw is None else accw + w_all[:, j]
+            cums.append(accw)
+        cum = jnp.stack(cums, axis=1)                        # (n, s)
+        w_tot = cums[-1]                                     # (n,)
+        useed = tea(paths.pixel_index.astype(jnp.uint32),
+                    tea(bounce_salt, jnp.uint32(RIS_SALT)))
+        _, u_draw = rnd(useed)
+        thresh = u_draw * w_tot
+        pick = jnp.argmax(cum > thresh[:, None], axis=1)     # first True
+        row = jnp.arange(n, dtype=jnp.int32) * s + pick.astype(jnp.int32)
+        sel = lambda a: jnp.take(a, row, axis=0)
+        w_sel = jnp.take(w_all.reshape(n * s), row)
+        valid_1 = (w_tot > 0.0) & hit & (~is_delta)
+        scale = jnp.where(valid_1, w_tot / jnp.maximum(w_sel, 1e-30), 0.0)
+        shadow_paths = PathState(
+            origin=attrs.point,
+            direction=sel(wi),
+            tmax=sel(dist),
+            throughput=jnp.where(valid_1[:, None],
+                                 sel(contribution) * scale[:, None], 0.0),
+            pixel_index=paths.pixel_index,
+            shadow_path_id=jnp.zeros((n,), jnp.int32),
+            visited_mask=jnp.zeros((n,), jnp.uint32),
+            current_node=jnp.full((n,), -1, jnp.int32),
+            target_node=jnp.full((n,), -1, jnp.int32),
+            is_shadow=jnp.ones((n,), bool),
+            is_delta=jnp.zeros((n,), bool),
+            is_valid=valid_1,
+            is_hit=jnp.zeros((n,), bool),
+            hit_tri=jnp.full((n,), -1, jnp.int32),
+            hit_u=jnp.zeros((n,), jnp.float32),
+            hit_v=jnp.zeros((n,), jnp.float32),
+        )
+        return next_paths, shadow_paths, env_image_add
+
     shadow_paths = PathState(
         origin=origin_s,
         direction=wi,
@@ -258,6 +321,9 @@ def shade(
         is_delta=jnp.zeros((n * s,), bool),
         is_valid=shadow_valid,
         is_hit=jnp.zeros((n * s,), bool),
+        hit_tri=jnp.full((n * s,), -1, jnp.int32),
+        hit_u=jnp.zeros((n * s,), jnp.float32),
+        hit_v=jnp.zeros((n * s,), jnp.float32),
     )
 
     return next_paths, shadow_paths, env_image_add
