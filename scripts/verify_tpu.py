@@ -227,6 +227,73 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # shadow route megakernel (COMPILED Mosaic) vs its interpret form on
+    # the CPU device (the CPU A-B tests tie interpret to the composed
+    # shadow_direct_light_nn oracle) — covers the occlusion-blend branch
+    # the closest-hit row can't
+    from pg2024_dprt_tpu.ops.pallas_route import shadow_route_fused
+
+    got_w = shadow_route_fused(scene2, plain_px, plain_m, ro, rd, 1e-3,
+                               tmax * 3.0, act, jnp.int32(0),
+                               max_hits=3, eps=1e-3)
+    got_w = np.asarray(got_w["weight"])
+    with jax.default_device(cpu):
+        put = lambda a: jax.device_put(a, cpu)
+        want_w = shadow_route_fused(
+            jax.tree.map(put, scene2), jax.tree.map(put, plain_px),
+            jax.tree.map(put, plain_m), put(ro), put(rd), 1e-3,
+            put(tmax * 3.0), put(act), jnp.int32(0),
+            max_hits=3, eps=1e-3, interpret=True)
+    want_w = np.asarray(want_w["weight"])
+    wdiff = np.abs(got_w - want_w)
+    # weights are products of {0,1} kill bits and net outputs; bf16
+    # MXU-vs-CPU drift can flip a knife-edge 0.5 threshold on a few rays
+    w_mism = int((wdiff > 1e-3).sum())
+    budget_w = max(2, n // 1000)
+    row = {"scene": "soup_incoherent", "kernel": "shadow_route_fused",
+           "rays": n, "weight_mismatches": w_mism,
+           "weight_diff_mean": float(wdiff.mean()), "gating": True,
+           "pass": w_mism <= budget_w}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
+    # distributed neural program (fused route megakernel INSIDE shard_map,
+    # 1-device mesh on the real chip) vs the single-device composed render:
+    # with one partition every routing decision must settle local/env, so
+    # the images must agree (bench_distributed.py checks the same invariant;
+    # this row makes it a gating part of the kernel certification artifact)
+    import dataclasses as _dc
+
+    from pg2024_dprt_tpu.models.proxy import random_proxy_models as _rpm
+    from pg2024_dprt_tpu.parallel import make_mesh
+    from pg2024_dprt_tpu.parallel.distributed import render_sample_distributed
+    from pg2024_dprt_tpu.render import RenderConfig as _RC
+    from pg2024_dprt_tpu.render import render_image as _render_image
+    from pg2024_dprt_tpu.scene import build_partitioned_scene
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap as _Env
+
+    meshes_d, lights_d = cornell_box()
+    env_d = _Env.constant((0.15, 0.2, 0.3))
+    cam_d = Camera.look_at([0.5, 0.5, 2.4], [0.5, 0.5, 0.0], [0, 1, 0],
+                           40.0, 64, 64)
+    cfg_d = _RC(width=64, height=64, spp=1, bounces=2, fused_frame="off",
+                use_neural_proxies=True)
+    part_d = build_partitioned_scene(meshes_d, 1)
+    models_d = _rpm(jax.random.PRNGKey(0), 1)
+    dd, ee, _ = render_sample_distributed(
+        part_d.stacked, part_d.proxies, models_d, lights_d, env_d, cam_d, 0,
+        cfg_d, make_mesh(1))
+    img_d = np.asarray(dd + ee).reshape(64, 64, 3)
+    ref_d = np.asarray(_render_image(
+        device_scene_from_meshes(meshes_d), lights_d, env_d, cam_d,
+        _dc.replace(cfg_d, use_neural_proxies=False)))
+    rel_d = np.abs(img_d - ref_d) / np.maximum(np.abs(ref_d), 1e-3)
+    row = {"scene": "cornell_distributed", "kernel": "distributed_neural",
+           "rays": 4096, "mean_rel": float(rel_d.mean()), "gating": True,
+           "pass": float(rel_d.mean()) < 1e-3}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
     # whole-sample frame megakernel (COMPILED) vs the composed render with
     # the stackless oracle tracer on the CPU backend
     from pg2024_dprt_tpu.ops.pallas_frame import render_sample_fused
