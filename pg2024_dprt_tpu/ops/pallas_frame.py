@@ -842,6 +842,10 @@ def fused_frame_supported(scene, lights, env, cfg) -> bool:
     if scene.curves is not None:
         # curve primitives composite in trace_api (composed pipeline only)
         return False
+    if getattr(scene, "cl_xf", None) is not None:
+        # instanced local geometry runs the composed pipeline (the frame
+        # kernel's trace/attr-fetch has no object-space stage yet)
+        return False
     if scene.cl_shade_table is None or scene.cl_mt_table is None:
         return False
     ehw = env.image.shape[0] * env.image.shape[1]

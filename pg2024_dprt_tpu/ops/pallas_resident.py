@@ -215,6 +215,33 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
+def _xform_visit(rays, xf_ref, idx, tm: int):
+    """Two-level instancing: transform the ray block into the visited
+    cluster's OBJECT space (scene/geometry.py cl_xf layout — lanes 0-8
+    world_to_obj linear, 9-11 translation, 12 base cluster index).  The
+    direction stays UNNORMALIZED, so the object-space MT parameter equals
+    the world-space t exactly: o_l + t*d_l = M(o + t*d) + b.  Returns
+    (rays_t (TM, 8), base_cluster_index scalar i32)."""
+    xfr = xf_ref[idx]                                        # (1, 16)
+    e = lambda j: xfr[0, j]
+    o = [rays[:, ax:ax + 1] for ax in range(3)]
+    d = [rays[:, 3 + ax:4 + ax] for ax in range(3)]
+    o_l, d_l = [], []
+    for i in range(3):
+        m0, m1, m2 = e(3 * i), e(3 * i + 1), e(3 * i + 2)
+        o_l.append(o[0] * m0 + o[1] * m1 + o[2] * m2 + e(9 + i))
+        d_l.append(d[0] * m0 + d[1] * m1 + d[2] * m2)
+    rays_t = jnp.concatenate(o_l + d_l + [rays[:, 6:8]], axis=-1)
+    bidx = jnp.round(e(12)).astype(jnp.int32)
+    return rays_t, bidx
+
+
+def _xf_base_index(xf_ref, idx, k: int):
+    """Base-cluster index for an instanced cluster (DMA address lookup)."""
+    xfr = xf_ref[jnp.minimum(idx, k - 1)]
+    return jnp.round(xfr[0, 12]).astype(jnp.int32)
+
+
 def _load_ray_rows(rays_ref, boxes_ref, tm: int):
     """Load one ray block from the row-major (8, TM) input and apply the
     scene-exit horizon cap IN-KERNEL (rows: o xyz, d xyz, tmin, tmax).
@@ -341,7 +368,8 @@ def _refine_winners(rays, s_slot, out_ref, fetch, *, c: int, tm: int):
 
 
 def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
-                 tm: int, k: int, recull: int, t_scr=None, ssub: int = 1):
+                 tm: int, k: int, recull: int, t_scr=None, ssub: int = 1,
+                 xf_ref=None):
     """Selection loop in rounds of `recull` visits with PER-RAY horizon
     re-culling between rounds (see _kernel docstring).  table_ref is the
     VMEM (K, 12, C) table when hbm_refs is None, else the HBM ref with
@@ -393,9 +421,12 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
 
     if hbm_refs is not None:
         tbuf, sem = hbm_refs
+        kb_tab = table_ref.shape[0]
 
         def dma(idx, slot):
-            safe = jnp.minimum(idx, k - 1)
+            if xf_ref is not None:
+                idx = _xf_base_index(xf_ref, idx, k)
+            safe = jnp.minimum(idx, kb_tab - 1)
             return pltpu.make_async_copy(
                 table_ref.at[safe], tbuf.at[slot], sem.at[slot])
 
@@ -458,14 +489,18 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
                 worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]
                 idx = sel & cmask
                 vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
+                if xf_ref is not None:
+                    rays_v, bidx = _xform_visit(rays_s, xf_ref, idx, sm)
+                else:
+                    rays_v, bidx = rays_s, idx
                 if hbm_refs is not None:
                     slot = jax.lax.rem(j, 3)
                     dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
                     dma(idx, slot).wait()
                     tri = tbuf[slot]
                 else:
-                    tri = table_ref[idx]
-                t, tri_ok = _mt_body(rays_s, tri, c, sm)
+                    tri = table_ref[bidx]
+                t, tri_ok = _mt_body(rays_v, tri, c, sm)
                 tb = jax.lax.bitcast_convert_type(
                     jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38),
                     jnp.int32,
@@ -743,7 +778,7 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
 
 
 def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
-                      tm: int, k: int, recull: int):
+                      tm: int, k: int, recull: int, xf_ref=None):
     """Any-hit selection loop in rounds of `recull` visits with per-ray
     RE-CULLING of settled (occluded) rays between rounds.
 
@@ -778,9 +813,12 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
 
     if hbm_refs is not None:
         tbuf, sem = hbm_refs
+        kb_tab = table_ref.shape[0]
 
         def dma(idx, slot):
-            safe = jnp.minimum(idx, k - 1)
+            if xf_ref is not None:
+                idx = _xf_base_index(xf_ref, idx, k)
+            safe = jnp.minimum(idx, kb_tab - 1)
             return pltpu.make_async_copy(
                 table_ref.at[safe], tbuf.at[slot], sem.at[slot])
 
@@ -818,14 +856,18 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
             )[0, 0]
             idx = sel & cmask
             vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
+            if xf_ref is not None:
+                rays_v, bidx = _xform_visit(rays, xf_ref, idx, tm)
+            else:
+                rays_v, bidx = rays, idx
             if hbm_refs is not None:
                 slot = jax.lax.rem(j, 3)
                 dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
                 dma(idx, slot).wait()
                 tri = tbuf[slot]
             else:
-                tri = table_ref[idx]
-            t, tri_ok = _mt_body(rays, tri, c, tm)
+                tri = table_ref[bidx]
+            t, tri_ok = _mt_body(rays_v, tri, c, tm)
             tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
             hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
             occ = jnp.maximum(occ, hit)
@@ -1272,9 +1314,9 @@ def _occl_kernel_tiny_t(rays_ref, boxes_ref, table_ref, out_ref, *, ct: int,
     out_ref[:] = jnp.transpose(occ, (1, 0))
 
 
-def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
+def _kernel(rays_ref, boxes_ref, table_ref, *rest, c: int, tm: int,
             k: int, exact: bool, recull: int = 0, rich: bool = False,
-            ssub: int = 1):
+            ssub: int = 1, instanced: bool = False):
     """Closest hit over one ray block.  Carries the per-ray best as a packed
     (t_bits | lane) key; out = [t_approx, table_slot] per ray, or the
     refined row-major record (_refine_winners) when rich=True.
@@ -1287,7 +1329,16 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
     loop runs in rounds: every R visits the (TM, K) per-ray enter matrix is
     re-masked against each ray's CURRENT committed t (+ a rounding guard for
     the lane bits the packed key spends) and re-min-reduced, so clusters no
-    live ray can improve on drop out of the selection."""
+    live ray can improve on drop out of the selection.
+
+    instanced: an extra (K, 1, 16) cl_xf input follows the table — each
+    visit transforms the ray block into the cluster's object space and
+    fetches the cluster's BASE table slice (_xform_visit)."""
+    if instanced:
+        xf_ref, out_ref, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, *scr = rest
     rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
 
@@ -1300,7 +1351,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
     if recull and exact:
         s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_ref, None,
                                        scr, c=c, tm=tm, k=k, recull=recull,
-                                       ssub=ssub)
+                                       ssub=ssub, xf_ref=xf_ref)
         if rich:
             _refine_winners(rays, s_slot, out_ref,
                             lambda cur: table_ref[cur], c=c, tm=tm)
@@ -1343,8 +1394,12 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
         sel2, keys2 = _next_cluster(keys)         # for the visit after next
         worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]  # stale by one
         idx = sel & cmask
-        tri = table_ref[idx]                         # (12, C) resident slice
-        t, tri_ok = _mt_body(rays, tri, c, tm)
+        if xf_ref is not None:
+            rays_v, bidx = _xform_visit(rays, xf_ref, idx, tm)
+        else:
+            rays_v, bidx = rays, idx
+        tri = table_ref[bidx]                        # (12, C) resident slice
+        t, tri_ok = _mt_body(rays_v, tri, c, tm)
 
         # packed argmin: positive-float bits are monotone; the t-vs-running-
         # best and t-vs-tmax tests ride the key comparison (s_kb started at
@@ -1375,9 +1430,9 @@ def _kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int, tm: int,
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
-def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
+def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
                 c: int, tm: int, k: int, exact: bool, recull: int = 0,
-                rich: bool = False, ssub: int = 1):
+                rich: bool = False, ssub: int = 1, instanced: bool = False):
     """Closest hit with the cluster table in HBM (scenes too big for a
     VMEM-resident table).  Same in-kernel selection dispatch as _kernel; the
     one-iteration lookahead that software-pipelines the selection extracts
@@ -1392,12 +1447,19 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     steps).
 
     recull > 0 (exact mode only): per-ray horizon rounds — see _kernel."""
+    if instanced:
+        xf_ref, out_ref, tbuf, sem, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, tbuf, sem, *scr = rest
     rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
+    kb_tab = table_hbm.shape[0]
 
     def fetch_hbm(cur):
         cp = pltpu.make_async_copy(
-            table_hbm.at[jnp.minimum(cur, k - 1)], tbuf.at[0], sem.at[0])
+            table_hbm.at[jnp.minimum(cur, kb_tab - 1)], tbuf.at[0],
+            sem.at[0])
         cp.start()
         cp.wait()
         return tbuf[0]
@@ -1405,7 +1467,8 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     if recull and exact:
         s_kb, s_slot, _ = _recull_loop(rays, boxes_ref[:], table_hbm,
                                        (tbuf, sem), scr, c=c, tm=tm, k=k,
-                                       recull=recull, ssub=ssub)
+                                       recull=recull, ssub=ssub,
+                                       xf_ref=xf_ref)
         if rich:
             _refine_winners(rays, s_slot, out_ref, fetch_hbm, c=c, tm=tm)
             return
@@ -1433,7 +1496,9 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
     sel1, keys2_init = _next_cluster(keys1)
 
     def dma(idx, slot):
-        safe = jnp.minimum(idx, k - 1)
+        if xf_ref is not None:
+            idx = _xf_base_index(xf_ref, idx, k)
+        safe = jnp.minimum(idx, kb_tab - 1)
         return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
 
     # depth-2 pipelining + triple-buffered prefetch (see _kernel): both
@@ -1454,9 +1519,13 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem, *scr,
         slot = jax.lax.rem(j, 3)
         dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
         idx = sel & cmask
+        if xf_ref is not None:
+            rays_v, _ = _xform_visit(rays, xf_ref, idx, tm)
+        else:
+            rays_v = rays
         dma(idx, slot).wait()
         tri = tbuf[slot]
-        t, tri_ok = _mt_body(rays, tri, c, tm)
+        t, tri_ok = _mt_body(rays_v, tri, c, tm)
         tb = jax.lax.bitcast_convert_type(
             jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38), jnp.int32
         )
@@ -1537,18 +1606,25 @@ def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
-def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
-                     *scr, c: int, tm: int, k: int, exact: bool,
-                     recull: int = 0):
+def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
+                     c: int, tm: int, k: int, exact: bool,
+                     recull: int = 0, instanced: bool = False):
     """Any-hit variant of _kernel_hbm (same DMA pipeline)."""
+    if instanced:
+        xf_ref, out_ref, tbuf, sem, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, tbuf, sem, *scr = rest
     rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
     cb = _lane_bits(k)
     cmask = jnp.int32((1 << cb) - 1)
+    kb_tab = table_hbm.shape[0]
 
     if recull and exact:
         occ = _occl_recull_loop(rays, boxes_ref[:], table_hbm, (tbuf, sem),
-                                scr, c=c, tm=tm, k=k, recull=recull)
+                                scr, c=c, tm=tm, k=k, recull=recull,
+                                xf_ref=xf_ref)
         out_ref[:, 0:1] = occ.astype(jnp.float32)
         return
 
@@ -1560,7 +1636,9 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     worst0 = jnp.max(tmax_bits, axis=0, keepdims=True)[0, 0]
 
     def dma(idx, slot):
-        safe = jnp.minimum(idx, k - 1)
+        if xf_ref is not None:
+            idx = _xf_base_index(xf_ref, idx, k)
+        safe = jnp.minimum(idx, kb_tab - 1)
         return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
 
     dma(sel0 & cmask, 0).start()
@@ -1579,9 +1657,13 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
         slot = jax.lax.rem(j, 3)
         dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
         idx = sel & cmask
+        if xf_ref is not None:
+            rays_v, _ = _xform_visit(rays, xf_ref, idx, tm)
+        else:
+            rays_v = rays
         dma(idx, slot).wait()
         tri = tbuf[slot]
-        t, tri_ok = _mt_body(rays, tri, c, tm)
+        t, tri_ok = _mt_body(rays_v, tri, c, tm)
         tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
         hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
         occ = jnp.maximum(occ, hit)
@@ -1599,11 +1681,17 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, out_ref, tbuf, sem,
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
-def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
-                 tm: int, k: int, exact: bool, recull: int = 0):
+def _occl_kernel(rays_ref, boxes_ref, table_ref, *rest, c: int,
+                 tm: int, k: int, exact: bool, recull: int = 0,
+                 instanced: bool = False):
     """Any-hit variant: a cluster is processed only while some unoccluded ray
     could still be blocked; terminates when every ray is occluded (the
     running horizon is the max tmax-bits over OPEN rays)."""
+    if instanced:
+        xf_ref, out_ref, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, *scr = rest
     rays = _load_rays(rays_ref, boxes_ref, tm)
     tmax = rays[:, 7:8]
     cb = _lane_bits(k)
@@ -1611,7 +1699,8 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
 
     if recull and exact:
         occ = _occl_recull_loop(rays, boxes_ref[:], table_ref, None,
-                                scr, c=c, tm=tm, k=k, recull=recull)
+                                scr, c=c, tm=tm, k=k, recull=recull,
+                                xf_ref=xf_ref)
         out_ref[:, 0:1] = occ.astype(jnp.float32)
         return
 
@@ -1634,8 +1723,12 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
             jnp.where(occ > 0, 0, tmax_bits), axis=0, keepdims=True
         )[0, 0]
         idx = sel & cmask
-        tri = table_ref[idx]
-        t, tri_ok = _mt_body(rays, tri, c, tm)
+        if xf_ref is not None:
+            rays_v, bidx = _xform_visit(rays, xf_ref, idx, tm)
+        else:
+            rays_v, bidx = rays, idx
+        tri = table_ref[bidx]
+        t, tri_ok = _mt_body(rays_v, tri, c, tm)
         tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
         hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
         occ = jnp.maximum(occ, hit)
@@ -1650,10 +1743,16 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, out_ref, *scr, c: int,
 
 def resident_table_bytes(scene: DeviceScene) -> int:
     """VMEM footprint of the resident triangle table (10 comps pad to 16
-    sublanes per cluster under the f32 (8,128) tiling)."""
+    sublanes per cluster under the f32 (8,128) tiling).  Instanced scenes
+    count BASE clusters only — the table is shared across instances."""
     c = scene.tris_per_cluster
     pad_c = -(-c // 128) * 128
-    return scene.num_clusters * 16 * pad_c * 4
+    if scene.cl_xf is not None:
+        kb = (scene.cl_mt_table.shape[0] if scene.cl_mt_table is not None
+              else scene.cl_tri_table.shape[0])
+    else:
+        kb = scene.num_clusters
+    return kb * 16 * pad_c * 4
 
 
 # tables above this stream from HBM through a double-buffered scratch
@@ -1694,12 +1793,19 @@ def trace_resident(
     origin-morton on scattered wavefronts), "morton" by origin cell;
     "auto" = cluster when the schedule prepass is affordable."""
     n = origin.shape[0]
+    # two-level instanced dispatch (scene/geometry.py
+    # device_scene_from_instances): cluster arrays are instance-level, the
+    # triangle table base-level; visits transform the ray per cluster
+    # (_xform_visit).  Only the flat/hbm selection kernels are
+    # instance-aware — transposed/grouped/tiny paths gate off.
+    instanced = scene.cl_xf is not None
     # dense transposed kernel (small scenes, pack-time cl_mt_table_t):
     # decided up front, from statics only — it shapes the tile policy, the
     # sort policy, and the rich default below.  Forced hbm_table/grouped
     # still take their own paths.
     will_transpose = (
         scene.cl_mt_table_t is not None
+        and not instanced
         and hbm_table is not True
         and grouped is not True
     )
@@ -1805,10 +1911,12 @@ def trace_resident(
         rays_packed = jnp.take(rays_packed, perm, axis=1)
         act = rays_packed[7, :] > 0.0
 
+    kb = (scene.cl_mt_table.shape[0] if scene.cl_mt_table is not None
+          else scene.cl_tri_table.shape[0]) if instanced else k
     if scene.cl_mt_table is not None:
-        table = scene.cl_mt_table.reshape(k, 16, c)
+        table = scene.cl_mt_table.reshape(kb, 16, c)
     else:
-        src = scene.cl_tri_table.reshape(k, 10, c)
+        src = scene.cl_tri_table.reshape(kb, 10, c)
         v0 = src[:, 0:3]
         e1 = src[:, 3:6] - v0
         e2 = src[:, 6:9] - v0
@@ -1836,6 +1944,10 @@ def trace_resident(
         # saves (18.1 -> 19.7 ms at 64k incoherent): keep the classic
         # epilogue there.
         rich = not sort_rays
+    if instanced:
+        # the in-kernel refine has no object-space stage; the classic XLA
+        # epilogue transforms per-winner below
+        rich = False
     if will_transpose:
         # the transposed kernel's winner slot is a row of the CONCATENATED
         # valid-triangle table — the classic epilogue's cluster-major slot
@@ -1874,7 +1986,7 @@ def trace_resident(
             (not sort_rays and not flat_exact_ok)   # camera-like, giant K
             or (sort_rays and not flat_recull_ok)   # scattered, enormous K
         )
-    grouped = grouped and can_group and not will_transpose
+    grouped = grouped and can_group and not will_transpose and not instanced
     if exact_cull is None:
         # scattered (sorted) wavefronts need the per-ray cull at ANY K —
         # the interval bound degenerates to a full-scene sweep for them
@@ -1989,7 +2101,7 @@ def trace_resident(
             out_shape=[out_struct],
             interpret=interpret,
         )(rays_packed, boxes, scene.cl_mt_table_t)
-    elif not hbm_table and k <= TINY_K:
+    elif not hbm_table and k <= TINY_K and not instanced:
         # straight-line tiny-scene kernels: no cull/selection machinery
         kern = _occl_kernel_tiny if any_hit else _kernel_tiny
         if not any_hit:
@@ -2014,7 +2126,7 @@ def trace_resident(
         else:
             kern = _occl_kernel if any_hit else _kernel
             scratch = []
-        kern = partial(kern, recull=recull)
+        kern = partial(kern, recull=recull, instanced=instanced)
         if not any_hit:
             kern = partial(kern, rich=rich, ssub=ssub)
         if recull:
@@ -2034,15 +2146,17 @@ def trace_resident(
                     pltpu.VMEM((1, k), jnp.int32),
                     pltpu.VMEM((1, k), jnp.int32),
                 ]
+        extra_in = [scene.cl_xf] if instanced else []
         (packed_out,) = pl.pallas_call(
             partial(kern, c=c_k, tm=tm, k=k, exact=exact_cull),
             grid=(tiles,),
-            in_specs=[ray_spec, boxes_spec, table_spec],
+            in_specs=[ray_spec, boxes_spec, table_spec]
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
             out_specs=[out_spec],
             out_shape=[out_struct],
             scratch_shapes=scratch,
             interpret=interpret,
-        )(rays_packed, boxes, table)
+        )(rays_packed, boxes, table, *extra_in)
 
     dropped = jnp.int32(0)
 
@@ -2074,15 +2188,16 @@ def trace_resident(
         )
         return hits, dropped
 
-    slot = unsel(jnp.round(packed_out[:, 1]).astype(jnp.int32))
+    slot_packed = unsel(jnp.round(packed_out[:, 1]).astype(jnp.int32))
     # decode the packed (cluster << lane_bits) | lane winner slot into the
     # canonical cluster-major index (padding lanes never win: zero normal
     # -> det 0 -> rejected)
     lbk = _lane_bits(c_k)
+    win_cluster = jnp.maximum(slot_packed, 0) >> lbk
     slot = jnp.where(
-        slot >= 0,
-        (slot >> lbk) * c + jnp.minimum(slot & ((1 << lbk) - 1), c - 1),
-        slot,
+        slot_packed >= 0,
+        win_cluster * c + jnp.minimum(slot_packed & ((1 << lbk) - 1), c - 1),
+        slot_packed,
     )
     is_hit = (slot >= 0) & active
 
@@ -2103,8 +2218,21 @@ def trace_resident(
         vc = jnp.take(scene.v2, safe, axis=0)
     e1 = vb - va
     e2 = vc - va
-    dn = direction
-    on = origin
+    if instanced:
+        # winner vertices live in OBJECT space: transform the rays into the
+        # winning instance's frame (UNNORMALIZED direction -> the MT t
+        # below is the world t exactly, see _xform_visit) and offset the
+        # canonical id into the virtual per-instance triangle id space
+        xf = jnp.take(scene.cl_xf.reshape(k, 16), win_cluster, axis=0)
+        lin = xf[:, 0:9].reshape(-1, 3, 3)
+        on = jnp.einsum("nij,nj->ni", lin, origin) + xf[:, 9:12]
+        dn = jnp.einsum("nij,nj->ni", lin, direction)
+        inst = jnp.round(xf[:, 13]).astype(jnp.int32)
+        tb_count = scene.num_base_tris
+        canon = jnp.where(canon >= 0, inst * tb_count + canon, canon)
+    else:
+        dn = direction
+        on = origin
     pv = jnp.cross(dn, e2)
     det = jnp.sum(e1 * pv, axis=-1)
     ok = jnp.abs(det) > 1e-12

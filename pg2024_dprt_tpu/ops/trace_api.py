@@ -39,6 +39,16 @@ _TRACERS = ("stackless", "cluster", "resident")
 
 
 def resolve_tracer(name: str, scene=None) -> str:
+    if scene is not None and getattr(scene, "cl_xf", None) is not None:
+        # two-level instanced scenes: only the resident kernel family has
+        # the per-cluster object-space transform (scene/geometry.py
+        # device_scene_from_instances) — the stackless/cluster backends
+        # would trace the BASE geometry only
+        if name in ("stackless", "cluster"):
+            raise ValueError(
+                f"tracer {name!r} does not support instanced scenes; use "
+                "'resident' (interpret mode on CPU)")
+        return "resident"
     if name == "auto":
         # any accelerator backend (tpu / axon tunnel) -> the resident-table
         # kernel family; tables above VMEM budget stream from HBM inside the

@@ -211,6 +211,9 @@ def _use_fused_route(scene, models: ProxyModels, tracer: str) -> bool:
     weights fit the VMEM budget."""
     if jax.default_backend() == "cpu" or tracer not in ("auto", "resident"):
         return False
+    if getattr(scene, "cl_xf", None) is not None:
+        return False  # instanced LOCAL geometry: route kernel's in-kernel
+        # trace has no object-space stage (instanced PROXIES are supported)
     tex = scene.albedo_textures
     if tex is not None and tex.count > 0 and tex.has_cutout:
         return False

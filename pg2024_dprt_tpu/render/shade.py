@@ -45,6 +45,18 @@ def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAt
     """Gather + interpolate hit attributes (reference __closesthit__ch,
     /root/reference/optix/kernel.cu:171-300)."""
     tri = jnp.maximum(hits.tri_index, 0)
+    inst_lin = None
+    if scene.instanced:
+        # virtual id = instance * num_base_tris + base canonical id
+        # (ops/pallas_resident.py instanced epilogue); attribute tables are
+        # BASE-level, normals need the instance rotation
+        tb_count = scene.num_base_tris
+        inst = tri // tb_count
+        tri = tri - inst * tb_count
+        kb = (scene.cl_mt_table.shape[0] if scene.cl_mt_table is not None
+              else scene.cl_tri_table.shape[0])
+        xf = jnp.take(scene.cl_xf.reshape(-1, 16), inst * kb, axis=0)
+        inst_lin = xf[:, 0:9].reshape(-1, 3, 3)   # world_to_obj = M^-1
     u = hits.u[:, None]
     v = hits.v[:, None]
     w = 1.0 - u - v
@@ -72,7 +84,11 @@ def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAt
 
     # barycentric convention: alpha=u weights n1, beta=v weights n2
     # (reference kernel.cu:243-245)
-    normal = cmath.normalize(w * n0 + u * n1 + v * n2)
+    normal = w * n0 + u * n1 + v * n2
+    if inst_lin is not None:
+        # object->world normal transform: n_w ∝ (M^-1)^T n_o = lin^T n_o
+        normal = jnp.einsum("nji,nj->ni", inst_lin, normal)
+    normal = cmath.normalize(normal)
 
     # albedo-texture fetch at interpolated uv (kernel.cu:256-283)
     if scene.albedo_textures is not None and scene.albedo_textures.count > 0:

@@ -237,6 +237,28 @@ class DeviceScene(NamedTuple):
     # counterpart of the reference enabling OptiX's ROUND_CUBIC_BSPLINE
     # intersector in its pipelines (pipeline_helper.cpp:57,116).
     curves: object = None
+    # Two-level instancing (the reference's instanced GASes,
+    # optixGetInstanceIndex / distributed_traversal_kernel.cu:174): the
+    # cluster arrays (cl_boxes/cl_aabb_*/cl_tri_map) are INSTANCE-level
+    # (K = I * KB rows) while the triangle tables (cl_mt_table,
+    # cl_shade_table, tri_verts, v0..) stay at BASE level (KB clusters,
+    # shared across instances — N instances of a mesh cost one table).
+    # cl_xf[k, 0, :] lanes: 0-8 world_to_obj linear (row-major), 9-11
+    # translation, 12 base cluster index (f32, exact < 2^24), 13 instance
+    # id, 14-15 pad.  Tracers transform the ray per visited cluster with
+    # the UNNORMALIZED object-space direction, so the object-space MT t is
+    # the world-space t exactly (ops/pallas_resident.py _xform_visit).
+    cl_xf: jnp.ndarray = None         # (K, 1, 16) f32
+
+    @property
+    def instanced(self) -> bool:
+        return self.cl_xf is not None
+
+    @property
+    def num_base_tris(self) -> int:
+        """Virtual-triangle-id stride: instanced hit ids are
+        instance * num_base_tris + base canonical id."""
+        return self.v0.shape[0]
 
     @property
     def num_nodes(self) -> int:
@@ -279,6 +301,83 @@ def device_scene_from_meshes(
         host, bvh, node_capacity, tri_capacity,
         tris_per_cluster=tris_per_cluster, cluster_capacity=cluster_capacity,
         textures=textures, curves=curves,
+    )
+
+
+def device_scene_from_instances(
+    meshes: list,
+    transforms,
+    tris_per_cluster: Optional[int] = None,
+) -> DeviceScene:
+    """Instanced scene: I copies of the base mesh list, each placed by a
+    (3, 4) obj_to_world affine.  The triangle tables are built ONCE over
+    the base geometry; per instance only the cluster AABBs, the tri-map
+    tile and a 16-float affine row are added — N instances of a mesh cost
+    one table (reference capability: instanced GASes + per-instance
+    transforms, /root/reference/src/render/renderer.cpp:1726-1796,
+    distributed_traversal_kernel.cu:174).
+
+    transforms: (I, 3, 4) float obj_to_world (rows [R | t]); must be
+    invertible (the builder stores the inverse for the tracers)."""
+    base = device_scene_from_meshes(meshes, tris_per_cluster=tris_per_cluster)
+    M = np.asarray(transforms, np.float32)
+    assert M.ndim == 3 and M.shape[1:] == (3, 4), "transforms: (I, 3, 4)"
+    ni = M.shape[0]
+    kb = base.num_clusters
+    c = base.tris_per_cluster
+    k = ni * kb
+
+    # world_to_obj inverses
+    inv_lin = np.linalg.inv(M[:, :, :3])                     # (I, 3, 3)
+    inv_tr = -np.einsum("iab,ib->ia", inv_lin, M[:, :, 3])   # (I, 3)
+
+    # world-space cluster AABBs: transform the 8 corners of each base box
+    bmin = np.asarray(base.cl_aabb_min)                      # (KB, 3)
+    bmax = np.asarray(base.cl_aabb_max)
+    corners = np.stack([
+        np.where(np.asarray(sel)[None, :], bmax, bmin)
+        for sel in np.ndindex(2, 2, 2)], axis=1)             # (KB, 8, 3)
+    wc = (np.einsum("iab,kcb->ikca", M[:, :, :3], corners)
+          + M[:, None, None, :, 3])                          # (I, KB, 8, 3)
+    finite = np.isfinite(bmin).all(axis=1) & np.isfinite(bmax).all(axis=1)
+    wmin = wc.min(axis=2).reshape(k, 3)
+    wmax = wc.max(axis=2).reshape(k, 3)
+    count = np.tile(np.asarray(base.cl_count), ni)
+    nonempty = (count > 0) & np.tile(finite, ni)
+    wmin = np.where(nonempty[:, None], wmin, 0.0)
+    wmax = np.where(nonempty[:, None], wmax, 0.0)
+    cl_boxes = np.concatenate(
+        [wmin.T, wmax.T, nonempty.astype(np.float32)[None, :],
+         np.zeros((1, k), np.float32)], axis=0)              # (8, K)
+
+    xf = np.zeros((k, 1, 16), np.float32)
+    for i in range(ni):
+        rows = slice(i * kb, (i + 1) * kb)
+        xf[rows, 0, 0:9] = inv_lin[i].reshape(9)
+        xf[rows, 0, 9:12] = inv_tr[i]
+        xf[rows, 0, 12] = np.arange(kb, dtype=np.float32)
+        xf[rows, 0, 13] = np.float32(i)
+
+    scene_lo = wmin[nonempty].min(axis=0) if nonempty.any() else np.zeros(3)
+    scene_hi = wmax[nonempty].max(axis=0) if nonempty.any() else np.ones(3)
+
+    tri_map = np.tile(np.asarray(base.cl_tri_map).reshape(kb, c), (ni, 1))
+
+    return base._replace(
+        cl_aabb_min=jnp.asarray(wmin),
+        cl_aabb_max=jnp.asarray(wmax),
+        cl_count=jnp.asarray(count),
+        cl_tri_map=jnp.asarray(tri_map.reshape(k * c)),
+        cl_boxes=jnp.asarray(cl_boxes),
+        scene_aabb=jnp.asarray(
+            np.stack([scene_lo, scene_hi]).astype(np.float32)),
+        cl_xf=jnp.asarray(xf),
+        # instance-aware paths only: the transposed/grouped/tiny fast paths
+        # and the frame megakernel gate off these tables
+        cl_mt_table_t=None,
+        cl_shade_table_t=None,
+        cl_gboxes=None,
+        cl_mboxes=None,
     )
 
 

@@ -147,6 +147,31 @@ def main():
         f"{per*1e3:.2f} ms: trace + march + vis/depth NN + routing, "
         "1M tris, HBM-streamed table, 8 proxies")
 
+    # two-level INSTANCED scene: 8 placed copies of a 512k-tri base soup =
+    # 4.2M effective triangles through ONE shared 45 MiB table (the unique-
+    # triangle ceiling VERDICT r3 flagged; reference: instanced GASes,
+    # renderer.cpp:1726-1796).  Rays aimed into the instance grid.
+    from pg2024_dprt_tpu.scene.geometry import device_scene_from_instances
+
+    im = np.zeros((8, 3, 4), np.float32)
+    for i in range(8):
+        im[i, :, :3] = np.eye(3, dtype=np.float32)
+        im[i, :, 3] = [2.2 * (i % 4), 0.0, 2.2 * (i // 4)]
+    scene_inst = device_scene_from_instances(
+        [random_tri_soup(1 << 19, seed=9)], im)
+    eff_tris = 8 * (1 << 19)
+    cam_i = Camera.look_at([3.3, 1.5, 9.0], [3.3, 0.5, 1.0], [0, 1, 0],
+                           55.0, 256, 256)
+    pixi = jnp.arange(n, dtype=jnp.int32)
+    oi, di = cam_i.generate_rays(pixi // 256, pixi % 256,
+                                 jnp.zeros(n), jnp.zeros(n))
+    per = chained_time(t_res, oi, di, tmx, act, scene_inst,
+                       short=1, long=4, reps=2)
+    row("camera_4m_instanced", n / per / 1e6, "Mrays/s",
+        f"{per*1e3:.2f} ms/wavefront, {eff_tris/1e6:.1f}M effective tris "
+        "(8 instances x 512k base, one shared HBM-streamed table, in-kernel "
+        "per-cluster object-space transform)")
+
     # full exact frame — packed at the frame megakernel's tuned cluster
     # size (tpc=512 -> K=128: fewer, larger front-to-back visits; the
     # tpc=128 tracer packing costs the same frame ~30% more, measured)

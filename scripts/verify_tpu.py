@@ -119,6 +119,67 @@ def main():
     results.append(row)
     print(json.dumps(row), flush=True)
 
+    # two-level instanced local geometry (COMPILED): resident kernel's
+    # per-cluster object-space transform vs an explicit per-instance CPU
+    # oracle (transform rays with the unnormalized object direction,
+    # traverse the base BVH, min-combine)
+    irng = np.random.RandomState(23)
+    im = np.zeros((4, 3, 4), np.float32)
+    for i in range(4):
+        rq, _ = np.linalg.qr(irng.randn(3, 3))
+        im[i, :, :3] = (rq @ np.diag(0.5 + irng.rand(3) * 1.5)).astype(
+            np.float32)
+        im[i, :, 3] = (irng.rand(3) * 6.0 - 3.0).astype(np.float32)
+    from pg2024_dprt_tpu.scene.geometry import device_scene_from_instances
+
+    imeshes = [random_tri_soup(1500, seed=3)]
+    iscene = device_scene_from_instances(imeshes, im, tris_per_cluster=64)
+    ibase = device_scene_from_meshes(imeshes, tris_per_cluster=64)
+    ni = 2048
+    io = (irng.rand(ni, 3) * 10.0 - 5.0).astype(np.float32)
+    icent = (np.einsum("iab,b->ia", im[:, :, :3],
+                       np.full(3, 0.5, np.float32)) + im[:, :, 3])
+    ipick = irng.randint(0, 4, ni)
+    ijit = (irng.rand(ni, 3).astype(np.float32) - 0.5) * 0.6
+    itgt = icent[ipick] + np.einsum("nab,nb->na", im[ipick, :, :3], ijit)
+    idr = (itgt - io).astype(np.float32)
+    idr /= np.linalg.norm(idr, axis=1, keepdims=True)
+    iact = irng.rand(ni) > 0.15
+    itmax = np.where(irng.rand(ni) > 0.5, 3.4e38, 4.0).astype(np.float32)
+    inv_lin = np.linalg.inv(im[:, :, :3])
+    inv_tr = -np.einsum("iab,ib->ia", inv_lin, im[:, :, 3])
+    ibt = itmax.copy()
+    iwh = np.zeros(ni, bool)
+    with jax.default_device(cpu):
+        ibc = jax.tree.map(lambda a: jax.device_put(a, cpu), ibase)
+        for i in range(4):
+            iol = io @ inv_lin[i].T + inv_tr[i]
+            idl = idr @ inv_lin[i].T
+            h = traverse_bvh(ibc, jax.device_put(jnp.asarray(iol), cpu),
+                             jax.device_put(jnp.asarray(idl), cpu), 1e-3,
+                             jax.device_put(jnp.asarray(ibt), cpu),
+                             jax.device_put(jnp.asarray(iact), cpu))
+            iht, ihh = np.asarray(h.t), np.asarray(h.is_hit)
+            closer = ihh & (iht < ibt)
+            ibt = np.where(closer, iht, ibt)
+            iwh |= closer
+    igot, idrp = trace_resident(iscene, jnp.asarray(io), jnp.asarray(idr),
+                                1e-3, jnp.asarray(itmax), jnp.asarray(iact))
+    igh = np.asarray(igot.is_hit)
+    iboth = igh & iwh
+    idt = np.abs(np.asarray(igot.t)[iboth] - ibt[iboth]) / np.maximum(
+        1.0, ibt[iboth])
+    row = {"scene": "instanced_4x1500", "kernel": "resident_instanced",
+           "rays": ni, "hits_oracle": int(iwh.sum()),
+           "is_hit_match": int((igh == iwh).sum()),
+           "t_rel_max": float(idt.max() if iboth.any() else 0.0),
+           "dropped": int(idrp), "gating": True,
+           "pass": int((igh == iwh).sum()) == ni
+                   and float(idt.max() if iboth.any() else 0.0) < 1e-3
+                   and int(idrp) == 0}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
     # proxy-march kernel vs the XLA reference implementation (on CPU)
     from pg2024_dprt_tpu.ops.pallas_march import march_proxies_pallas
     from pg2024_dprt_tpu.render.proxy_stages import march_proxies_xla
