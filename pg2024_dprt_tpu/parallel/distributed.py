@@ -43,7 +43,7 @@ _F32_MAX = jnp.float32(3.402823466e38)
 
 
 def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto",
-                     sort_rays=True):
+                     sort_rays=True, use_grids=False):
     """Distributed traversal kernel ("TraRay") port
     (/root/reference/optix/distributed_traversal_kernel.cu:215-339):
     local closest hit honoring visitedMask, own bit set, nearest-unvisited
@@ -90,6 +90,21 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
         & (t_exit > eps)
         & (cand < new_tmax[:, None])
     )
+    grid_culled = jnp.int32(0)
+    if use_grids and proxies.vis_grid is not None:
+        # conservative visibility-grid pre-filter: a candidate partition
+        # whose grid says "nothing reachable through this entry bin" cannot
+        # produce a hit, so dropping it keeps the image exact while cutting
+        # migrations (reference role: bvh_intersection.cu:234-310)
+        from ..scene.visibility_grid import query_conservative_grids
+
+        vis = query_conservative_grids(
+            proxies.vis_grid, proxies.aabb_min, proxies.aabb_max,
+            paths.origin, paths.direction, t_enter, jnp.minimum(t0, t1),
+        )
+        grid_ok = vis | (t_enter <= eps)  # origin inside/at the box: no gate
+        grid_culled = jnp.sum((ok & ~grid_ok).astype(jnp.int32))
+        ok = ok & grid_ok
     cand = jnp.where(ok, cand, _F32_MAX)
     best = jnp.argmin(cand, axis=-1)
     found = jnp.take_along_axis(cand, best[:, None], axis=-1)[:, 0] < _F32_MAX
@@ -120,7 +135,7 @@ def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto"
         hit_u=jnp.where(upd, hits.u, paths.hit_u),
         hit_v=jnp.where(upd, hits.v, paths.hit_v),
     )
-    return new_paths, env_add, diag
+    return new_paths, env_add, diag, grid_culled
 
 
 def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfig,
@@ -138,24 +153,27 @@ def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfi
     bucket = max(1, int(paths.capacity * cfg.bucket_fraction) // max(1, proxies.num_partitions))
 
     def body(carry):
-        paths, env_img, _pending, it, diag, ovf = carry
-        paths, env_add, d = _trace_and_route(scene, proxies, env, paths, my_id,
-                                             cfg.t_epsilon, npix, cfg.tracer, sort_rays)
+        paths, env_img, _pending, it, diag, ovf, culled = carry
+        paths, env_add, d, gc = _trace_and_route(
+            scene, proxies, env, paths, my_id, cfg.t_epsilon, npix, cfg.tracer,
+            sort_rays, use_grids=cfg.use_visibility_grids)
         paths, moved, waiting, arrivals = exchange_paths(paths, my_id, bucket_size=bucket)
         pending = jax.lax.psum(waiting + arrivals, NODES_AXIS)
-        return paths, env_img + env_add, pending, it + 1, diag + d, ovf + waiting
+        return (paths, env_img + env_add, pending, it + 1, diag + d,
+                ovf + waiting, culled + gc)
 
     def cond(carry):
-        _, _, pending, it, _, _ = carry
+        _, _, pending, it, _, _, _ = carry
         return (pending > 0) & (it < cfg.max_migrations)
 
-    paths, env_img, _, _, diag, overflow = jax.lax.while_loop(
+    paths, env_img, _, _, diag, overflow, culled = jax.lax.while_loop(
         cond, body,
-        (paths, env_img, jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        (paths, env_img, jnp.int32(1), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0))
     )
     still_migrating = paths.is_valid & (paths.target_node >= 0) & (paths.target_node != my_id)
     truncated = jnp.sum(still_migrating.astype(jnp.int32))
-    return paths, env_img, diag, truncated, overflow
+    return paths, env_img, diag, truncated, overflow, culled
 
 
 def _sample_program(scene_block, proxies, models, lights, env, camera, sample_count, cfg: RenderConfig):
@@ -172,6 +190,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     diag = jnp.int32(0)
     truncated = jnp.int32(0)
     overflow = jnp.int32(0)
+    grid_culled = jnp.int32(0)
 
     for bounce in range(cfg.bounces):
         if bounce > 0 and cfg.use_neural_proxies:
@@ -185,12 +204,13 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
         # bounce-0 wavefronts are camera/pixel-block coherent: the morton
         # sort's fixed launch cost is pure loss there (see render/engine.py)
         sort = bounce >= 1
-        paths, env_img, d, tr, ov = _migration_loop(scene, proxies, env, paths,
-                                                    env_img, my_id, cfg,
-                                                    sort_rays=sort)
+        paths, env_img, d, tr, ov, gc = _migration_loop(scene, proxies, env, paths,
+                                                        env_img, my_id, cfg,
+                                                        sort_rays=sort)
         diag = diag + d
         truncated = truncated + tr
         overflow = overflow + ov
+        grid_culled = grid_culled + gc
 
         live = paths.is_valid & (~paths.is_shadow)
         if cfg.use_neural_proxies and bounce > 0:
@@ -238,8 +258,12 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
             direct = direct + direct_add
             diag = diag + d
         else:
-            sp, occ, d = ring_shadow_occlusion(scene, shadow_paths, cfg.t_epsilon, tracer=cfg.tracer)
+            sp, occ, d, gc = ring_shadow_occlusion(
+                scene, shadow_paths, cfg.t_epsilon, tracer=cfg.tracer,
+                proxies=proxies if cfg.use_visibility_grids else None,
+            )
             diag = diag + d
+            grid_culled = grid_culled + gc
             contrib = jnp.where(
                 (sp.is_valid & (~occ))[:, None],
                 sp.throughput / cfg.shadow_path_count,
@@ -254,9 +278,10 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     # image reduce across partitions (MPI_Reduce equivalent)
     direct = jax.lax.psum(direct, NODES_AXIS)
     env_img = jax.lax.psum(env_img, NODES_AXIS)
-    # stats: [tracer diag, migration truncations, bucket-overflow retries]
-    # psum'd over the mesh
-    stats = jax.lax.psum(jnp.stack([diag, truncated, overflow]), NODES_AXIS)
+    # stats: [tracer diag, migration truncations, bucket-overflow retries,
+    # visibility-grid culled candidate/hop count] psum'd over the mesh
+    stats = jax.lax.psum(jnp.stack([diag, truncated, overflow, grid_culled]),
+                         NODES_AXIS)
     return direct, env_img, stats
 
 
@@ -303,7 +328,7 @@ def render_image_distributed(
     npix = cfg.frame_buffer_size
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
-    stats = jnp.zeros((3,), jnp.int32)
+    stats = jnp.zeros((4,), jnp.int32)
     for s in range(cfg.spp):
         d, e, st = render_sample_distributed(
             partitioned.stacked, partitioned.proxies, models, lights, env,
@@ -318,5 +343,6 @@ def render_image_distributed(
             "tracer_diag": int(stats[0]),
             "migration_truncated": int(stats[1]),
             "migration_overflow_waits": int(stats[2]),
+            "grid_culled": int(stats[3]),
         }
     return img

@@ -124,23 +124,55 @@ def ring_shadow_occlusion(
     eps: float,
     axis_name: str = NODES_AXIS,
     tracer: str = "auto",
+    proxies=None,
 ):
     """Exact distributed occlusion: rotate (rays, flags) around the ring;
     every partition ORs in its local test. After P-1 hops each buffer has been
     tested everywhere; contributions are added wherever the buffer ends up
     (the direct-light image is psum-reduced anyway).
 
-    Returns (resident_shadow_paths, occluded_flags, diag)."""
+    When `proxies` carries conservative visibility grids
+    (ProxyTable.vis_grid), each hop pre-filters rays whose segment misses the
+    hosting partition's AABB or whose grid entry bin is provably empty —
+    exact culling of the per-hop occlusion trace (reference role:
+    bvh_intersection.cu:234-310 consulting the grid inside the kernel).
+
+    Returns (resident_shadow_paths, occluded_flags, diag, grid_culled)."""
     p = jax.lax.axis_size(axis_name)
+    use_grids = proxies is not None and proxies.vis_grid is not None
+    my_id = jax.lax.axis_index(axis_name).astype(jnp.int32)
 
     def local_test(sp):
+        active = sp.is_valid
+        culled = jnp.int32(0)
+        if use_grids:
+            from ..scene.visibility_grid import query_conservative_grids
+
+            lo = jnp.take(proxies.aabb_min, my_id, axis=0)  # (3,)
+            hi = jnp.take(proxies.aabb_max, my_id, axis=0)
+            inv = 1.0 / jnp.where(
+                jnp.abs(sp.direction) < 1e-12,
+                jnp.where(sp.direction >= 0, 1e-12, -1e-12), sp.direction)
+            t0 = (lo[None] - sp.origin) * inv
+            t1 = (hi[None] - sp.origin) * inv
+            t_near = jnp.minimum(t0, t1)          # (N, 3)
+            t_enter = jnp.max(t_near, axis=-1)
+            t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            seg_hit = (t_exit >= jnp.maximum(t_enter, eps)) & (t_enter < sp.tmax)
+            vis = query_conservative_grids(
+                jnp.take(proxies.vis_grid, my_id[None], axis=0), lo[None], hi[None],
+                sp.origin, sp.direction, t_enter[:, None], t_near[:, None, :],
+            )[:, 0]
+            mask = seg_hit & (vis | (t_enter <= eps))
+            culled = jnp.sum((sp.is_valid & ~mask).astype(jnp.int32))
+            active = active & mask
         occ, d = trace_occlusion(
-            scene, sp.origin, sp.direction, eps, sp.tmax * (1.0 - 1e-3), sp.is_valid,
+            scene, sp.origin, sp.direction, eps, sp.tmax * (1.0 - 1e-3), active,
             tracer=tracer,
         )
-        return occ & sp.is_valid, d
+        return occ & active, d, culled
 
-    occ, diag = local_test(shadow_paths)
+    occ, diag, grid_culled = local_test(shadow_paths)
     sp = shadow_paths
     perm = [(i, (i + 1) % p) for i in range(p)]
     bool_fields = {i for i, a in enumerate(sp) if a.dtype == jnp.bool_}
@@ -153,7 +185,8 @@ def ring_shadow_occlusion(
             a.astype(jnp.bool_) if i in bool_fields else a
             for i, a in enumerate(sp_u8)
         ])
-        local_occ, d = local_test(sp)
+        local_occ, d, c = local_test(sp)
         occ = occ_u8.astype(jnp.bool_) | local_occ
         diag = diag + d
-    return sp, occ, diag
+        grid_culled = grid_culled + c
+    return sp, occ, diag, grid_culled

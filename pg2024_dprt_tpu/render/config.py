@@ -48,6 +48,13 @@ class RenderConfig:
     # is the reference's estimator (frame_buffer_update.cu / kernel.cu:444)
     # with S occlusion rays per shading point.
     nee_mode: str = "ris"
+    # Exact-mode cross-partition culling via conservative per-partition
+    # visibility grids (ProxyTable.vis_grid, built with
+    # build_partitioned_scene(visibility_grids=True)): pre-filters migration
+    # candidates in the TraRay routing pick and ring-shadow hop traces.
+    # Conservative by construction, so the image is unchanged (reference
+    # legacy grid path: bvh_intersection.cu:234-310).
+    use_visibility_grids: bool = False
 
     @property
     def frame_buffer_size(self) -> int:

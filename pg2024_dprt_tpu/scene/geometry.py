@@ -123,6 +123,10 @@ class ProxyTable(NamedTuple):
     world_to_obj: jnp.ndarray = None  # (P, 3, 4) f32 affine world -> object
     obj_min: jnp.ndarray = None      # (P, 3) f32 object-space AABB min
     obj_span: jnp.ndarray = None     # (P, 3) f32 object-space AABB extent
+    # conservative binary visibility grids (the non-neural cross-partition
+    # culling fallback, scene/visibility_grid.py::build_conservative_grid;
+    # reference role /root/reference/src/cuda/bvh_intersection.cu:234-310)
+    vis_grid: jnp.ndarray = None     # (P, 6, H, W, A) bool
 
     @property
     def num_partitions(self) -> int:

@@ -59,8 +59,14 @@ def build_partitioned_scene(
     num_partitions: int,
     assignment: Optional[List[List[int]]] = None,
     textures: Optional[list] = None,
+    visibility_grids: bool = False,
+    grid_res: tuple = (16, 16, 16),
 ) -> PartitionedScene:
-    """Build the stacked per-partition scenes + proxy table."""
+    """Build the stacked per-partition scenes + proxy table.
+
+    visibility_grids=True attaches a conservative per-partition visibility
+    grid (ProxyTable.vis_grid) built from triangle AABBs — the exact-mode
+    cross-partition culling fallback (RenderConfig.use_visibility_grids)."""
     if assignment is None:
         assignment = partition_meshes(meshes, num_partitions)
     assert len(assignment) == num_partitions
@@ -136,9 +142,24 @@ def build_partitioned_scene(
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)
     diag = np.linalg.norm(np.maximum(aabb_max - aabb_min, 0.0), axis=-1).astype(np.float32)
+    vis_grid = None
+    if visibility_grids:
+        from .visibility_grid import build_conservative_grid
+
+        W, H, A = grid_res
+        grids = []
+        for host, lo, hi in zip(per_part_host, aabb_min, aabb_max):
+            if host["v0"].shape[0] == 0 or not np.all(np.isfinite(lo)):
+                grids.append(np.zeros((6, H, W, A), bool))
+                continue
+            tmin = np.minimum(np.minimum(host["v0"], host["v1"]), host["v2"])
+            tmax = np.maximum(np.maximum(host["v0"], host["v1"]), host["v2"])
+            grids.append(build_conservative_grid(tmin, tmax, lo, hi, W, H, A))
+        vis_grid = jnp.asarray(np.stack(grids, axis=0))
     proxies = ProxyTable(
         aabb_min=jnp.asarray(aabb_min),
         aabb_max=jnp.asarray(aabb_max),
         max_length=jnp.asarray(diag),
+        vis_grid=vis_grid,
     )
     return PartitionedScene(stacked=stacked, proxies=proxies, num_partitions=num_partitions)

@@ -108,3 +108,173 @@ def query_visibility(vg: VisibilityGrid, origin, direction, t_enter):
     idx = _face_and_cell(vg.aabb_min, vg.aabb_max, point, direction,
                          vg.width, vg.height, vg.angle)
     return jnp.take(vg.grid, idx)
+
+
+# ---------------------------------------------------------------------------
+# Conservative grids — the production cross-partition culling path.
+#
+# The sampled builder above can read "empty" for a cell some unsampled ray
+# would hit, so it cannot gate an EXACT render. The conservative builder
+# instead rasterizes the partition's content boxes (triangle or cluster
+# AABBs) analytically: a (face, cell, azimuth-bin) is marked when ANY ray
+# entering the partition AABB through that cell rectangle with that azimuth
+# can reach ANY content box. Every real hit's entry maps into a marked bin
+# by construction, so culling on an unmarked bin is exact — this is what
+# lets the grid pre-filter migration candidates and ring-shadow hops in
+# exact mode (reference role: /root/reference/src/cuda/bvh_intersection.cu:
+# 234-310, where the grid culls bounce/shadow rays inside the trace loop).
+# ---------------------------------------------------------------------------
+
+
+def _face_frames():
+    """Per face f (0..5): (axis, sign, u_axis, v_axis, u_neg?, v_neg?) for the
+    du/dv azimuth frame of `_face_and_cell` (du = sgn(d_axis)*d_u etc.)."""
+    # axis 0 (x faces): du = s*dy, dv = s*dz; axis 1: du = s*dz, dv = s*dx;
+    # axis 2: du = s*dx, dv = s*dy.  s = +1 entering the -side (d_axis > 0).
+    return [
+        (0, +1.0, 1, 2), (0, -1.0, 1, 2),
+        (1, +1.0, 2, 0), (1, -1.0, 2, 0),
+        (2, +1.0, 0, 1), (2, -1.0, 0, 1),
+    ]
+
+
+def _cell_rects(face: int, width: int, height: int):
+    """Rel-space [0,1]^3 interval box of every (ri, ci) cell rectangle on
+    `face`, matching `_face_and_cell`'s col/row conventions. Returns
+    (lo, hi) arrays of shape (H*W, 3)."""
+    axis = face // 2
+    ci = np.arange(width)[None, :].repeat(height, 0).reshape(-1)
+    ri = np.arange(height)[:, None].repeat(width, 1).reshape(-1)
+    col_lo, col_hi = ci / width, (ci + 1) / width
+    row_lo, row_hi = ri / height, (ri + 1) / height
+    lo = np.zeros((height * width, 3))
+    hi = np.zeros((height * width, 3))
+    if axis == 0:      # col = rel_y, row = 1 - rel_z
+        lo[:, 1], hi[:, 1] = col_lo, col_hi
+        lo[:, 2], hi[:, 2] = 1 - row_hi, 1 - row_lo
+    elif axis == 1:    # col = 1 - rel_x, row = 1 - rel_z
+        lo[:, 0], hi[:, 0] = 1 - col_hi, 1 - col_lo
+        lo[:, 2], hi[:, 2] = 1 - row_hi, 1 - row_lo
+    else:              # col = rel_y, row = rel_x
+        lo[:, 1], hi[:, 1] = col_lo, col_hi
+        lo[:, 0], hi[:, 0] = row_lo, row_hi
+    fc = 0.0 if face % 2 == 0 else 1.0
+    lo[:, axis] = fc
+    hi[:, axis] = fc
+    return lo, hi
+
+
+def build_conservative_grid(
+    content_min,
+    content_max,
+    aabb_min,
+    aabb_max,
+    width: int = 16,
+    height: int = 16,
+    angle: int = 16,
+    pad: float = 1e-3,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Analytic conservative visibility grid.
+
+    content_min/max: (T, 3) world-space boxes bounding the partition's
+    geometry (triangle or cluster AABBs). Returns a (6, H, W, A) bool numpy
+    grid: True = some entering ray through this (face, cell, azimuth bin)
+    may hit content. `pad` dilates azimuth arcs (radians) against fp
+    rounding at interval endpoints."""
+    aabb_min = np.asarray(aabb_min, np.float64)
+    aabb_max = np.asarray(aabb_max, np.float64)
+    span = np.maximum(aabb_max - aabb_min, 1e-12)
+    t_lo = (np.asarray(content_min, np.float64) - aabb_min) / span  # (T,3)
+    t_hi = (np.asarray(content_max, np.float64) - aabb_min) / span
+    t_lo, t_hi = np.minimum(t_lo, t_hi), np.maximum(t_lo, t_hi)
+    T = t_lo.shape[0]
+    grid = np.zeros((6, height * width, angle), bool)
+    if T == 0:
+        return grid.reshape(6, height, width, angle)
+    bins = np.arange(angle)
+
+    for face, (axis, s, ua, va) in enumerate(_face_frames()):
+        c_lo, c_hi = _cell_rects(face, width, height)  # (C, 3)
+        for start in range(0, T, chunk):
+            tl, th = t_lo[start:start + chunk], t_hi[start:start + chunk]
+            # interval Δ = content - cell, per axis: (C, Tc, 3)
+            d_lo = tl[None, :, :] - c_hi[:, None, :]
+            d_hi = th[None, :, :] - c_lo[:, None, :]
+            # feasibility: direction's face-axis component has sign s
+            feas = (s * d_hi[:, :, axis] if s > 0 else -d_lo[:, :, axis]) >= -1e-9
+            # du/dv interval box (sign flip swaps endpoints)
+            if s > 0:
+                du_lo, du_hi = d_lo[:, :, ua], d_hi[:, :, ua]
+                dv_lo, dv_hi = d_lo[:, :, va], d_hi[:, :, va]
+            else:
+                du_lo, du_hi = -d_hi[:, :, ua], -d_lo[:, :, ua]
+                dv_lo, dv_hi = -d_hi[:, :, va], -d_lo[:, :, va]
+            full = (du_lo <= 0) & (0 <= du_hi) & (dv_lo <= 0) & (0 <= dv_hi)
+            # corner azimuths; arc = complement of the largest circular gap
+            cu = np.stack([du_lo, du_hi, du_lo, du_hi], -1)
+            cv = np.stack([dv_lo, dv_lo, dv_hi, dv_hi], -1)
+            th4 = np.arctan2(cv, cu)
+            th4 = np.where(th4 < 0, th4 + 2 * np.pi, th4)
+            th4 = np.sort(th4, axis=-1)
+            gaps = np.diff(th4, axis=-1)
+            wrap = (th4[..., 0] + 2 * np.pi - th4[..., 3])[..., None]
+            gaps = np.concatenate([gaps, wrap], axis=-1)  # gap i = th[i]->th[i+1]
+            gi = np.argmax(gaps, axis=-1)
+            arc_lo = np.take_along_axis(
+                th4, ((gi + 1) % 4)[..., None], axis=-1)[..., 0] - pad
+            arc_len = 2 * np.pi - np.take_along_axis(
+                gaps, gi[..., None], axis=-1)[..., 0] + 2 * pad
+            arc_len = np.where(full, 2 * np.pi, arc_len)
+            # mark bins overlapping [arc_lo, arc_lo + arc_len] (circular)
+            scale = angle / (2 * np.pi)
+            b_lo = np.floor(arc_lo * scale).astype(np.int64)
+            nb = np.minimum(
+                np.ceil((arc_lo + arc_len) * scale).astype(np.int64) - b_lo + 1,
+                angle,
+            )
+            mark = ((bins[None, None, :] - b_lo[..., None]) % angle
+                    < nb[..., None]) & feas[..., None]
+            grid[face] |= mark.any(axis=1)
+    return grid.reshape(6, height, width, angle)
+
+
+def query_conservative_grids(vis_grid, aabb_min, aabb_max, origin, direction,
+                             t_enter, t_near):
+    """Batched (N rays × P partitions) conservative grid lookup.
+
+    vis_grid: (P, 6, H, W, A) bool; aabb_min/max: (P, 3); origin/direction:
+    (N, 3); t_enter: (N, P) slab entry parameter; t_near: (N, P, 3) per-axis
+    near-plane parameter (so the entry face is derived from the slab test
+    itself — exact, unlike nearest-plane classification at corners).
+    Returns (N, P) bool: True = the partition may produce a hit."""
+    P, _, H, W, A = vis_grid.shape
+    entry = origin[:, None, :] + t_enter[..., None] * direction[:, None, :]
+    span = jnp.maximum(aabb_max - aabb_min, 1e-12)[None]
+    rel = jnp.clip((entry - aabb_min[None]) / span, 0.0, 1.0)  # (N,P,3)
+
+    axis = jnp.argmax(t_near, axis=-1).astype(jnp.int32)       # (N,P)
+    d = direction[:, None, :]
+    d_axis = jnp.take_along_axis(
+        jnp.broadcast_to(d, rel.shape), axis[..., None], axis=-1)[..., 0]
+    face = axis * 2 + (d_axis < 0).astype(jnp.int32)
+
+    rx, ry, rz = rel[..., 0], rel[..., 1], rel[..., 2]
+    col = jnp.where(axis == 0, ry, jnp.where(axis == 1, 1 - rx, ry))
+    row = jnp.where(axis == 2, rx, 1 - rz)
+    ci = jnp.clip((col * W).astype(jnp.int32), 0, W - 1)
+    ri = jnp.clip((row * H).astype(jnp.int32), 0, H - 1)
+
+    sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
+    dx = jnp.broadcast_to(d[..., 0], face.shape)
+    dy = jnp.broadcast_to(d[..., 1], face.shape)
+    dz = jnp.broadcast_to(d[..., 2], face.shape)
+    du = sgn * jnp.where(axis == 0, dy, jnp.where(axis == 1, dz, dx))
+    dv = sgn * jnp.where(axis == 0, dz, jnp.where(axis == 1, dx, dy))
+    phi = jnp.arctan2(dv, du)
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    ab = jnp.clip((phi / (2 * jnp.pi) * A).astype(jnp.int32), 0, A - 1)
+
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    flat = (((pidx * 6 + face) * H + ri) * W + ci) * A + ab
+    return jnp.take(vis_grid.reshape(-1), flat)
