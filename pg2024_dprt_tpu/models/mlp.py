@@ -50,6 +50,13 @@ class MLPConfig:
     in_features: int = 5        # 6 for the multi-geo (instance-id) variant
     head_hidden: int = 64
     final_activation: str = "leaky_relu"  # "leaky_relu" | "sigmoid" | "none"
+    # Head output channels. 1 = the production SEPARATEDNN=1 nets; 2 = the
+    # combined vis+depth double-output family (SEPARATEDNN=0,
+    # /root/reference/src/render/renderer.cpp:35;
+    # NeuralVisNetworkWith4Res256AndEncoderDoubleOutput, module.py:264-302:
+    # identical trunk + global skip, head 256 -> 64 -> 2 with Sigmoid;
+    # channel 0 = vis, channel 1 = depth).
+    out_features: int = 1
     # MultiGeoNeuralVisNetwork (module.py:531-582): dedicated instance-ID
     # encoder, pre_block, Linear-wrapped res stack, 3-layer head.
     multi_geo: bool = False
@@ -71,6 +78,10 @@ MULTIGEO_VIS = MLPConfig(width=512, depth=3, in_features=6,
                          final_activation="sigmoid", multi_geo=True)
 MULTIGEO_DEPTH = MLPConfig(width=512, depth=3, in_features=6,
                            final_activation="leaky_relu", multi_geo=True)
+# SEPARATEDNN=0: one double-output vis+depth net
+# (NeuralVisNetworkWith4Res256AndEncoderDoubleOutput, module.py:264-302)
+COMBINED_VISDEPTH = MLPConfig(width=256, depth=4, out_features=2,
+                              final_activation="sigmoid")
 
 
 def param_shapes(cfg: MLPConfig):
@@ -89,7 +100,7 @@ def param_shapes(cfg: MLPConfig):
         shapes += [("rbout_w", cfg.width, cfg.width),
                    ("head_w0", cfg.width, cfg.width // 2),
                    ("head_w1", cfg.width // 2, cfg.head_hidden),
-                   ("head_w2", cfg.head_hidden, 1)]
+                   ("head_w2", cfg.head_hidden, cfg.out_features)]
     else:
         origin_in = cfg.in_features - 2
         shapes += [("enc_o_w0", origin_in, cfg.enc_hidden),
@@ -99,7 +110,7 @@ def param_shapes(cfg: MLPConfig):
         shapes += [(f"res_w{i}", cfg.width, cfg.width)
                    for i in range(cfg.depth)]
         shapes += [("head_w0", cfg.width, cfg.head_hidden),
-                   ("head_w1", cfg.head_hidden, 1)]
+                   ("head_w1", cfg.head_hidden, cfg.out_features)]
     return shapes
 
 
@@ -166,7 +177,7 @@ def net_forward(x, dot: Callable, cfg: MLPConfig, final_activation: str):
         h = out1 + h                                         # global skip
         h = _leaky(dot(h, "head_w0", cfg.width // 2))
         h = _leaky(dot(h, "head_w1", cfg.head_hidden))
-        out = dot(h, "head_w2", 1)
+        out = dot(h, "head_w2", cfg.out_features)
     else:
         origin = x[..., : cfg.in_features - 2]
         direction = x[..., cfg.in_features - 2:]
@@ -180,7 +191,7 @@ def net_forward(x, dot: Callable, cfg: MLPConfig, final_activation: str):
             h = _leaky(h + dot(h, f"res_w{i}", cfg.width))
         h = out1 + h                                         # global skip
         h = _leaky(dot(h, "head_w0", cfg.head_hidden))
-        out = dot(h, "head_w1", 1)
+        out = dot(h, "head_w1", cfg.out_features)
     if final_activation == "leaky_relu":
         out = _leaky(out)
     elif final_activation == "sigmoid":
@@ -205,6 +216,24 @@ def apply_mlp(params: Dict, x: jnp.ndarray, cfg: MLPConfig = PROD_VIS,
 
     out = net_forward(x.astype(compute_dtype), dot, cfg, cfg.final_activation)
     return out[..., 0].astype(jnp.float32)
+
+
+def apply_mlp_all(params: Dict, x: jnp.ndarray, cfg: MLPConfig,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Forward pass keeping every head channel: (..., out_features). The
+    SEPARATEDNN=0 consumer reads channel 0 = vis, channel 1 = depth
+    (frame_buffer_update.cu:64-70)."""
+
+    def dot(h, wn, out_w):
+        return (
+            jnp.dot(h.astype(compute_dtype),
+                    params[wn].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + params[_bias_name(wn)]
+        )
+
+    out = net_forward(x.astype(compute_dtype), dot, cfg, cfg.final_activation)
+    return out.astype(jnp.float32)
 
 
 def stack_params(params_list) -> Dict[str, jnp.ndarray]:

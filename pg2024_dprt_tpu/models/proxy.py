@@ -37,6 +37,12 @@ class ProxyModels:
     # vis_params/depth_params are then SINGLE-net dicts (no leading O dim)
     # with cfg.multi_geo == True.
     multi_geo: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # SEPARATEDNN=0 (renderer.cpp:35): ONE double-output net per object
+    # (vis_cfg.out_features == 2, channel 0 = vis / 1 = depth); vis_params
+    # holds its stacked weights and depth_params is empty.  Consumers add
+    # the reference's +0.1 depth slack in the inside-hit occlusion compare
+    # (frame_buffer_update.cu:68-70).
+    combined: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def multigeo_proxy_models(vis_params: dict, depth_params: dict,
@@ -74,6 +80,24 @@ def random_proxy_models(key, num_objects: int,
         [init_mlp(keys[num_objects + i], depth_cfg) for i in range(num_objects)]
     )
     return ProxyModels(vis, depth, num_objects, vis_cfg, depth_cfg)
+
+
+def combined_proxy_models(stacked_params: dict, num_objects: int,
+                          cfg: MLPConfig) -> ProxyModels:
+    """Wrap stacked double-output nets as a SEPARATEDNN=0 model table."""
+    assert cfg.out_features == 2, "combined mode needs a 2-channel head"
+    return ProxyModels(stacked_params, {}, num_objects, cfg, cfg,
+                       combined=True)
+
+
+def random_combined_proxy_models(key, num_objects: int,
+                                 cfg: MLPConfig = None) -> ProxyModels:
+    from .mlp import COMBINED_VISDEPTH
+
+    cfg = cfg or COMBINED_VISDEPTH
+    keys = jax.random.split(key, num_objects)
+    nets = stack_params([init_mlp(k, cfg) for k in keys])
+    return combined_proxy_models(nets, num_objects, cfg)
 
 
 def apply_grouped_reference(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
@@ -174,3 +198,44 @@ def apply_grouped(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
     pred_sorted = jnp.take(pred_flat, slot)
     out = jnp.zeros((q,), jnp.float32).at[perm].set(pred_sorted.astype(jnp.float32))
     return jnp.where(valid, out, 0.0)
+
+
+def apply_grouped_all(stacked_params: dict, cfg: MLPConfig, features: jnp.ndarray,
+                      obj_id: jnp.ndarray, valid: jnp.ndarray,
+                      num_objects: int, compute_dtype=jnp.bfloat16,
+                      block: int = 1024) -> jnp.ndarray:
+    """apply_grouped keeping every head channel: (Q, out_features). One
+    grouped sweep serves both predictions of the SEPARATEDNN=0 double-output
+    net — half the NN cost of the separated pair, which is the mode's point
+    (/root/reference/src/render/renderer.cpp:35 `#else` branches)."""
+    q = features.shape[0]
+    o_count = num_objects
+    x, block_obj, slot, perm, budget, nb, bq = _dispatch(
+        features, obj_id, valid, num_objects, block
+    )
+    x = x.reshape(nb, bq, features.shape[1])
+    onehot = jax.nn.one_hot(block_obj, o_count, dtype=jnp.float32)
+
+    def pick_w(name):
+        w = stacked_params[name]
+        flat = w.reshape(o_count, -1)
+        g = jnp.dot(onehot, flat, preferred_element_type=jnp.float32)
+        return g.reshape((nb,) + w.shape[1:])
+
+    def dot(h, wname, out_w):
+        w = pick_w(wname).astype(compute_dtype)
+        b = pick_w(_bias_name(wname))
+        y = jnp.einsum(
+            "nqi,nio->nqo", h.astype(compute_dtype), w,
+            preferred_element_type=jnp.float32,
+        )
+        return y + b[:, None, :]
+
+    pred = net_forward(x, dot, cfg, cfg.final_activation)   # (NB, BQ, C)
+    c = pred.shape[-1]
+    pred_flat = jnp.concatenate(
+        [pred.reshape(-1, c), jnp.zeros((1, c), pred.dtype)], axis=0)
+    pred_sorted = jnp.take(pred_flat, slot, axis=0)
+    out = jnp.zeros((q, c), jnp.float32).at[perm].set(
+        pred_sorted.astype(jnp.float32))
+    return jnp.where(valid[:, None], out, 0.0)

@@ -209,6 +209,9 @@ def _use_fused_route(scene, models: ProxyModels, tracer: str) -> bool:
     applies: accelerator backend with the resident tracer family,
     no-cutout scene, architecturally identical vis/depth nets whose stacked
     weights fit the VMEM budget."""
+    if models.combined:
+        return False  # SEPARATEDNN=0 runs the composed path (the reference
+        # itself only implements combined consumption for shadows)
     if jax.default_backend() == "cpu" or tracer not in ("auto", "resident"):
         return False
     if getattr(scene, "cl_xf", None) is not None:
@@ -235,6 +238,18 @@ def _nn_pair(models: ProxyModels, feats, obj_id, valid):
     themselves (frame_buffer_update.cu:31-72 reads depth only when
     isInside)."""
     c_v, c_d = models.vis_cfg, models.depth_cfg
+    if models.combined:
+        # SEPARATEDNN=0 (renderer.cpp:35): ONE double-output grouped sweep
+        # yields both predictions (channel 0 = vis, 1 = depth;
+        # frame_buffer_update.cu:64-70).  The reference only consumes the
+        # combined net on the shadow path (the secondary #else branch is a
+        # stub, frame_buffer_update.cu:254-256); here the secondary tMax
+        # consumption reads the same channels symmetrically.
+        from ..models.proxy import apply_grouped_all
+
+        out = apply_grouped_all(models.vis_params, c_v, feats, obj_id, valid,
+                                models.num_objects)
+        return out[:, 0], out[:, 1]
     if models.multi_geo:
         # one shared 6-feature net for every object (reference
         # MultiGeoNeuralVisNetwork): no grouping, one dense pass per net
@@ -453,9 +468,12 @@ def shadow_direct_light_nn(
     vis, depth = _nn_pair(models, q.features, q.aabb_id, q.is_valid)
 
     # shadowOcclusionFloatTypeKernel + predDepthUpdateKernel
-    # (frame_buffer_update.cu:31-72, 172-192)
+    # (frame_buffer_update.cu:31-72, 172-192); SEPARATEDNN=0 adds the
+    # reference's +0.1 depth slack in the inside-hit compare
+    # (frame_buffer_update.cu:68-70: occluded iff pred+0.1 <= normalizedT)
+    depth_slack = 0.1 if models.combined else 0.0
     occluded_q = q.is_valid & (vis > 0.5) & (
-        (~q.is_inside) | (depth <= q.normalized_t)
+        (~q.is_inside) | (depth + depth_slack <= q.normalized_t)
     )
     n = shadow_paths.capacity
     # strided 1-D max over the static hit count (layout-safe form, see the

@@ -191,3 +191,73 @@ def test_all_sites_agree_with_apply_mlp():
     v2, _ = grouped_mlp_pair(stacked, stacked, cfg, cfg, x, obj, valid, o,
                              block=128)
     np.testing.assert_allclose(np.asarray(v2), want, rtol=3e-2, atol=3e-3)
+
+
+class _Ref4Res256DoubleOutput(nn.Module):
+    """module.py:264-302 (NeuralVisNetworkWith4Res256AndEncoderDoubleOutput)
+    — the SEPARATEDNN=0 combined vis+depth net: same trunk + global skip,
+    head 256 -> 64 -> 2 with Sigmoid."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoding3to64 = nn.Sequential(
+            nn.Linear(3, 32), nn.LeakyReLU(),
+            nn.Linear(32, 128), nn.LeakyReLU())
+        self.encoding2to64 = nn.Sequential(
+            nn.Linear(2, 32), nn.LeakyReLU(),
+            nn.Linear(32, 128), nn.LeakyReLU())
+        self.res_block = nn.Sequential(
+            _ResBlock(256), _ResBlock(256), _ResBlock(256), _ResBlock(256))
+        self.post_block = nn.Sequential(
+            nn.Linear(256, 64), nn.LeakyReLU(),
+            nn.Linear(64, 2), nn.Sigmoid())
+
+    def forward(self, x):
+        origin = x[:, 0:3]
+        direction = x[:, 3:5]
+        out1 = torch.cat([self.encoding3to64(origin),
+                          self.encoding2to64(direction)], dim=1)
+        out2 = self.res_block(out1)
+        return self.post_block(out1 + out2)
+
+
+def test_combined_double_output_matches_reference():
+    from pg2024_dprt_tpu.models.mlp import COMBINED_VISDEPTH, apply_mlp_all
+
+    torch.manual_seed(11)
+    net = _Ref4Res256DoubleOutput().eval()
+    params = _params_from_prod(net)  # same weight names; head_w1 is (64, 2)
+    assert set(params) == set(param_names(COMBINED_VISDEPTH))
+    x = np.random.RandomState(5).randn(211, 5).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(apply_mlp_all(params, jnp.asarray(x), COMBINED_VISDEPTH))
+    assert got.shape == (211, 2)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_all_matches_per_object():
+    from pg2024_dprt_tpu.models.mlp import apply_mlp_all, init_mlp, stack_params
+    from pg2024_dprt_tpu.models.proxy import apply_grouped_all
+
+    cfg = MLPConfig(width=64, depth=2, out_features=2,
+                    final_activation="sigmoid")
+    key = jax.random.PRNGKey(9)
+    o = 3
+    plist = [init_mlp(jax.random.fold_in(key, i), cfg) for i in range(o)]
+    stacked = stack_params(plist)
+    rng = np.random.RandomState(6)
+    q = 300
+    x = jnp.asarray(rng.rand(q, 5).astype(np.float32))
+    obj = jnp.asarray(rng.randint(0, o, q).astype(np.int32))
+    valid = jnp.asarray(rng.rand(q) > 0.2)
+
+    want = np.zeros((q, 2), np.float32)
+    for i in range(o):
+        pred = np.asarray(apply_mlp_all(plist[i], x, cfg,
+                                        compute_dtype=jnp.bfloat16))
+        sel = (np.asarray(obj) == i) & np.asarray(valid)
+        want[sel] = pred[sel]
+
+    got = np.asarray(apply_grouped_all(stacked, cfg, x, obj, valid, o))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-3)
