@@ -82,12 +82,22 @@ class CurveSet(NamedTuple):
 
     @staticmethod
     def from_bspline(control_points, radii, pieces_per_segment: int = 8,
-                     color=(0.4, 0.3, 0.2)) -> "CurveSet":
+                     color=(0.4, 0.3, 0.2), tolerance: float = None) -> "CurveSet":
         """control_points: (S, 4, 3) — one row of 4 control points per cubic
         B-spline segment (overlapping windows of a strand's control polygon,
-        exactly OptiX's vertex-window convention); radii: (S, 4)."""
+        exactly OptiX's vertex-window convention); radii: (S, 4).
+
+        `tolerance` (world units) picks pieces_per_segment from the derived
+        surface-deviation bound (ops/curve_exact.py::pieces_for_tolerance):
+        the cone surface is then provably within `tolerance` of the exact
+        round-B-spline canal surface, validated against the exact
+        sphere-traced intersector (tests/test_curve_exact.py)."""
         cp = np.asarray(control_points, np.float64)
         rr = np.asarray(radii, np.float64)
+        if tolerance is not None:
+            from ..ops.curve_exact import pieces_for_tolerance
+
+            pieces_per_segment = pieces_for_tolerance(cp, rr, tolerance)
         s = cp.shape[0]
         l = pieces_per_segment
         u = np.linspace(0.0, 1.0, l + 1)
