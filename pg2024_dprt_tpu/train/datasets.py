@@ -37,6 +37,23 @@ def depth_only(features: np.ndarray, depth_labels: np.ndarray):
     return features[hit], depth_labels[hit].astype(np.float32)
 
 
+def combined_labels(features: np.ndarray, depth_labels: np.ndarray,
+                    ratio: float = 1.5, seed: int = 0):
+    """SEPARATEDNN=0 dataset: vis-balanced rows with 2-channel labels
+    [binary hit, normalized depth] for the double-output net (the reference
+    ships no combined training recipe — this composes its vis balancing with
+    the depth target; the loss masks depth to hits, train/loop.py)."""
+    f, vis = balance_vis(features, depth_labels, ratio, seed)
+    miss = depth_labels == 1.0
+    hit_idx = np.where(~miss)[0]
+    miss_idx = np.where(miss)[0]
+    rng = np.random.RandomState(seed)
+    keep = rng.permutation(miss_idx.shape[0])[: int(hit_idx.shape[0] * ratio)]
+    idx = np.concatenate([miss_idx[keep], hit_idx])
+    y = np.stack([vis, depth_labels[idx].astype(np.float32)], axis=-1)
+    return f, y
+
+
 def split_train_test(features, labels, train_ratio: float = 0.8, seed: int = 0):
     """Shuffled 80/20 split (getDatasets, datasets.py:270-285)."""
     rng = np.random.RandomState(seed)

@@ -43,6 +43,18 @@ class TrainConfig:
 
 
 def _loss_fn(params, x, y, cfg: MLPConfig, nn_type: str):
+    if nn_type == "combined":
+        # SEPARATEDNN=0 double-output net: MSE on the vis channel + L1 on
+        # the depth channel masked to hits (composes the reference's two
+        # separated losses, main.py:139-152; y = [vis, depth])
+        from ..models.mlp import apply_mlp_all
+
+        pred = apply_mlp_all(params, x, cfg)
+        vis_loss = jnp.mean((pred[:, 0] - y[:, 0]) ** 2)
+        hit = y[:, 0] > 0.5
+        depth_err = jnp.abs(pred[:, 1] - y[:, 1]) * hit
+        depth_loss = jnp.sum(depth_err) / jnp.maximum(jnp.sum(hit), 1)
+        return vis_loss + depth_loss
     pred = apply_mlp(params, x, cfg)
     if nn_type == "vis":
         return jnp.mean((pred - y) ** 2)  # MSELoss
@@ -136,11 +148,21 @@ def train_proxy_for_partition(
 ):
     """End-to-end: ray-cast one partition's geometry -> balanced dataset ->
     trained net (the full offline pipeline of SURVEY.md #20+#23-25)."""
-    mlp_cfg = mlp_cfg or (PROD_VIS if nn_type == "vis" else PROD_DEPTH)
+    if mlp_cfg is None:
+        if nn_type == "combined":
+            from ..models.mlp import COMBINED_VISDEPTH
+
+            mlp_cfg = COMBINED_VISDEPTH
+        else:
+            mlp_cfg = PROD_VIS if nn_type == "vis" else PROD_DEPTH
     train_cfg = train_cfg or TrainConfig(nn_type=nn_type)
     feats, depth = generate_proxy_dataset(scene, aabb_min, aabb_max, num_samples, seed=seed)
     if nn_type == "vis":
         x, y = balance_vis(feats, depth)
+    elif nn_type == "combined":
+        from .datasets import combined_labels
+
+        x, y = combined_labels(feats, depth)
     else:
         x, y = depth_only(feats, depth)
     return fit(x, y, mlp_cfg, train_cfg)

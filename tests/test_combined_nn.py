@@ -45,3 +45,24 @@ def test_distributed_combined_mode_runs():
     assert np.isfinite(img).all()
     assert (img >= 0).all()
     assert img.max() > 0.0
+
+
+def test_combined_training_learns():
+    """The combined loss (MSE vis + hit-masked L1 depth) trains a tiny
+    double-output net end-to-end from the partition datagen pipeline."""
+    from pg2024_dprt_tpu.scene import device_scene_from_meshes
+    from pg2024_dprt_tpu.scene.procedural import random_tri_soup
+    from pg2024_dprt_tpu.train.loop import TrainConfig, train_proxy_for_partition
+
+    mesh = random_tri_soup(200, seed=4)
+    scene = device_scene_from_meshes([mesh])
+    lo, hi = mesh.aabb()
+    cfg = MLPConfig(width=32, depth=1, out_features=2,
+                    final_activation="sigmoid")
+    params, hist = train_proxy_for_partition(
+        scene, lo, hi, "combined", mlp_cfg=cfg,
+        train_cfg=TrainConfig(nn_type="combined", epochs=40, batch=2048),
+        num_samples=6000,
+    )
+    assert params["head_w1"].shape == (64, 2)
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.9
