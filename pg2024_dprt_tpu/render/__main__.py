@@ -186,6 +186,10 @@ def main(argv=None):
     p.add_argument("--tracer", default="auto",
                    choices=("auto", "stackless", "cluster", "resident"))
     p.add_argument("--fused-frame", default="auto", choices=("auto", "on", "off"))
+    p.add_argument("--nee", default="ris", choices=("ris", "sum"),
+                   help="NEE estimator: reservoir-selected single occlusion ray (ris) or the reference S-ray sum")
+    p.add_argument("--visibility-grids", action="store_true",
+                   help="with --partitions (exact mode): conservative per-partition visibility grids pre-filter migrations + ring-shadow hops (image unchanged)")
     args = p.parse_args(argv)
 
     if args.partitions > 1 and args.cpu_mesh:
@@ -212,7 +216,8 @@ def main(argv=None):
     env = EnvironmentMap.constant(args.env)
     cfg = RenderConfig(width=w, height=h, spp=args.spp, bounces=args.bounces,
                        shadow_path_count=args.shadow_paths, tracer=args.tracer,
-                       fused_frame=args.fused_frame)
+                       fused_frame=args.fused_frame, nee_mode=args.nee,
+                       use_visibility_grids=args.visibility_grids)
     timing = Timing()
 
     from .frames import render_frames
@@ -234,7 +239,8 @@ def main(argv=None):
                 f"virtual {args.partitions}-device CPU mesh, or lower "
                 f"--partitions")
         part = build_partitioned_scene(meshes, args.partitions,
-                                       textures=textures)
+                                       textures=textures,
+                                       visibility_grids=args.visibility_grids)
         mesh = make_mesh(args.partitions)
         if args.neural:
             models = train_partition_proxies(
