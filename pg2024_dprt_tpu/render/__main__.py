@@ -192,12 +192,33 @@ def main(argv=None):
                    help="with --partitions (exact mode): conservative per-partition visibility grids pre-filter migrations + ring-shadow hops (image unchanged)")
     args = p.parse_args(argv)
 
+    if args.partitions > 1 and args.cpu_mesh \
+            and os.environ.get("_PG2024_CPU_MESH") != "1":
+        # An accelerator plugin's sitecustomize may already have initialized
+        # a backend at interpreter start, after which the CPU device count
+        # cannot be changed — re-exec ourselves with a pure-CPU environment
+        # (JAX_PLATFORMS + xla_force_host_platform_device_count, plugin site
+        # dirs stripped from PYTHONPATH).
+        env = dict(os.environ)
+        env["_PG2024_CPU_MESH"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args.partitions}"
+            ).strip()
+        env["PYTHONPATH"] = os.pathsep.join(
+            q for q in env.get("PYTHONPATH", "").split(os.pathsep)
+            if q and ".axon_site" not in q)
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pg2024_dprt_tpu.render"]
+                  + (sys.argv[1:] if argv is None else list(argv)), env)
     if args.partitions > 1 and args.cpu_mesh:
-        # must run before the first jax backend use in this process
+        # (re-exec'd child) make sure nothing re-selects an accelerator
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.partitions)
 
     from ..core import Camera
 
