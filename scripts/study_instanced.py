@@ -1,0 +1,69 @@
+"""Ablate the two-level instanced tracer's 308 ms camera_4m_instanced row:
+base (non-instanced) vs 1-instance vs 8-instance, tpc 128/512.
+
+Usage: PYTHONPATH=. python scripts/study_instanced.py
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax.numpy as jnp
+
+from pg2024_dprt_tpu.core import Camera
+from pg2024_dprt_tpu.ops.trace_api import trace_closest
+from pg2024_dprt_tpu.scene.geometry import (
+    device_scene_from_instances, device_scene_from_meshes)
+from pg2024_dprt_tpu.scene.procedural import random_tri_soup
+from pg2024_dprt_tpu.utils.benchmarking import chained_time
+
+N = 65536
+
+
+def rays_for(lo, hi, w=256, h=256):
+    c = 0.5 * (lo + hi)
+    ext = float(np.max(hi - lo))
+    cam = Camera.look_at([c[0], c[1] + 0.5 * ext, c[2] + 2.2 * ext],
+                         list(c), [0, 1, 0], 55.0, w, h)
+    pix = jnp.arange(N, dtype=jnp.int32)
+    o, d = cam.generate_rays(pix // w, pix % w, jnp.zeros(N), jnp.zeros(N))
+    return o, d
+
+
+def time_scene(name, scene):
+    lo, hi = np.asarray(scene.scene_aabb)
+    o, d = rays_for(lo, hi)
+    tmx = jnp.full((N,), 3.4e38, jnp.float32)
+    act = jnp.ones((N,), bool)
+
+    def f(oo):
+        h, _ = trace_closest(scene, oo, d, 1e-3, tmx, act, tracer="resident",
+                             sort_rays=False)
+        return jnp.where(h.is_hit, jnp.minimum(h.t, 1.0), 1.0)
+
+    per = chained_time(f, o, short=1, long=4, reps=2)
+    k = scene.num_clusters
+    print(f"{name:28s} {per*1e3:9.2f} ms  K={k} C={scene.tris_per_cluster}")
+
+
+def main():
+    base = random_tri_soup(1 << 19, seed=9)
+    for tpc in (512, 128):
+        scene_b = device_scene_from_meshes([base], tris_per_cluster=tpc)
+        time_scene(f"base_512k_tpc{tpc}", scene_b)
+
+        ident = np.zeros((1, 3, 4), np.float32)
+        ident[0, :, :3] = np.eye(3)
+        time_scene(f"inst1_512k_tpc{tpc}",
+                   device_scene_from_instances([base], ident, tpc))
+
+        im = np.zeros((8, 3, 4), np.float32)
+        for i in range(8):
+            im[i, :, :3] = np.eye(3, dtype=np.float32)
+            im[i, :, 3] = [2.2 * (i % 4), 0.0, 2.2 * (i // 4)]
+        time_scene(f"inst8_4m_tpc{tpc}",
+                   device_scene_from_instances([base], im, tpc))
+
+
+if __name__ == "__main__":
+    main()
