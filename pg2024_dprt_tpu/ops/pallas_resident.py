@@ -215,14 +215,18 @@ def _mt_body(rays, tri, c: int, tm: int):
     return t, tri_ok
 
 
-def _xform_visit(rays, xf_ref, idx, tm: int):
+def _xform_visit(rays, xf_ref, cid, kb: int, tm: int):
     """Two-level instancing: transform the ray block into the visited
-    cluster's OBJECT space (scene/geometry.py cl_xf layout — lanes 0-8
-    world_to_obj linear, 9-11 translation, 12 base cluster index).  The
-    direction stays UNNORMALIZED, so the object-space MT parameter equals
-    the world-space t exactly: o_l + t*d_l = M(o + t*d) + b.  Returns
-    (rays_t (TM, 8), base_cluster_index scalar i32)."""
-    xfr = xf_ref[idx]                                        # (1, 16)
+    cluster's OBJECT space.  xf_ref is PER-INSTANCE ((I, 1, 16),
+    scene/geometry.py cl_xf layout — lanes 0-8 world_to_obj linear, 9-11
+    translation); the instance of cluster `cid` is cid // kb and its base
+    cluster rem(cid, kb).  The direction stays UNNORMALIZED, so the
+    object-space MT parameter equals the world-space t exactly:
+    o_l + t*d_l = M(o + t*d) + b.  Returns (rays_t (TM, 8), base_cluster
+    scalar i32)."""
+    kb_i = jnp.int32(kb)
+    xfr = xf_ref[jnp.minimum(jax.lax.div(cid, kb_i),
+                             xf_ref.shape[0] - 1)]           # (1, 16)
     e = lambda j: xfr[0, j]
     o = [rays[:, ax:ax + 1] for ax in range(3)]
     d = [rays[:, 3 + ax:4 + ax] for ax in range(3)]
@@ -232,14 +236,7 @@ def _xform_visit(rays, xf_ref, idx, tm: int):
         o_l.append(o[0] * m0 + o[1] * m1 + o[2] * m2 + e(9 + i))
         d_l.append(d[0] * m0 + d[1] * m1 + d[2] * m2)
     rays_t = jnp.concatenate(o_l + d_l + [rays[:, 6:8]], axis=-1)
-    bidx = jnp.round(e(12)).astype(jnp.int32)
-    return rays_t, bidx
-
-
-def _xf_base_index(xf_ref, idx, k: int):
-    """Base-cluster index for an instanced cluster (DMA address lookup)."""
-    xfr = xf_ref[jnp.minimum(idx, k - 1)]
-    return jnp.round(xfr[0, 12]).astype(jnp.int32)
+    return rays_t, jax.lax.rem(cid, kb_i)
 
 
 def _load_ray_rows(rays_ref, boxes_ref, tm: int):
@@ -425,7 +422,7 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
 
         def dma(idx, slot):
             if xf_ref is not None:
-                idx = _xf_base_index(xf_ref, idx, k)
+                idx = jax.lax.rem(idx, jnp.int32(kb_tab))
             safe = jnp.minimum(idx, kb_tab - 1)
             return pltpu.make_async_copy(
                 table_ref.at[safe], tbuf.at[slot], sem.at[slot])
@@ -490,7 +487,8 @@ def _recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
                 idx = sel & cmask
                 vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
                 if xf_ref is not None:
-                    rays_v, bidx = _xform_visit(rays_s, xf_ref, idx, sm)
+                    rays_v, bidx = _xform_visit(rays_s, xf_ref, idx,
+                                                table_ref.shape[0], sm)
                 else:
                     rays_v, bidx = rays_s, idx
                 if hbm_refs is not None:
@@ -575,6 +573,7 @@ def _member_enters(rows8, inv_rows, tmax_row, mb, g: int, tm: int):
 
 
 def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
+                         xf_ref=None, kb: int = 0,
                          *, c: int, tm: int, k: int, kg: int, g: int,
                          recull: int, gcull_exact: bool = True, t_scr=None):
     """Two-level (group -> member cluster) selection loop with per-ray
@@ -605,7 +604,15 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
     VISIT ORDER loosens.  For coherent camera tiles the interval group
     bound is nearly as tight as the exact union at ~zero cull cost.
 
-    scr = (skb (TM,1), slot (TM,1), vis (1,Kg), keys (1,Kg)) i32 VMEM."""
+    scr = (skb (TM,1), slot (TM,1), vis (1,Kg), keys (1,Kg)) i32 VMEM.
+
+    xf_ref/kb (two-level instancing): groups are built per instance over
+    the BASE cluster order (scene/geometry.py device_scene_from_instances),
+    mboxes[g][0, 7] carries the group's first member's INSTANCE-cluster id
+    (cid0; members are cid0..cid0+G-1), the ray block is transformed into
+    the group's instance frame ONCE per group visit (_xform_visit — all
+    members share it), and the table DMA/VMEM index is the BASE group
+    rem(cid0, kb) // G."""
     skb_scr, slot_scr, vis_scr, keys_scr = scr
     per_ray = gcull_exact
     if not per_ray:
@@ -656,6 +663,11 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
 
         def dma(gidx, slot):
             safe = jnp.minimum(gidx, kg - 1)
+            if xf_ref is not None:
+                cid = jnp.round(mboxes_ref[safe][0, 7]).astype(jnp.int32)
+                safe = jnp.minimum(
+                    jax.lax.rem(cid, jnp.int32(kb)) // jnp.int32(g),
+                    table_ref.shape[0] - 1)
             return pltpu.make_async_copy(
                 table_ref.at[safe], gbuf.at[slot], sem.at[slot])
 
@@ -707,6 +719,13 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
             # gate only prunes at block granularity and the extra visits
             # eat the cull saving (measured: camera 64k wash).
             mbx = mboxes_ref[gidx]                           # (G, 8)
+            if xf_ref is not None:
+                cid0 = jnp.round(mbx[0, 7]).astype(jnp.int32)
+                rays_mt, _ = _xform_visit(
+                    rays, xf_ref, jnp.minimum(cid0, k - 1), kb, tm)
+            else:
+                cid0 = gidx * g
+                rays_mt = rays
             en_m = _member_enters(rows8, inv_rows, tmax_row, mbx, g, tm)
             t_best = jax.lax.bitcast_convert_type(
                 s_kb & ~lane_mask, jnp.float32)              # (TM, 1)
@@ -728,12 +747,14 @@ def _grouped_recull_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
                 msel2, mkeys2 = _next_member(mkeys)
                 worst_m2 = jnp.max(s_kb_m, axis=0, keepdims=True)[0, 0]
                 midx = msel & mmask
-                idx = jnp.minimum(gidx * g + midx, k - 1)
+                idx = jnp.minimum(cid0 + midx, k - 1)
                 if hbm_refs is not None:
                     tri = gbuf[slot, midx][0:12, :]
+                elif xf_ref is not None:
+                    tri = table_ref[jax.lax.rem(idx, jnp.int32(kb))]
                 else:
                     tri = table_ref[idx]
-                t, tri_ok = _mt_body(rays, tri, c, tm)
+                t, tri_ok = _mt_body(rays_mt, tri, c, tm)
                 tb = jax.lax.bitcast_convert_type(
                     jnp.where(tri_ok, jnp.maximum(t, 0.0), 3.402823466e38),
                     jnp.int32,
@@ -817,7 +838,7 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
 
         def dma(idx, slot):
             if xf_ref is not None:
-                idx = _xf_base_index(xf_ref, idx, k)
+                idx = jax.lax.rem(idx, jnp.int32(kb_tab))
             safe = jnp.minimum(idx, kb_tab - 1)
             return pltpu.make_async_copy(
                 table_ref.at[safe], tbuf.at[slot], sem.at[slot])
@@ -857,7 +878,8 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
             idx = sel & cmask
             vis_scr[:] = vis_scr[:] | (lanes_k == idx).astype(jnp.int32)
             if xf_ref is not None:
-                rays_v, bidx = _xform_visit(rays, xf_ref, idx, tm)
+                rays_v, bidx = _xform_visit(rays, xf_ref, idx,
+                                            table_ref.shape[0], tm)
             else:
                 rays_v, bidx = rays, idx
             if hbm_refs is not None:
@@ -896,6 +918,7 @@ def _occl_recull_loop(rays, boxes, table_ref, hbm_refs, scr, *, c: int,
 
 
 def _grouped_occl_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
+                       xf_ref=None, kb: int = 0,
                        *, c: int, tm: int, k: int, kg: int, g: int,
                        recull: int):
     """Any-hit variant of _grouped_recull_loop: two-level group -> member
@@ -934,6 +957,11 @@ def _grouped_occl_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
 
         def dma(gidx, slot):
             safe = jnp.minimum(gidx, kg - 1)
+            if xf_ref is not None:
+                cid = jnp.round(mboxes_ref[safe][0, 7]).astype(jnp.int32)
+                safe = jnp.minimum(
+                    jax.lax.rem(cid, jnp.int32(kb)) // jnp.int32(g),
+                    table_ref.shape[0] - 1)
             return pltpu.make_async_copy(
                 table_ref.at[safe], gbuf.at[slot], sem.at[slot])
 
@@ -970,6 +998,13 @@ def _grouped_occl_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
                 dma(gidx, slot).wait()
 
             mbx = mboxes_ref[gidx]                           # (G, 8)
+            if xf_ref is not None:
+                cid0 = jnp.round(mbx[0, 7]).astype(jnp.int32)
+                rays_mt, _ = _xform_visit(
+                    rays, xf_ref, jnp.minimum(cid0, k - 1), kb, tm)
+            else:
+                cid0 = gidx * g
+                rays_mt = rays
             en_m = _member_enters(rows8, inv_rows, tmax_row, mbx, g, tm)
             # mask already-occluded rays out of the member gate (the
             # any-hit analogue of the per-ray t-row masking above)
@@ -993,12 +1028,14 @@ def _grouped_occl_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
                     jnp.where(occ_m > 0, 0, tmax_bits), axis=0, keepdims=True
                 )[0, 0]
                 midx = msel & mmask
-                idx = jnp.minimum(gidx * g + midx, k - 1)
+                idx = jnp.minimum(cid0 + midx, k - 1)
                 if hbm_refs is not None:
                     tri = gbuf[slot, midx][0:12, :]
+                elif xf_ref is not None:
+                    tri = table_ref[jax.lax.rem(idx, jnp.int32(kb))]
                 else:
                     tri = table_ref[idx]
-                t, tri_ok = _mt_body(rays, tri, c, tm)
+                t, tri_ok = _mt_body(rays_mt, tri, c, tm)
                 tri_ok = tri_ok & (t < jnp.broadcast_to(tmax, t.shape))
                 hit = jnp.max(jnp.where(tri_ok, 1, 0), axis=1, keepdims=True)
                 occ_m = jnp.maximum(occ_m, hit)
@@ -1028,23 +1065,37 @@ def _grouped_occl_loop(rays, gboxes, mboxes_ref, table_ref, hbm_refs, scr,
 
 
 def _occl_kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref,
-                         out_ref, *scr, c: int, tm: int, k: int, kg: int,
-                         g: int, recull: int):
+                         *rest, c: int, tm: int, k: int, kg: int,
+                         g: int, recull: int, instanced: bool = False,
+                         kb: int = 0):
     """Any-hit via the two-level grouped loop (VMEM table)."""
+    if instanced:
+        xf_ref, out_ref, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, *scr = rest
     occ = _grouped_occl_loop(_load_rays(rays_ref, gboxes_ref, tm),
                              gboxes_ref[:], mboxes_ref,
-                             table_ref, None, scr, c=c, tm=tm, k=k, kg=kg,
+                             table_ref, None, scr, xf_ref, kb,
+                             c=c, tm=tm, k=k, kg=kg,
                              g=g, recull=recull)
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
 
 def _occl_kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm,
-                             out_ref, gbuf, sem, *scr, c: int, tm: int,
-                             k: int, kg: int, g: int, recull: int):
+                             *rest, c: int, tm: int,
+                             k: int, kg: int, g: int, recull: int,
+                             instanced: bool = False, kb: int = 0):
     """Any-hit grouped loop with whole-group HBM streaming."""
+    if instanced:
+        xf_ref, out_ref, gbuf, sem, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, gbuf, sem, *scr = rest
     occ = _grouped_occl_loop(_load_rays(rays_ref, gboxes_ref, tm),
                              gboxes_ref[:], mboxes_ref,
-                             table_hbm, (gbuf, sem), scr, c=c, tm=tm, k=k,
+                             table_hbm, (gbuf, sem), scr, xf_ref, kb,
+                             c=c, tm=tm, k=k,
                              kg=kg, g=g, recull=recull)
     out_ref[:, 0:1] = occ.astype(jnp.float32)
 
@@ -1331,7 +1382,7 @@ def _kernel(rays_ref, boxes_ref, table_ref, *rest, c: int, tm: int,
     the lane bits the packed key spends) and re-min-reduced, so clusters no
     live ray can improve on drop out of the selection.
 
-    instanced: an extra (K, 1, 16) cl_xf input follows the table — each
+    instanced: an extra (I, 1, 16) per-instance cl_xf input follows the table — each
     visit transforms the ray block into the cluster's object space and
     fetches the cluster's BASE table slice (_xform_visit)."""
     if instanced:
@@ -1395,7 +1446,8 @@ def _kernel(rays_ref, boxes_ref, table_ref, *rest, c: int, tm: int,
         worst2 = jnp.max(s_kb, axis=0, keepdims=True)[0, 0]  # stale by one
         idx = sel & cmask
         if xf_ref is not None:
-            rays_v, bidx = _xform_visit(rays, xf_ref, idx, tm)
+            rays_v, bidx = _xform_visit(rays, xf_ref, idx,
+                                        table_ref.shape[0], tm)
         else:
             rays_v, bidx = rays, idx
         tri = table_ref[bidx]                        # (12, C) resident slice
@@ -1497,7 +1549,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
 
     def dma(idx, slot):
         if xf_ref is not None:
-            idx = _xf_base_index(xf_ref, idx, k)
+            idx = jax.lax.rem(idx, jnp.int32(kb_tab))
         safe = jnp.minimum(idx, kb_tab - 1)
         return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
 
@@ -1520,7 +1572,7 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
         dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
         idx = sel & cmask
         if xf_ref is not None:
-            rays_v, _ = _xform_visit(rays, xf_ref, idx, tm)
+            rays_v, _ = _xform_visit(rays, xf_ref, idx, kb_tab, tm)
         else:
             rays_v = rays
         dma(idx, slot).wait()
@@ -1555,16 +1607,23 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
-def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
-                    *scr, c: int, tm: int, k: int, kg: int, g: int,
+def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, *rest,
+                    c: int, tm: int, k: int, kg: int, g: int,
                     recull: int, gcull_exact: bool = True,
-                    rich: bool = False):
+                    rich: bool = False, instanced: bool = False,
+                    kb: int = 0):
     """Closest hit via the two-level grouped selection loop (VMEM table)."""
+    if instanced:
+        xf_ref, out_ref, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, *scr = rest
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
     rays = _load_rays(rays_ref, gboxes_ref, tm)
     s_kb, s_slot, _ = _grouped_recull_loop(
         rays, gboxes_ref[:], mboxes_ref, table_ref, None, scr,
+        xf_ref, kb,
         c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
         gcull_exact=gcull_exact)
     if rich:
@@ -1576,17 +1635,25 @@ def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, out_ref,
     out_ref[:, 1:2] = s_slot.astype(jnp.float32)
 
 
-def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, out_ref,
-                        gbuf, sem, *scr, c: int, tm: int, k: int, kg: int,
+def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, *rest,
+                        c: int, tm: int, k: int, kg: int,
                         g: int, recull: int, gcull_exact: bool = True,
-                        rich: bool = False):
+                        rich: bool = False, instanced: bool = False,
+                        kb: int = 0):
     """Closest hit via the grouped loop with whole-group HBM streaming
-    (table reshaped (Kg, G, 16, C); one (G*16, C) DMA per group visit)."""
+    (table reshaped (Kg, G, 16, C) — (BASE groups, G, 16, C) when
+    instanced; one (G*16, C) DMA per group visit)."""
+    if instanced:
+        xf_ref, out_ref, gbuf, sem, *scr = rest
+    else:
+        xf_ref = None
+        out_ref, gbuf, sem, *scr = rest
     lb = _lane_bits(c)
     lane_mask = jnp.int32((1 << lb) - 1)
     rays = _load_rays(rays_ref, gboxes_ref, tm)
     s_kb, s_slot, _ = _grouped_recull_loop(
         rays, gboxes_ref[:], mboxes_ref, table_hbm, (gbuf, sem), scr,
+        xf_ref, kb,
         c=c, tm=tm, k=k, kg=kg, g=g, recull=recull,
         gcull_exact=gcull_exact)
     if rich:
@@ -1637,7 +1704,7 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
 
     def dma(idx, slot):
         if xf_ref is not None:
-            idx = _xf_base_index(xf_ref, idx, k)
+            idx = jax.lax.rem(idx, jnp.int32(kb_tab))
         safe = jnp.minimum(idx, kb_tab - 1)
         return pltpu.make_async_copy(table_hbm.at[safe], tbuf.at[slot], sem.at[slot])
 
@@ -1658,7 +1725,7 @@ def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
         dma(sel2 & cmask, jax.lax.rem(j + 2, 3)).start()
         idx = sel & cmask
         if xf_ref is not None:
-            rays_v, _ = _xform_visit(rays, xf_ref, idx, tm)
+            rays_v, _ = _xform_visit(rays, xf_ref, idx, kb_tab, tm)
         else:
             rays_v = rays
         dma(idx, slot).wait()
@@ -1724,7 +1791,8 @@ def _occl_kernel(rays_ref, boxes_ref, table_ref, *rest, c: int,
         )[0, 0]
         idx = sel & cmask
         if xf_ref is not None:
-            rays_v, bidx = _xform_visit(rays, xf_ref, idx, tm)
+            rays_v, bidx = _xform_visit(rays, xf_ref, idx,
+                                        table_ref.shape[0], tm)
         else:
             rays_v, bidx = rays, idx
         tri = table_ref[bidx]
@@ -1986,7 +2054,10 @@ def trace_resident(
             (not sort_rays and not flat_exact_ok)   # camera-like, giant K
             or (sort_rays and not flat_recull_ok)   # scattered, enormous K
         )
-    grouped = grouped and can_group and not will_transpose and not instanced
+    # instanced scenes group per instance over BASE cluster order
+    # (device_scene_from_instances builds cl_gboxes/cl_mboxes with the
+    # group->cid0 indirection in mboxes lane 7)
+    grouped = grouped and can_group and not will_transpose
     if exact_cull is None:
         # scattered (sorted) wavefronts need the per-ray cull at ANY K —
         # the interval bound degenerates to a full-scene sweep for them
@@ -2047,9 +2118,13 @@ def trace_resident(
 
     if grouped:
         if hbm_table:
-            # whole-group streaming: (Kg, G, 16, C) — pad K to full groups
-            table = jnp.pad(table, ((0, kg * grp - k), (0, 0), (0, 0)))
-            table = table.reshape(kg, grp, 16, c_k)
+            # whole-group streaming: (Kg, G, 16, C) — pad K to full groups.
+            # Instanced: the table is BASE-sized and shared; reshape it to
+            # (base groups, G, 16, C) — kernels address it by
+            # rem(cid0, kb) // G.
+            rows = -(-table.shape[0] // grp) * grp
+            table = jnp.pad(table, ((0, rows - table.shape[0]), (0, 0), (0, 0)))
+            table = table.reshape(rows // grp, grp, 16, c_k)
             kern = _occl_kernel_grouped_hbm if any_hit else _kernel_grouped_hbm
             scratch = [
                 pltpu.VMEM((2, grp, 16, c_k), jnp.float32),
@@ -2073,15 +2148,18 @@ def trace_resident(
             ]
         if not any_hit:
             kern = partial(kern, gcull_exact=exact_cull, rich=rich)
+        extra_in = [scene.cl_xf] if instanced else []
         (packed_out,) = pl.pallas_call(
-            partial(kern, c=c_k, tm=tm, k=k, kg=kg, g=grp, recull=recull),
+            partial(kern, c=c_k, tm=tm, k=k, kg=kg, g=grp, recull=recull,
+                    instanced=instanced, kb=kb),
             grid=(tiles,),
-            in_specs=[ray_spec, boxes_spec, boxes_spec, table_spec],
+            in_specs=[ray_spec, boxes_spec, boxes_spec, table_spec]
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
             out_specs=[out_spec],
             out_shape=[out_struct],
             scratch_shapes=scratch,
             interpret=interpret,
-        )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table)
+        )(rays_packed, scene.cl_gboxes, scene.cl_mboxes, table, *extra_in)
     elif will_transpose:
         # small scenes: fully row-major TRANSPOSED kernel — the scene's
         # valid triangles (all clusters concatenated) ride the sublane dim
@@ -2223,7 +2301,7 @@ def trace_resident(
         # winning instance's frame (UNNORMALIZED direction -> the MT t
         # below is the world t exactly, see _xform_visit) and offset the
         # canonical id into the virtual per-instance triangle id space
-        xf = jnp.take(scene.cl_xf.reshape(k, 16), win_cluster, axis=0)
+        xf = jnp.take(scene.cl_xf.reshape(-1, 16), win_cluster // kb, axis=0)
         lin = xf[:, 0:9].reshape(-1, 3, 3)
         on = jnp.einsum("nij,nj->ni", lin, origin) + xf[:, 9:12]
         dn = jnp.einsum("nij,nj->ni", lin, direction)

@@ -53,9 +53,7 @@ def surface_attributes(scene: DeviceScene, origin, direction, hits) -> SurfaceAt
         tb_count = scene.num_base_tris
         inst = tri // tb_count
         tri = tri - inst * tb_count
-        kb = (scene.cl_mt_table.shape[0] if scene.cl_mt_table is not None
-              else scene.cl_tri_table.shape[0])
-        xf = jnp.take(scene.cl_xf.reshape(-1, 16), inst * kb, axis=0)
+        xf = jnp.take(scene.cl_xf.reshape(-1, 16), inst, axis=0)
         inst_lin = xf[:, 0:9].reshape(-1, 3, 3)   # world_to_obj = M^-1
     u = hits.u[:, None]
     v = hits.v[:, None]

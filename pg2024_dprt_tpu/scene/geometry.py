@@ -247,12 +247,13 @@ class DeviceScene(NamedTuple):
     # (K = I * KB rows) while the triangle tables (cl_mt_table,
     # cl_shade_table, tri_verts, v0..) stay at BASE level (KB clusters,
     # shared across instances — N instances of a mesh cost one table).
-    # cl_xf[k, 0, :] lanes: 0-8 world_to_obj linear (row-major), 9-11
-    # translation, 12 base cluster index (f32, exact < 2^24), 13 instance
-    # id, 14-15 pad.  Tracers transform the ray per visited cluster with
-    # the UNNORMALIZED object-space direction, so the object-space MT t is
-    # the world-space t exactly (ops/pallas_resident.py _xform_visit).
-    cl_xf: jnp.ndarray = None         # (K, 1, 16) f32
+    # cl_xf[i, 0, :] lanes: 0-8 world_to_obj linear (row-major), 9-11
+    # translation, 12 pad, 13 instance id, 14-15 pad — ONE row per
+    # INSTANCE (kernels derive instance = cid // KB, base = rem(cid, KB)).
+    # Tracers transform the ray per visited cluster with the UNNORMALIZED
+    # object-space direction, so the object-space MT t is the world-space
+    # t exactly (ops/pallas_resident.py _xform_visit).
+    cl_xf: jnp.ndarray = None         # (I, 1, 16) f32
 
     @property
     def instanced(self) -> bool:
@@ -323,6 +324,11 @@ def device_scene_from_instances(
 
     transforms: (I, 3, 4) float obj_to_world (rows [R | t]); must be
     invertible (the builder stores the inverse for the tracers)."""
+    if tris_per_cluster is None:
+        # per-CLUSTER costs scale with K = instances x base clusters, so
+        # the adaptive cluster-size rule must look at EFFECTIVE triangles
+        eff = len(np.asarray(transforms)) * sum(m.num_triangles for m in meshes)
+        tris_per_cluster = 512 if eff > 262144 else 128
     base = device_scene_from_meshes(meshes, tris_per_cluster=tris_per_cluster)
     M = np.asarray(transforms, np.float32)
     assert M.ndim == 3 and M.shape[1:] == (3, 4), "transforms: (I, 3, 4)"
@@ -354,18 +360,52 @@ def device_scene_from_instances(
         [wmin.T, wmax.T, nonempty.astype(np.float32)[None, :],
          np.zeros((1, k), np.float32)], axis=0)              # (8, K)
 
-    xf = np.zeros((k, 1, 16), np.float32)
+    # per-INSTANCE transform rows (kernels derive instance = cid // KB and
+    # base cluster = rem(cid, KB) — keeping xf at I rows instead of K keeps
+    # its VMEM residency negligible at any instance-cluster count)
+    xf = np.zeros((ni, 1, 16), np.float32)
     for i in range(ni):
-        rows = slice(i * kb, (i + 1) * kb)
-        xf[rows, 0, 0:9] = inv_lin[i].reshape(9)
-        xf[rows, 0, 9:12] = inv_tr[i]
-        xf[rows, 0, 12] = np.arange(kb, dtype=np.float32)
-        xf[rows, 0, 13] = np.float32(i)
+        xf[i, 0, 0:9] = inv_lin[i].reshape(9)
+        xf[i, 0, 9:12] = inv_tr[i]
+        xf[i, 0, 13] = np.float32(i)
 
     scene_lo = wmin[nonempty].min(axis=0) if nonempty.any() else np.zeros(3)
     scene_hi = wmax[nonempty].max(axis=0) if nonempty.any() else np.ones(3)
 
     tri_map = np.tile(np.asarray(base.cl_tri_map).reshape(kb, c), (ni, 1))
+
+    # two-level group tables for the grouped cull (CL_GROUP base clusters
+    # per group, PER INSTANCE over the base SAH order — spatially tight).
+    # mboxes[g][0, 7] = the group's first member's instance-cluster id
+    # (cid0; members are cid0..cid0+G-1); the kernels derive the BASE table
+    # group as rem(cid0, KB) // G (see _grouped_recull_loop docstring).
+    g = CL_GROUP
+    gbb = -(-kb // g)
+    kgi = ni * gbb
+    kbp = gbb * g
+    w3min = np.zeros((ni, kbp, 3), np.float32)
+    w3max = np.zeros((ni, kbp, 3), np.float32)
+    okm = np.zeros((ni, kbp), bool)
+    w3min[:, :kb] = wmin.reshape(ni, kb, 3)
+    w3max[:, :kb] = wmax.reshape(ni, kb, 3)
+    okm[:, :kb] = nonempty.reshape(ni, kb)
+    mboxes = np.zeros((kgi, g, 8), np.float32)
+    mboxes[..., 0:3] = w3min.reshape(kgi, g, 3)
+    mboxes[..., 3:6] = w3max.reshape(kgi, g, 3)
+    mboxes[..., 6] = okm.reshape(kgi, g)
+    cid0 = (np.arange(ni)[:, None] * kb
+            + np.arange(gbb)[None, :] * g).reshape(kgi)
+    mboxes[:, 0, 7] = cid0.astype(np.float32)
+    okg = okm.reshape(kgi, g)
+    big = np.float32(3.4e38)
+    gmin = np.where(okg[..., None], w3min.reshape(kgi, g, 3), big).min(axis=1)
+    gmax = np.where(okg[..., None], w3max.reshape(kgi, g, 3), -big).max(axis=1)
+    g_any = okg.any(axis=1)
+    gmin = np.where(g_any[:, None], gmin, 0.0)
+    gmax = np.where(g_any[:, None], gmax, 0.0)
+    gboxes = np.concatenate(
+        [gmin.T, gmax.T, g_any.astype(np.float32)[None],
+         np.zeros((1, kgi), np.float32)], axis=0).astype(np.float32)
 
     return base._replace(
         cl_aabb_min=jnp.asarray(wmin),
@@ -376,12 +416,13 @@ def device_scene_from_instances(
         scene_aabb=jnp.asarray(
             np.stack([scene_lo, scene_hi]).astype(np.float32)),
         cl_xf=jnp.asarray(xf),
-        # instance-aware paths only: the transposed/grouped/tiny fast paths
-        # and the frame megakernel gate off these tables
+        # instance-aware paths only: the transposed/tiny fast paths and
+        # the frame megakernel gate off these tables; the grouped cull is
+        # instance-aware (per-instance base-order groups above)
         cl_mt_table_t=None,
         cl_shade_table_t=None,
-        cl_gboxes=None,
-        cl_mboxes=None,
+        cl_gboxes=jnp.asarray(gboxes),
+        cl_mboxes=jnp.asarray(mboxes),
     )
 
 

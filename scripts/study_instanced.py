@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pg2024_dprt_tpu.core import Camera
-from pg2024_dprt_tpu.ops.trace_api import trace_closest
+from pg2024_dprt_tpu.ops.trace_api import trace_closest_checked
 from pg2024_dprt_tpu.scene.geometry import (
     device_scene_from_instances, device_scene_from_meshes)
 from pg2024_dprt_tpu.scene.procedural import random_tri_soup
@@ -36,12 +36,12 @@ def time_scene(name, scene):
     tmx = jnp.full((N,), 3.4e38, jnp.float32)
     act = jnp.ones((N,), bool)
 
-    def f(oo):
-        h, _ = trace_closest(scene, oo, d, 1e-3, tmx, act, tracer="resident",
-                             sort_rays=False)
+    def f(oo, d, tmx, act, scene):
+        h, _ = trace_closest_checked(scene, oo, d, 1e-3, tmx, act,
+                                     tracer="resident", sort_rays=False)
         return jnp.where(h.is_hit, jnp.minimum(h.t, 1.0), 1.0)
 
-    per = chained_time(f, o, short=1, long=4, reps=2)
+    per = chained_time(f, o, d, tmx, act, scene, short=1, long=4, reps=2)
     k = scene.num_clusters
     print(f"{name:28s} {per*1e3:9.2f} ms  K={k} C={scene.tris_per_cluster}")
 

@@ -135,3 +135,55 @@ def test_instanced_render_smoke():
     img = np.asarray(render_image(inst, lights, env, cam, cfg))
     assert np.isfinite(img).all() and (img >= 0).all()
     assert img.max() > 1e-3
+
+
+def test_instanced_grouped_matches_flat():
+    """The grouped two-level cull is instance-aware (per-instance base-order
+    groups, mboxes lane-7 cid0 indirection): forced-grouped traces must
+    reproduce the flat instanced kernel exactly, VMEM and HBM-streamed,
+    closest and any-hit."""
+    meshes = [random_tri_soup(1500, seed=3)]
+    M = _transforms(3, seed=11)
+    inst = device_scene_from_instances(meshes, M, tris_per_cluster=64)
+    assert inst.cl_gboxes is not None and inst.cl_mboxes is not None
+    # member/group indirection invariants
+    mb = np.asarray(inst.cl_mboxes)
+    kb = inst.cl_mt_table.shape[0]
+    # cid0 = instance*KB + base_group*G: base part must be group-aligned
+    assert (mb[:, 0, 7].astype(int) % kb % 8 == 0).all()
+    assert mb[:, 0, 7].max() < inst.num_clusters
+
+    rng = np.random.RandomState(13)
+    n = 1024
+    o = (rng.rand(n, 3) * 10.0 - 5.0).astype(np.float32)
+    centers = (np.einsum("iab,b->ia", M[:, :, :3],
+                         np.full(3, 0.5, np.float32)) + M[:, :, 3])
+    pick = rng.randint(0, M.shape[0], n)
+    target = centers[pick] + (rng.rand(n, 3).astype(np.float32) - 0.5) * 0.5
+    d = (target - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    act = rng.rand(n) > 0.1
+    tmax = np.full(n, 3.4e38, np.float32)
+    args = (jnp.asarray(o), jnp.asarray(d), 1e-3, jnp.asarray(tmax),
+            jnp.asarray(act))
+
+    ref, dr0 = trace_resident(inst, *args, grouped=False)
+    assert int(dr0) == 0
+    assert int(np.asarray(ref.is_hit).sum()) > 200
+    for hbm in (False, True):
+        got, dr = trace_resident(inst, *args, grouped=True, hbm_table=hbm)
+        assert int(dr) == 0
+        np.testing.assert_array_equal(np.asarray(got.is_hit),
+                                      np.asarray(ref.is_hit))
+        both = np.asarray(ref.is_hit)
+        np.testing.assert_allclose(np.asarray(got.t)[both],
+                                   np.asarray(ref.t)[both], rtol=1e-5)
+        assert (np.asarray(got.tri_index)[both]
+                == np.asarray(ref.tri_index)[both]).mean() > 0.999
+
+    occ_ref, _ = trace_resident(inst, *args, any_hit=True, grouped=False)
+    for hbm in (False, True):
+        occ, dr = trace_resident(inst, *args, any_hit=True, grouped=True,
+                                 hbm_table=hbm)
+        assert int(dr) == 0
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
