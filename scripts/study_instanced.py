@@ -1,7 +1,22 @@
-"""Ablate the two-level instanced tracer's 308 ms camera_4m_instanced row:
+"""Ablate the two-level instanced tracer's camera_4m_instanced row:
 base (non-instanced) vs 1-instance vs 8-instance, tpc 128/512.
 
 Usage: PYTHONPATH=. python scripts/study_instanced.py
+
+RESULTS (v5e tunnel, 2026-08-20, 64k-ray wavefront, honest chained slope):
+  BEFORE instance-aware grouping (flat selection, K = I x KB):
+    inst8_4m_tpc512   307.9 ms   (0.21 Mrays/s; bench_suite r4 first run)
+    inst8_4m_tpc128   VMEM OOM   (48k-cluster xf + boxes blew the 16 MB cap)
+  AFTER (grouped two-level cull instance-aware + per-INSTANCE cl_xf):
+    base_512k_tpc512     8.06 ms   K=1487
+    inst1_512k_tpc512    9.99 ms   (transform overhead ~24%)
+    inst8_4m_tpc512     12.84 ms   K=11896  -> 5.1 Mrays/s, 24x
+    base_512k_tpc128    11.00 ms   K=6024
+    inst1_512k_tpc128   15.32 ms
+    inst8_4m_tpc128     17.46 ms   K=48192 (no longer OOMs)
+  The flat instanced path had no affordable cull at K ~ 10k (group_ok was
+  gated off for instanced scenes); the per-visit object-space transform
+  itself costs ~25%.
 """
 import sys
 

@@ -180,6 +180,29 @@ def main():
     results.append(row)
     print(json.dumps(row), flush=True)
 
+    # instance-aware GROUPED cull (COMPILED, forced): same oracle, both
+    # table residencies — the production path for big instanced K
+    for hbm in (False, True):
+        ggot, gdrp = trace_resident(
+            iscene, jnp.asarray(io), jnp.asarray(idr), 1e-3,
+            jnp.asarray(itmax), jnp.asarray(iact), grouped=True,
+            hbm_table=hbm)
+        ggh = np.asarray(ggot.is_hit)
+        gboth = ggh & iwh
+        gdt = np.abs(np.asarray(ggot.t)[gboth] - ibt[gboth]) / np.maximum(
+            1.0, ibt[gboth])
+        row = {"scene": "instanced_4x1500",
+               "kernel": f"resident_instanced_grouped{'_hbm' if hbm else ''}",
+               "rays": ni, "hits_oracle": int(iwh.sum()),
+               "is_hit_match": int((ggh == iwh).sum()),
+               "t_rel_max": float(gdt.max() if gboth.any() else 0.0),
+               "dropped": int(gdrp), "gating": True,
+               "pass": int((ggh == iwh).sum()) == ni
+                       and float(gdt.max() if gboth.any() else 0.0) < 1e-3
+                       and int(gdrp) == 0}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
     # proxy-march kernel vs the XLA reference implementation (on CPU)
     from pg2024_dprt_tpu.ops.pallas_march import march_proxies_pallas
     from pg2024_dprt_tpu.render.proxy_stages import march_proxies_xla
