@@ -21,19 +21,25 @@ utils/benchmarking.py) at the 64k x 512-cluster production shape.  The MT
 win bound is visit-work (9.6 of 12.8 ms) x (1 - 8.3/47) ~ 7.9 ms; the
 machinery must come in well under that for the scheduler to pay.
 
-Result (v5e via tunnel, 2026-08-20, best-of-3 chained slopes):
-    cull_mask_64kx512      ~2.5 ms   ((N,K) slab test alone)
-    topk16_64kx512         ~5.9 ms   (top-16 entered extraction)
-    sort_1m_pairs          ~4.5 ms   (u32 key-value sort of N*16 slots)
-    gather_540k_rows       ~0.6 ms   (8-f32 ray rows by sorted pair index)
-    scatter_min_540k       ~1.1 ms   (per-ray closest merge)
-    TOTAL machinery        ~14.6 ms  vs ~7.9 ms best-case MT win
+Result (v5e via tunnel, 2026-08-21, best-of-3 chained slopes, MEASURED):
+    cull_mask_64kx512       0.50 ms   ((N,K) slab test alone — cheap)
+    topk16_64kx512          7.63 ms   (top-16 entered extraction — DOMINANT)
+    sort_1m_pairs           1.01 ms   (u32 key-value sort of N*16 slots)
+    gather_540k_rows        0.88 ms   (8-f32 ray rows by sorted pair index)
+    scatter_min_540k        3.58 ms   (per-ray closest merge)
+    TOTAL machinery        13.09 ms   vs ~7.9 ms best-case MT win
 CONCLUSION: negative — the machinery alone exceeds the entire incoherent
-trace (12.8 ms).  Even with the cull+extraction fused into a custom kernel
-(drop cull+topk), sort+gather+scatter ~6.2 ms buys at most ~1.7 ms net on a
-12.8 ms trace, inside tunnel variance.  Recorded as the measured negative
-result closing VERDICT item 8; the cluster-schedule-sorted resident kernel
-stays the production incoherent path.
+trace (12.8 ms).  The surprise is WHERE it dies: the sort is cheap (1 ms);
+per-ray entered-cluster EXTRACTION (top_k over 512-wide rows, 7.6 ms) and
+the per-ray closest scatter-merge (3.6 ms) dominate.  Extraction could
+move in-kernel (the resident cull already materializes the (TM, K) enter
+matrix per tile), but the scatter-min + gather + sort residue (~5.5 ms)
+still buys at most ~2 ms net on a 12.8 ms trace — inside tunnel variance
+— and the in-kernel global group-by-cluster alternatives were analyzed
+above as order-of-magnitude losers (24k dynamic DMAs / 540k scalar
+stores).  Recorded as the measured negative result closing VERDICT r3
+item 8; the cluster-schedule-sorted resident kernel stays the production
+incoherent path at its ~90%-of-union-floor plateau.
 """
 import sys
 
