@@ -14,3 +14,18 @@ import jax  # noqa: E402  (import after env setup)
 # overrides JAX_PLATFORMS; override it back before any backend is initialized
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# The full suite compiles hundreds of 8-device CPU programs in one process;
+# jit executable caches accumulate for the whole run and the suite has
+# segfaulted inside an XLA:CPU compile near the end (resource exhaustion —
+# reproducible at ~155 tests, absent for any subset).  Dropping compiled
+# executables between test MODULES bounds the high-water mark; modules are
+# independent, so the only cost is intra-suite recompiles.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
