@@ -2058,13 +2058,25 @@ def trace_resident(
     # (device_scene_from_instances builds cl_gboxes/cl_mboxes with the
     # group->cid0 indirection in mboxes lane 7)
     grouped = grouped and can_group and not will_transpose
+    # the grouped EXACT (TM, Kg) matrix build materializes unchunked
+    # (TM, Kg, 3) slab temporaries (~8x the matrix; measured scoped-VMEM
+    # OOM at kg=11904: 47.2M vs the 16M cap) — beyond this, grouped
+    # closest falls back to interval group keys (no per-ray matrix, scales
+    # to any Kg; the member gate stays exact per-ray) and grouped any-hit
+    # (whose loop always builds the exact matrix) falls back to flat
+    exact_group_ok = tm * kg * 4 <= 1 * 2**20
     if exact_cull is None:
         # scattered (sorted) wavefronts need the per-ray cull at ANY K —
         # the interval bound degenerates to a full-scene sweep for them
         # (diag_1m, K=11437: 5.6 s vs 1.9 s even without the horizon work).
         # For coherent camera tiles exact wins when the per-tile cull
         # matrix is affordable (flat or grouped).
-        exact_cull = sort_rays or grouped or flat_exact_ok
+        exact_cull = sort_rays or flat_exact_ok or (grouped and exact_group_ok)
+    if grouped and not exact_group_ok:
+        if any_hit:
+            grouped = False
+        else:
+            exact_cull = False
     if recull is None:
         # per-ray horizon rounds need the (TM, Kcull) enter matrix resident
         # in VMEM (chunk-built, but kept live across the loop).  Re-culling
