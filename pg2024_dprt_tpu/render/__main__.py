@@ -8,7 +8,7 @@ Usage:
 
 SCENE is a path to a .obj file (materials + PNG textures resolved relative
 to it, scene/obj.py) or a builtin:
-    cornell | cornell-water | city[:N] | soup[:N] | rooms[:N]
+    cornell | cornell-water | city[:N] | soup[:N] | rooms[:N] | instanced[:I[,T]]
 
 Examples:
     python -m pg2024_dprt_tpu.render cornell --size 256 --spp 8 --out /tmp/r
@@ -52,9 +52,24 @@ def load_scene(spec: str, default_color=(0.8, 0.8, 0.8)):
     if name == "rooms":
         meshes, lights = two_room_scene(int(arg or 2))
         return meshes, lights, None
+    if name == "instanced":
+        # instanced:I[,T] — an IxT two-level scene: a grid of I instances
+        # of one T-tri soup sharing ONE triangle table
+        # (scene/geometry.py::device_scene_from_instances)
+        parts = (arg or "8").split(",")
+        ni = int(parts[0])
+        tris = int(parts[1]) if len(parts) > 1 else 65536
+        base = random_tri_soup(tris, seed=9)
+        cols = max(1, int(np.ceil(np.sqrt(ni))))
+        tf = np.zeros((ni, 3, 4), np.float32)
+        for i in range(ni):
+            tf[i, :, :3] = np.eye(3, dtype=np.float32)
+            tf[i, :, 3] = [2.2 * (i % cols), 0.0, 2.2 * (i // cols)]
+        return ([base], tf), None, None
     if not os.path.exists(spec):
         raise SystemExit(f"scene {spec!r}: no such file and not a builtin "
-                         f"(cornell | cornell-water | city[:N] | soup[:N] | rooms[:N])")
+                         f"(cornell | cornell-water | city[:N] | soup[:N] | "
+                         f"rooms[:N] | instanced[:I[,T]])")
     from ..scene.obj import load_obj, load_texture_images
 
     meshes, texture_paths = load_obj(spec, default_color=default_color)
@@ -144,7 +159,8 @@ def main(argv=None):
         prog="python -m pg2024_dprt_tpu.render", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("scene", help=".obj path or builtin (cornell | cornell-water"
-                                 " | city[:N] | soup[:N] | rooms[:N])")
+                                 " | city[:N] | soup[:N] | rooms[:N] | "
+                                 "instanced[:I[,T]])")
     p.add_argument("--size", type=int, default=256, help="square image size")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
@@ -225,7 +241,18 @@ def main(argv=None):
     w = args.width or args.size
     h = args.height or args.size
     meshes, lights, textures = load_scene(args.scene)
-    lo, hi = scene_bounds(meshes)
+    instanced_spec = isinstance(meshes, tuple)
+    if instanced_spec:
+        base_meshes, transforms = meshes
+        blo, bhi = scene_bounds(base_meshes)
+        corners = np.stack([np.where(np.asarray(sel), bhi, blo)
+                            for sel in np.ndindex(2, 2, 2)])
+        wc = (np.einsum("iab,cb->ica", transforms[:, :, :3], corners)
+              + transforms[:, None, :, 3])
+        lo = wc.reshape(-1, 3).min(axis=0).astype(np.float32)
+        hi = wc.reshape(-1, 3).max(axis=0).astype(np.float32)
+    else:
+        lo, hi = scene_bounds(meshes)
     if lights is None:
         lights = auto_light(lo, hi, args.light_intensity)
     if args.cam_pos is not None:
@@ -243,6 +270,9 @@ def main(argv=None):
 
     from .frames import render_frames
 
+    if args.partitions > 1 and instanced_spec:
+        raise SystemExit("the instanced builtin is a single-device scene; "
+                         "use rooms/soup builtins with --partitions")
     if args.partitions > 1:
         import dataclasses
 
@@ -277,7 +307,12 @@ def main(argv=None):
             timing=timing, distributed=(part, models, mesh),
             light_velocity=args.light_velocity, camera_velocity=args.dolly)
     else:
-        scene = device_scene_from_meshes(meshes, textures=textures)
+        if instanced_spec:
+            from ..scene.geometry import device_scene_from_instances
+
+            scene = device_scene_from_instances(base_meshes, transforms)
+        else:
+            scene = device_scene_from_meshes(meshes, textures=textures)
         images = render_frames(scene, lights, env, camera, cfg,
                                num_frames=args.frames, timing=timing,
                                light_velocity=args.light_velocity,
