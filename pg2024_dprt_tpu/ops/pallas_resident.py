@@ -2112,6 +2112,12 @@ def trace_resident(
     if any_hit or grouped or not recull or tm % ssub or (tm // ssub) % 8:
         ssub = 1
 
+    import os as _os
+    if _os.environ.get("PG2024_TRACE_POLICY"):
+        print(f"[trace_resident policy] tm={tm} k={k} kg={kg} grp={grp} "
+              f"c={c_k} grouped={grouped} exact_cull={exact_cull} "
+              f"recull={recull} hbm={hbm_table} rich={rich} "
+              f"instanced={instanced} sort={sort_rays}", flush=True)
     ray_spec = pl.BlockSpec((8, tm), lambda i: (0, i), memory_space=pltpu.VMEM)
     boxes_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(

@@ -326,9 +326,13 @@ def device_scene_from_instances(
     invertible (the builder stores the inverse for the tracers)."""
     if tris_per_cluster is None:
         # per-CLUSTER costs scale with K = instances x base clusters, so
-        # the adaptive cluster-size rule must look at EFFECTIVE triangles
+        # the adaptive cluster-size rule must look at EFFECTIVE triangles.
+        # Beyond ~8M the K ~ 100k cluster tables exceed Mosaic compile
+        # limits (measured: K=95168 fails to compile flat AND grouped;
+        # K=24768 at c=2048 compiles + runs) — widen clusters again.
         eff = len(np.asarray(transforms)) * sum(m.num_triangles for m in meshes)
-        tris_per_cluster = 512 if eff > 262144 else 128
+        tris_per_cluster = (128 if eff <= 262144 else
+                            512 if eff <= 8_388_608 else 2048)
     base = device_scene_from_meshes(meshes, tris_per_cluster=tris_per_cluster)
     M = np.asarray(transforms, np.float32)
     assert M.ndim == 3 and M.shape[1:] == (3, 4), "transforms: (I, 3, 4)"

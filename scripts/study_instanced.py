@@ -80,5 +80,51 @@ def main():
                    device_scene_from_instances([base], im, tpc))
 
 
+def scale_and_knobs():
+    """64-instance (33.5M effective tris) scale probe + grouped-cull knob
+    sweep on the grazing bench framing."""
+    import jax
+
+    from pg2024_dprt_tpu.ops.pallas_resident import trace_resident
+
+    base = random_tri_soup(1 << 19, seed=9)
+    im = np.zeros((8, 3, 4), np.float32)
+    for i in range(8):
+        im[i, :, :3] = np.eye(3, dtype=np.float32)
+        im[i, :, 3] = [2.2 * (i % 4), 0.0, 2.2 * (i // 4)]
+    s8 = device_scene_from_instances([base], im, 512)
+
+    # bench framing (grazing): same camera as bench_suite camera_4m_instanced
+    cam = Camera.look_at([3.3, 1.5, 9.0], [3.3, 0.5, 1.0], [0, 1, 0],
+                         55.0, 256, 256)
+    pix = jnp.arange(N, dtype=jnp.int32)
+    o, d = cam.generate_rays(pix // 256, pix % 256, jnp.zeros(N), jnp.zeros(N))
+    tmx = jnp.full((N,), 3.4e38, jnp.float32)
+    act = jnp.ones((N,), bool)
+
+    def run(name, **kw):
+        def f(oo, d, tmx, act, scene):
+            h, _ = trace_resident(scene, oo, d, 1e-3, tmx, act, **kw)
+            return jnp.where(h.is_hit, jnp.minimum(h.t, 1.0), 1.0)
+        per = chained_time(f, o, d, tmx, act, s8, short=1, long=4, reps=2)
+        print(f"{name:32s} {per*1e3:9.2f} ms")
+
+    run("bench_view_auto")
+    run("bench_view_interval_gcull", grouped=True, exact_cull=False)
+    run("bench_view_recull16", grouped=True, recull=16)
+    run("bench_view_flat_interval", grouped=False, exact_cull=False)
+
+    im64 = np.zeros((64, 3, 4), np.float32)
+    for i in range(64):
+        im64[i, :, :3] = np.eye(3, dtype=np.float32)
+        im64[i, :, 3] = [2.2 * (i % 8), 2.4 * (i // 32), 2.2 * ((i // 8) % 4)]
+    s64 = device_scene_from_instances([base], im64)  # auto tpc -> 2048
+    time_scene("inst64_33m_auto", s64)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if len(_s.argv) > 1 and _s.argv[1] == "scale":
+        scale_and_knobs()
+    else:
+        main()

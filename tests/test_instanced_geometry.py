@@ -187,3 +187,38 @@ def test_instanced_grouped_matches_flat():
                                  hbm_table=hbm)
         assert int(dr) == 0
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_instanced_wide_clusters():
+    """The >8M-effective-tri regime widens clusters to 2048 lanes
+    (adaptive rule in device_scene_from_instances); the selection/MT
+    machinery must stay exact at c=2048 (11 lane bits in the packed key)."""
+    meshes = [random_tri_soup(4096, seed=6)]
+    M = _transforms(2, seed=17)
+    inst = device_scene_from_instances(meshes, M, tris_per_cluster=2048)
+    assert inst.tris_per_cluster == 2048
+    base = device_scene_from_meshes(meshes, tris_per_cluster=2048)
+
+    rng = np.random.RandomState(19)
+    n = 256
+    o = (rng.rand(n, 3) * 10.0 - 5.0).astype(np.float32)
+    centers = (np.einsum("iab,b->ia", M[:, :, :3],
+                         np.full(3, 0.5, np.float32)) + M[:, :, 3])
+    pick = rng.randint(0, 2, n)
+    target = centers[pick] + (rng.rand(n, 3).astype(np.float32) - 0.5) * 0.5
+    d = (target - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    act = np.ones(n, bool)
+    tmax = np.full(n, 3.4e38, np.float32)
+
+    want_t, want_tri, want_hit = _oracle(base, M, o, d, 1e-3, tmax, act)
+    got, dr = trace_resident(inst, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                             jnp.asarray(tmax), jnp.asarray(act))
+    assert int(dr) == 0
+    gh = np.asarray(got.is_hit)
+    assert (gh == want_hit).mean() > 0.995
+    both = gh & want_hit
+    assert both.sum() > 64
+    dt = np.abs(np.asarray(got.t)[both] - want_t[both]) / np.maximum(
+        1.0, want_t[both])
+    assert dt.max() < 1e-3
