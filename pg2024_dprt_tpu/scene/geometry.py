@@ -300,7 +300,11 @@ def device_scene_from_meshes(
     camera 7.5 -> 6.7-7.3 ms; at 64k tris 128 is best — sweep_resident)."""
     host = concat_geometry(meshes)
     if tris_per_cluster is None:
-        tris_per_cluster = 512 if host["v0"].shape[0] > 262144 else 128
+        t_n = host["v0"].shape[0]
+        # >8M unique tris: K ~ 100k cluster tables exceed Mosaic compile
+        # limits (see device_scene_from_instances) — widen again
+        tris_per_cluster = (128 if t_n <= 262144 else
+                            512 if t_n <= 8_388_608 else 2048)
     bvh = build_bvh(host["v0"], host["v1"], host["v2"])
     return _pack_device_scene(
         host, bvh, node_capacity, tri_capacity,
