@@ -122,9 +122,21 @@ def scale_and_knobs():
     time_scene("inst64_33m_auto", s64)
 
 
+def inst64_only():
+    base = random_tri_soup(1 << 19, seed=9)
+    im64 = np.zeros((64, 3, 4), np.float32)
+    for i in range(64):
+        im64[i, :, :3] = np.eye(3, dtype=np.float32)
+        im64[i, :, 3] = [2.2 * (i % 8), 2.4 * (i // 32), 2.2 * ((i // 8) % 4)]
+    s64 = device_scene_from_instances([base], im64)
+    time_scene("inst64_33m_auto", s64)
+
+
 if __name__ == "__main__":
     import sys as _s
     if len(_s.argv) > 1 and _s.argv[1] == "scale":
         scale_and_knobs()
+    elif len(_s.argv) > 1 and _s.argv[1] == "scale64":
+        inst64_only()
     else:
         main()
