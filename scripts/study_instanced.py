@@ -17,6 +17,18 @@ RESULTS (v5e tunnel, 2026-08-20, 64k-ray wavefront, honest chained slope):
   The flat instanced path had no affordable cull at K ~ 10k (group_ok was
   gated off for instanced scenes); the per-visit object-space transform
   itself costs ~25%.
+
+KNOB SWEEP (8-inst grazing bench view, scale mode): auto (grouped exact
+  group cull) 27.9 ms is the optimum — interval group keys 52.1 (looser
+  front-to-back), recull=16 28.5 (wash), flat+interval 293.6 (the old
+  default).  SCALE CEILING (measured): K=95168 (64 inst x tpc512) fails
+  Mosaic compile flat AND grouped; K=47680 (tpc1024) fails too
+  (tpu_compile_helper crash); K=24768 (auto tpc=2048, kg=3136) COMPILES
+  and a 64k wavefront over the 33.5M-effective-tri scene RUNS on one chip
+  (~244 ms single-call wall incl tunnel RTT; the chained-slope harness
+  itself pushes scoped VMEM 1.5M over the 16M cap at c=2048, so no honest
+  chained number at this scale).  The adaptive tpc rule (128/512/2048 at
+  256k/8M boundaries) keeps instanced scenes inside the compile envelope.
 """
 import sys
 
