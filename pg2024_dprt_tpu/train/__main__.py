@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--obj", help="OBJ file: ray-cast its geometry for data")
     ap.add_argument("--origin-exr", help="origin EXR of a dataset pair")
     ap.add_argument("--direction-exr", help="direction EXR of a dataset pair")
-    ap.add_argument("--nn-type", choices=["vis", "depth"], default="vis")
+    ap.add_argument("--nn-type", choices=["vis", "depth", "combined"],
+                    default="vis",
+                    help="combined = SEPARATEDNN=0 double-output net")
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=100)
@@ -55,11 +57,19 @@ def main():
 
     if args.nn_type == "vis":
         x, y = balance_vis(feats, depth_labels)
+    elif args.nn_type == "combined":
+        from .datasets import combined_labels
+
+        x, y = combined_labels(feats, depth_labels)
     else:
         x, y = depth_only(feats, depth_labels)
     print(f"dataset: {x.shape[0]} samples ({args.nn_type})")
 
-    mlp_cfg = MLPConfig(width=args.width, depth=args.depth)
+    mlp_cfg = MLPConfig(
+        width=args.width, depth=args.depth,
+        out_features=2 if args.nn_type == "combined" else 1,
+        final_activation="sigmoid" if args.nn_type == "combined"
+        else "leaky_relu")
     cfg = TrainConfig(
         nn_type=args.nn_type, epochs=args.epochs, batch=args.batch,
         learn_rate=args.lr, schedule=args.schedule, seed=args.seed,
