@@ -54,3 +54,19 @@ def depth_accuracy(vis_params, vis_cfg: MLPConfig,
     depth_l1 = float(np.abs(depth_pred[is_hit] - depth_labels[is_hit]).mean()) if is_hit.any() else 0.0
     return {"vis_accuracy": float(vis_acc), "depth_l1": depth_l1,
             "hit_fraction": float(is_hit.mean())}
+
+
+def combined_accuracy(params, cfg: MLPConfig, features: np.ndarray,
+                      depth_labels: np.ndarray, threshold: float = 0.5):
+    """depth_accuracy for a SEPARATEDNN=0 double-output net: one forward
+    yields both channels (0 = vis, 1 = depth)."""
+    from ..models.mlp import apply_mlp_all
+
+    pred = np.asarray(apply_mlp_all(params, jnp.asarray(features), cfg))
+    is_hit = depth_labels != 1.0
+    vis_label = is_hit.astype(np.float32)
+    vis_acc = ((pred[:, 0] > threshold) == (vis_label > threshold)).mean()
+    depth_l1 = float(np.abs(pred[is_hit, 1] - depth_labels[is_hit]).mean()) \
+        if is_hit.any() else 0.0
+    return {"vis_accuracy": float(vis_acc), "depth_l1": depth_l1,
+            "hit_fraction": float(is_hit.mean())}

@@ -66,3 +66,18 @@ def test_combined_training_learns():
     )
     assert params["head_w1"].shape == (64, 2)
     assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.9
+
+
+def test_combined_accuracy_eval():
+    from pg2024_dprt_tpu.models.mlp import init_mlp
+    from pg2024_dprt_tpu.train.eval import combined_accuracy
+
+    cfg = MLPConfig(width=32, depth=1, out_features=2,
+                    final_activation="sigmoid")
+    params = init_mlp(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(8)
+    feats = rng.rand(512, 5).astype(np.float32)
+    labels = np.where(rng.rand(512) > 0.5, rng.rand(512), 1.0).astype(np.float32)
+    m = combined_accuracy(params, cfg, feats, labels)
+    assert 0.0 <= m["vis_accuracy"] <= 1.0
+    assert m["depth_l1"] >= 0.0 and 0.0 < m["hit_fraction"] < 1.0
