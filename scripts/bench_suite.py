@@ -337,6 +337,45 @@ def main():
     row("grouped_mlp", q / per / 1e6, "Mqueries/s",
         f"{per*1e3:.2f} ms for 64k queries over 8 objects (vis net)")
 
+    # INSTANCED proxy march on the Pallas kernel (VERDICT r3 #5: instanced
+    # tables previously fell back to the measured-15x-slower XLA path) —
+    # 16 instance rows over 4 objects, per-visit world_to_obj featurization
+    from pg2024_dprt_tpu.ops.pallas_march import march_proxies_pallas
+    from pg2024_dprt_tpu.scene.geometry import ProxyTable
+
+    prng = np.random.RandomState(17)
+    pi = 16
+    offs = (prng.rand(pi, 3).astype(np.float32) * 4.0 - 1.5)
+    sc = (0.4 + prng.rand(pi).astype(np.float32) * 0.8)
+    mtx = np.zeros((pi, 3, 4), np.float32)
+    for i in range(pi):
+        mtx[i, :, :3] = np.eye(3, dtype=np.float32) / sc[i]
+        mtx[i, :, 3] = -offs[i] / sc[i]
+    iproxies = ProxyTable(
+        aabb_min=jnp.asarray(offs),
+        aabb_max=jnp.asarray(offs + sc[:, None]),
+        max_length=jnp.asarray(np.full((pi,), np.sqrt(3.0), np.float32)),
+        obj_id=jnp.asarray(np.arange(pi, dtype=np.int32) % 4),
+        node_id=jnp.asarray(np.arange(pi, dtype=np.int32) % 8),
+        world_to_obj=jnp.asarray(mtx),
+        obj_min=jnp.zeros((pi, 3), np.float32),
+        obj_span=jnp.ones((pi, 3), np.float32))
+    mo = jnp.asarray(prng.rand(n, 3).astype(np.float32) * 5.0 - 2.0)
+    md_np = prng.randn(n, 3).astype(np.float32)
+    md = jnp.asarray(md_np / np.linalg.norm(md_np, axis=1, keepdims=True))
+    mcap = jnp.full((n,), 3.4e38, jnp.float32)
+    mact = jnp.ones((n,), bool)
+
+    def march_t(o_, d_, cap_, act_, px_):
+        qm = march_proxies_pallas(px_, o_, d_, cap_, act_, jnp.int32(31), 3,
+                                  1e-3)
+        return jnp.where(qm.is_valid, jnp.minimum(qm.aabb_t, 1.0), 1.0)
+
+    per = chained_time(march_t, mo, md, mcap, mact, iproxies)
+    row("march_instanced", n / per / 1e6, "Mrays/s",
+        f"{per*1e3:.2f} ms: 64k rays x 16 instanced proxies, max_hits=3, "
+        "in-kernel object-space featurization")
+
     # offline training stack on the chip (reference recipe main.py:75-171:
     # batch 12800, Adam, MSE vis loss) — one full fwd+bwd+Adam step
     from pg2024_dprt_tpu.models.mlp import init_mlp
