@@ -87,9 +87,28 @@ def _closest_u(cp, rad, x, n_scan: int = 16, newton: int = 3):
     return jnp.where(use_n, u, u_scan), jnp.minimum(dist_n, dist_scan)
 
 
+def scan_count_for(control_points, radii, hit_eps: float = 1e-4) -> int:
+    """Certified u-scan density: the scan's distance estimate overshoots the
+    true distance by at most L_u * h/2 (L_u = a Lipschitz bound on
+    u -> |x-C(u)| - r(u), h = scan spacing), because some sample lies within
+    h/2 of the global minimizer.  Choosing h so L_u*h/2 <= hit_eps/2 makes
+    `_closest_u`'s scan minimum a certified distance up to hit_eps/2 even if
+    Newton diverges.  L_u <= max|C'| + max|r'| <= sum of power-basis
+    derivative coefficient norms over u in [0,1]."""
+    cp = np.asarray(control_points, np.float64)
+    rr = np.asarray(radii, np.float64)
+    d1 = _D1 @ _BSPLINE
+    ac = np.einsum("jc,scd->sjd", d1.T, cp)   # (S,4,3) power coeffs of C'
+    ar = np.einsum("jc,sc->sj", d1.T, rr)     # (S,4)  power coeffs of r'
+    lip = np.linalg.norm(ac, axis=-1).sum(-1) + np.abs(ar).sum(-1)
+    h = hit_eps / np.maximum(lip.max(), 1e-12)
+    return int(np.clip(np.ceil(1.0 / h) + 1, 16, 4096))
+
+
 def intersect_bspline_exact(
     control_points, radii, origin, direction, t_min, t_max,
-    steps: int = 48, hit_eps: float = 1e-4,
+    steps: int = 64, hit_eps: float = 1e-4, step_scale: float = 0.75,
+    n_scan: int = 16,
 ):
     """Closest hit of (N,) rays against (S,) round cubic B-spline segments.
 
@@ -98,10 +117,17 @@ def intersect_bspline_exact(
     u (N,), is_hit (N,)) — the nearest surface crossing along each ray,
     found by sphere tracing per (ray, segment) and reducing over segments.
 
-    Exactness: each march step advances by the true distance to the
-    union-of-spheres volume, so it can never step across the surface; with
-    `steps` fixed iterations the residual distance at a reported hit is
-    < hit_eps (asserted by tests against dense sphere sampling)."""
+    Exactness: each march step advances by `step_scale` x the estimated
+    distance to the union-of-spheres volume.  The estimate comes from an
+    `n_scan`-point u-scan + Newton polish; if the global minimizer falls
+    between scan samples outside Newton's basin it can OVERSHOOT by up to
+    L_u/(2(n_scan-1)) (L_u = per-segment u-Lipschitz bound), so the
+    default `step_scale < 1` absorbs moderate overshoot but the no-step-
+    across guarantee is strict only when n_scan >= scan_count_for(...)
+    (round-4 advisor finding).  Default n_scan=16 + step_scale=0.75 is the
+    empirically-validated production setting (tests gate it against dense
+    sphere sampling); precision queries should pass the certified scan
+    count."""
     cp = jnp.asarray(control_points, jnp.float32)
     rad = jnp.asarray(radii, jnp.float32)
     o = jnp.asarray(origin, jnp.float32)
@@ -126,12 +152,13 @@ def intersect_bspline_exact(
     alive = alive0
     for _ in range(steps):
         x = o[:, None, :] + t[..., None] * d[:, None, :]
-        u, dist = _closest_u(cp, rad, x)
+        u, dist = _closest_u(cp, rad, x, n_scan=n_scan)
         new_hit = alive & (dist < hit_eps)
         hit = hit | new_hit
         u_hit = jnp.where(new_hit & (u_hit == 0.0), u, u_hit)
         alive = alive & (~new_hit)
-        t = jnp.where(alive, t + jnp.maximum(dist, hit_eps * 0.5), t)
+        t = jnp.where(alive,
+                      t + jnp.maximum(dist * step_scale, hit_eps * 0.5), t)
         alive = alive & (t <= jnp.minimum(t_exit, t_max))
 
     t = jnp.where(hit, t, jnp.float32(3.4e38))

@@ -173,6 +173,7 @@ def build_conservative_grid(
     height: int = 16,
     angle: int = 16,
     pad: float = 1e-3,
+    rel_pad: float = 1e-5,
     chunk: int = 4096,
 ) -> np.ndarray:
     """Analytic conservative visibility grid.
@@ -181,7 +182,17 @@ def build_conservative_grid(
     geometry (triangle or cluster AABBs). Returns a (6, H, W, A) bool numpy
     grid: True = some entering ray through this (face, cell, azimuth bin)
     may hit content. `pad` dilates azimuth arcs (radians) against fp
-    rounding at interval endpoints."""
+    rounding at interval endpoints; `rel_pad` dilates each cell rectangle
+    in-plane (rel units) so an entry point that f32-rounds exactly onto a
+    cell or face boundary still lands in a marked bin (an edge entry is
+    inside the dilated edge cell of BOTH adjacent faces, so either entry-
+    face classification is safe).
+
+    The azimuth interval is computed from WORLD-space deltas (rel deltas
+    scaled back by the AABB span per axis) to match
+    `query_conservative_grids`, which bins the azimuth of the raw world
+    direction — with rel-space deltas an anisotropic AABB shears the angles
+    and hitting rays land in unmarked bins (round-4 advisor finding)."""
     aabb_min = np.asarray(aabb_min, np.float64)
     aabb_max = np.asarray(aabb_max, np.float64)
     span = np.maximum(aabb_max - aabb_min, 1e-12)
@@ -196,13 +207,18 @@ def build_conservative_grid(
 
     for face, (axis, s, ua, va) in enumerate(_face_frames()):
         c_lo, c_hi = _cell_rects(face, width, height)  # (C, 3)
+        pad_vec = np.full(3, rel_pad)
+        pad_vec[axis] = 0.0  # the face-plane coordinate stays exact
+        c_lo, c_hi = c_lo - pad_vec, c_hi + pad_vec
         for start in range(0, T, chunk):
             tl, th = t_lo[start:start + chunk], t_hi[start:start + chunk]
-            # interval Δ = content - cell, per axis: (C, Tc, 3)
-            d_lo = tl[None, :, :] - c_hi[:, None, :]
-            d_hi = th[None, :, :] - c_lo[:, None, :]
+            # interval Δ = content - cell, per axis, scaled to WORLD units
+            # so azimuths match the query's world-direction binning: (C,Tc,3)
+            d_lo = (tl[None, :, :] - c_hi[:, None, :]) * span[None, None, :]
+            d_hi = (th[None, :, :] - c_lo[:, None, :]) * span[None, None, :]
             # feasibility: direction's face-axis component has sign s
-            feas = (s * d_hi[:, :, axis] if s > 0 else -d_lo[:, :, axis]) >= -1e-9
+            feas = (s * d_hi[:, :, axis] if s > 0 else -d_lo[:, :, axis]) \
+                >= -1e-9 * span[axis]
             # du/dv interval box (sign flip swaps endpoints)
             if s > 0:
                 du_lo, du_hi = d_lo[:, :, ua], d_hi[:, :, ua]

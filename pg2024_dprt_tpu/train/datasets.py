@@ -13,20 +13,27 @@ import numpy as np
 from ..utils.exr import read_exr, write_exr
 
 
-def balance_vis(features: np.ndarray, depth_labels: np.ndarray, ratio: float = 1.5, seed: int = 0):
-    """Visibility dataset: binary hit labels, misses subsampled to
-    ~ratio x hit count (loadNormalizedDatasetsBalanceVIS, datasets.py:149-193).
-    Returns (features, vis_labels in {0,1})."""
+def _balance_idx(depth_labels: np.ndarray, ratio: float, seed: int):
+    """Shared row selection for the vis-balanced datasets: subsampled miss
+    rows first, then all hit rows. Returns (idx, n_miss) so every consumer
+    gathers features AND labels with the same index by construction."""
     miss = depth_labels == 1.0
     hit_idx = np.where(~miss)[0]
     miss_idx = np.where(miss)[0]
     rng = np.random.RandomState(seed)
     keep = rng.permutation(miss_idx.shape[0])[: int(hit_idx.shape[0] * ratio)]
     miss_idx = miss_idx[keep]
-    idx = np.concatenate([miss_idx, hit_idx])
+    return np.concatenate([miss_idx, hit_idx]), miss_idx.shape[0]
+
+
+def balance_vis(features: np.ndarray, depth_labels: np.ndarray, ratio: float = 1.5, seed: int = 0):
+    """Visibility dataset: binary hit labels, misses subsampled to
+    ~ratio x hit count (loadNormalizedDatasetsBalanceVIS, datasets.py:149-193).
+    Returns (features, vis_labels in {0,1})."""
+    idx, n_miss = _balance_idx(depth_labels, ratio, seed)
     f = features[idx]
     vis = np.ones(idx.shape[0], np.float32)
-    vis[: miss_idx.shape[0]] = 0.0  # miss -> 0, hit -> 1 (datasets.py:190-192)
+    vis[:n_miss] = 0.0  # miss -> 0, hit -> 1 (datasets.py:190-192)
     return f, vis
 
 
@@ -43,13 +50,10 @@ def combined_labels(features: np.ndarray, depth_labels: np.ndarray,
     [binary hit, normalized depth] for the double-output net (the reference
     ships no combined training recipe — this composes its vis balancing with
     the depth target; the loss masks depth to hits, train/loop.py)."""
-    f, vis = balance_vis(features, depth_labels, ratio, seed)
-    miss = depth_labels == 1.0
-    hit_idx = np.where(~miss)[0]
-    miss_idx = np.where(miss)[0]
-    rng = np.random.RandomState(seed)
-    keep = rng.permutation(miss_idx.shape[0])[: int(hit_idx.shape[0] * ratio)]
-    idx = np.concatenate([miss_idx[keep], hit_idx])
+    idx, n_miss = _balance_idx(depth_labels, ratio, seed)
+    f = features[idx]
+    vis = np.ones(idx.shape[0], np.float32)
+    vis[:n_miss] = 0.0
     y = np.stack([vis, depth_labels[idx].astype(np.float32)], axis=-1)
     return f, y
 

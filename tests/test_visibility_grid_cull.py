@@ -73,6 +73,54 @@ def test_conservative_grid_no_false_negatives():
     assert (~vis).sum() > 0
 
 
+def test_conservative_grid_anisotropic_no_false_negatives():
+    """Round-4 advisor (high): the builder used span-normalized rel-space
+    deltas for the azimuth arcs while the query bins raw WORLD directions —
+    on an anisotropic AABB (here 10x1x1) the shear moved hitting rays into
+    unmarked bins (552/2000 falsely culled in the advisor's repro). The
+    builder now scales deltas back to world units; this gate pins that."""
+    from pg2024_dprt_tpu.scene.geometry import MeshGeometry
+    from pg2024_dprt_tpu.ops.traversal import traverse_bvh
+    from pg2024_dprt_tpu.scene.procedural import random_tri_soup
+    from pg2024_dprt_tpu.train.datagen import _sample_entry_rays
+
+    mesh = random_tri_soup(400, seed=11)  # content fills [0,1]^3 ...
+    scene = device_scene_from_meshes([mesh])
+    # ... inside a strongly anisotropic 10x1x1 partition AABB (the advisor's
+    # repro geometry): most of the box is empty so real culling must happen.
+    lo = np.zeros(3, np.float32)
+    hi = np.array([10.0, 1.0, 1.0], np.float32)
+
+    tmin = np.minimum(np.minimum(mesh.v0, mesh.v1), mesh.v2)
+    tmax = np.maximum(np.maximum(mesh.v0, mesh.v1), mesh.v2)
+    grid = build_conservative_grid(tmin, tmax, lo, hi, 16, 16, 16)
+    assert not grid.all()
+
+    n = 20_000
+    o, d = _sample_entry_rays(jax.random.PRNGKey(13), jnp.asarray(lo),
+                              jnp.asarray(hi), n)
+    hits = traverse_bvh(
+        scene, o, d, 1e-4, jnp.full((n,), 3.4e38, jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    o_out = o - 1e-3 * d
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d >= 0, 1e-12, -1e-12), d)
+    t0 = (jnp.asarray(lo)[None] - o_out) * inv
+    t1 = (jnp.asarray(hi)[None] - o_out) * inv
+    t_near = jnp.minimum(t0, t1)
+    t_enter = jnp.max(t_near, axis=-1)
+    vis = query_conservative_grids(
+        jnp.asarray(grid)[None], jnp.asarray(lo)[None], jnp.asarray(hi)[None],
+        o_out, d, t_enter[:, None], t_near[:, None, :],
+    )[:, 0]
+    hit = np.asarray(hits.is_hit)
+    vis = np.asarray(vis)
+    false_neg = hit & ~vis
+    assert false_neg.sum() == 0, f"{false_neg.sum()} hitting rays falsely culled"
+    assert (~vis).sum() > 0  # still actually culls something
+
+
 def test_distributed_grid_culling_exact():
     """Grids on == grids off image (conservative culling is exact) while the
     culled candidate/hop stat shows real migration + ring-shadow reduction."""
