@@ -270,9 +270,6 @@ def main(argv=None):
 
     from .frames import render_frames
 
-    if args.partitions > 1 and instanced_spec:
-        raise SystemExit("the instanced builtin is a single-device scene; "
-                         "use rooms/soup builtins with --partitions")
     if args.partitions > 1:
         import dataclasses
 
@@ -280,7 +277,8 @@ def main(argv=None):
 
         from ..models import random_proxy_models
         from ..parallel import make_mesh
-        from ..scene import build_partitioned_scene
+        from ..scene import (
+            build_partitioned_scene, build_partitioned_scene_instanced)
 
         if jax.device_count() < args.partitions:
             raise SystemExit(
@@ -289,9 +287,19 @@ def main(argv=None):
                 f"({jax.default_backend()}); re-run with --cpu-mesh to use a "
                 f"virtual {args.partitions}-device CPU mesh, or lower "
                 f"--partitions")
-        part = build_partitioned_scene(meshes, args.partitions,
-                                       textures=textures,
-                                       visibility_grids=args.visibility_grids)
+        if instanced_spec:
+            # distributed two-level instancing: partitions own instance
+            # subsets over one shared base table (scene/partition.py)
+            if args.neural:
+                raise SystemExit("--neural with the instanced builtin is "
+                                 "not supported; use exact mode")
+            part = build_partitioned_scene_instanced(
+                base_meshes, transforms, args.partitions,
+                visibility_grids=args.visibility_grids)
+        else:
+            part = build_partitioned_scene(
+                meshes, args.partitions, textures=textures,
+                visibility_grids=args.visibility_grids)
         mesh = make_mesh(args.partitions)
         if args.neural:
             models = train_partition_proxies(

@@ -7,5 +7,11 @@ from .geometry import (
     device_scene_from_meshes,
 )
 from .lights import LightTable, EnvironmentMap
-from .partition import partition_meshes, build_partitioned_scene, PartitionedScene
+from .partition import (
+    partition_meshes,
+    partition_instances,
+    build_partitioned_scene,
+    build_partitioned_scene_instanced,
+    PartitionedScene,
+)
 from .procedural import city_scene, cornell_box, random_tri_soup, two_room_scene

@@ -338,9 +338,25 @@ def device_scene_from_instances(
         tris_per_cluster = (128 if eff <= 262144 else
                             512 if eff <= 8_388_608 else 2048)
     base = device_scene_from_meshes(meshes, tris_per_cluster=tris_per_cluster)
+    fields, _aux = _instance_tables(base, transforms)
+    return base._replace(**fields)
+
+
+def _instance_tables(base: DeviceScene, transforms, n_valid: Optional[int] = None):
+    """Instance-level cluster/group tables over a shared base DeviceScene.
+
+    Returns (fields, aux): `fields` is the dict of DeviceScene replacements
+    (what `device_scene_from_instances` applies); `aux` carries host numpy
+    (wmin, wmax, nonempty) of the (I*KB,) instance-cluster world boxes for
+    partition-AABB / visibility-grid construction.  `n_valid` < I marks the
+    trailing instances EMPTY (all cluster boxes non-entered, counts 0) —
+    the padding rows that make per-partition instance tables rectangular
+    across a stacked distributed scene (scene/partition.py)."""
     M = np.asarray(transforms, np.float32)
     assert M.ndim == 3 and M.shape[1:] == (3, 4), "transforms: (I, 3, 4)"
     ni = M.shape[0]
+    if n_valid is None:
+        n_valid = ni
     kb = base.num_clusters
     c = base.tris_per_cluster
     k = ni * kb
@@ -360,8 +376,9 @@ def device_scene_from_instances(
     finite = np.isfinite(bmin).all(axis=1) & np.isfinite(bmax).all(axis=1)
     wmin = wc.min(axis=2).reshape(k, 3)
     wmax = wc.max(axis=2).reshape(k, 3)
-    count = np.tile(np.asarray(base.cl_count), ni)
-    nonempty = (count > 0) & np.tile(finite, ni)
+    valid_inst = np.repeat(np.arange(ni) < n_valid, kb)
+    count = np.where(valid_inst, np.tile(np.asarray(base.cl_count), ni), 0)
+    nonempty = (count > 0) & np.tile(finite, ni) & valid_inst
     wmin = np.where(nonempty[:, None], wmin, 0.0)
     wmax = np.where(nonempty[:, None], wmax, 0.0)
     cl_boxes = np.concatenate(
@@ -415,7 +432,7 @@ def device_scene_from_instances(
         [gmin.T, gmax.T, g_any.astype(np.float32)[None],
          np.zeros((1, kgi), np.float32)], axis=0).astype(np.float32)
 
-    return base._replace(
+    fields = dict(
         cl_aabb_min=jnp.asarray(wmin),
         cl_aabb_max=jnp.asarray(wmax),
         cl_count=jnp.asarray(count),
@@ -432,6 +449,7 @@ def device_scene_from_instances(
         cl_gboxes=jnp.asarray(gboxes),
         cl_mboxes=jnp.asarray(mboxes),
     )
+    return fields, (wmin, wmax, nonempty)
 
 
 def _pack_device_scene(host: dict, bvh: FlatBVH, node_capacity=None, tri_capacity=None,

@@ -33,12 +33,10 @@ class PartitionedScene(NamedTuple):
     num_partitions: int
 
 
-def partition_meshes(meshes: Sequence[MeshGeometry], num_partitions: int) -> List[List[int]]:
-    """Assign mesh indices to partitions by recursive spatial median split of
-    mesh centroids. Returns a list of P lists of mesh indices."""
+def _median_split(centroids: np.ndarray, num_partitions: int) -> List[List[int]]:
+    """Recursive spatial median split of (N, 3) centroids into P index lists."""
     if num_partitions == 1:
-        return [list(range(len(meshes)))]
-    centroids = np.array([(m.aabb()[0] + m.aabb()[1]) * 0.5 for m in meshes])
+        return [list(range(centroids.shape[0]))]
 
     def split(idx: np.ndarray, parts: int) -> List[List[int]]:
         if parts == 1:
@@ -51,7 +49,32 @@ def partition_meshes(meshes: Sequence[MeshGeometry], num_partitions: int) -> Lis
         mid = min(max(mid, 0), len(order))
         return split(order[:mid], left_parts) + split(order[mid:], parts - left_parts)
 
-    return split(np.arange(len(meshes)), num_partitions)
+    return split(np.arange(centroids.shape[0]), num_partitions)
+
+
+def partition_meshes(meshes: Sequence[MeshGeometry], num_partitions: int) -> List[List[int]]:
+    """Assign mesh indices to partitions by recursive spatial median split of
+    mesh centroids. Returns a list of P lists of mesh indices."""
+    if num_partitions == 1:
+        return [list(range(len(meshes)))]
+    centroids = np.array([(m.aabb()[0] + m.aabb()[1]) * 0.5 for m in meshes])
+    return _median_split(centroids, num_partitions)
+
+
+def partition_instances(meshes: Sequence[MeshGeometry], transforms,
+                        num_partitions: int) -> List[List[int]]:
+    """Assign INSTANCE indices to partitions by spatial median of the
+    transformed base-AABB centers (the instanced analogue of
+    `partition_meshes`; reference: per-rank AS tables carry instanced GAS
+    handles, /root/reference/src/render/renderer.cpp:1812-1849)."""
+    M = np.asarray(transforms, np.float64)
+    if num_partitions == 1:
+        return [list(range(M.shape[0]))]
+    los = np.array([m.aabb()[0] for m in meshes])
+    his = np.array([m.aabb()[1] for m in meshes])
+    center = ((los.min(0) + his.max(0)) * 0.5).astype(np.float64)
+    centroids = np.einsum("iab,b->ia", M[:, :, :3], center) + M[:, :, 3]
+    return _median_split(centroids, num_partitions)
 
 
 def build_partitioned_scene(
@@ -163,3 +186,89 @@ def build_partitioned_scene(
         vis_grid=vis_grid,
     )
     return PartitionedScene(stacked=stacked, proxies=proxies, num_partitions=num_partitions)
+
+
+def build_partitioned_scene_instanced(
+    meshes: Sequence[MeshGeometry],
+    transforms,
+    num_partitions: int,
+    assignment: Optional[List[List[int]]] = None,
+    visibility_grids: bool = False,
+    grid_res: tuple = (16, 16, 16),
+    tris_per_cluster: Optional[int] = None,
+) -> PartitionedScene:
+    """Distributed two-level instancing: INSTANCES (not meshes) are the unit
+    of partition assignment, and every partition shares ONE set of base
+    triangle tables — its row of the stacked scene carries only instance-
+    level cluster boxes / transforms for the instances it owns, padded to a
+    common instance capacity.  This is the TPU form of the reference's
+    per-rank AS table holding instanced GAS handles plus remote proxies
+    (/root/reference/src/render/renderer.cpp:1812-1849,
+    optix/distributed_traversal_kernel.cu:174) — its production scenes
+    (Moana, Bistro) are instance-heavy AND distributed at once.
+
+    `transforms`: (I, 3, 4) obj_to_world affines over the shared base mesh
+    list.  Migrating rays route through partition-level proxy AABBs (union
+    of owned instance boxes) exactly as in the flat path; local traces run
+    the instance-aware grouped cull (ops/pallas_resident.py).  With
+    `visibility_grids=True` the conservative grid is rasterized from the
+    partition's nonempty instance-CLUSTER world boxes (conservative w.r.t.
+    the instanced triangles by containment)."""
+    from .geometry import _instance_tables, device_scene_from_meshes
+
+    M = np.asarray(transforms, np.float32)
+    assert M.ndim == 3 and M.shape[1:] == (3, 4), "transforms: (I, 3, 4)"
+    if assignment is None:
+        assignment = partition_instances(meshes, M, num_partitions)
+    assert len(assignment) == num_partitions
+    icap = max(1, max((len(p) for p in assignment), default=1))
+    if tris_per_cluster is None:
+        # adaptive cluster width keys on the PER-PARTITION effective
+        # triangle count (icap x base) — the K that any one device's
+        # kernels actually compile against (device_scene_from_instances)
+        eff = icap * sum(m.num_triangles for m in meshes)
+        tris_per_cluster = (128 if eff <= 262144 else
+                            512 if eff <= 8_388_608 else 2048)
+    base = device_scene_from_meshes(meshes, tris_per_cluster=tris_per_cluster)
+
+    ident = np.zeros((3, 4), np.float32)
+    ident[:, :3] = np.eye(3, dtype=np.float32)
+    scenes, aabb_min, aabb_max, grids = [], [], [], []
+    W, H, A = grid_res
+    for part in assignment:
+        mp = (M[np.asarray(part, np.int64)].reshape(-1, 3, 4)
+              if part else np.zeros((0, 3, 4), np.float32))
+        pad = np.tile(ident[None], (icap - len(part), 1, 1))
+        fields, (wmin, wmax, nonempty) = _instance_tables(
+            base, np.concatenate([mp, pad], axis=0), n_valid=len(part))
+        scenes.append(base._replace(**fields))
+        if nonempty.any():
+            lo = wmin[nonempty].min(0).astype(np.float32)
+            hi = wmax[nonempty].max(0).astype(np.float32)
+        else:
+            lo = np.full(3, np.inf, np.float32)
+            hi = np.full(3, -np.inf, np.float32)
+        aabb_min.append(lo)
+        aabb_max.append(hi)
+        if visibility_grids:
+            if nonempty.any():
+                from .visibility_grid import build_conservative_grid
+
+                grids.append(build_conservative_grid(
+                    wmin[nonempty], wmax[nonempty], lo, hi, W, H, A))
+            else:
+                grids.append(np.zeros((6, H, W, A), bool))
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
+    aabb_min = np.asarray(aabb_min, np.float32)
+    aabb_max = np.asarray(aabb_max, np.float32)
+    diag = np.linalg.norm(
+        np.maximum(aabb_max - aabb_min, 0.0), axis=-1).astype(np.float32)
+    proxies = ProxyTable(
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        max_length=jnp.asarray(diag),
+        vis_grid=jnp.asarray(np.stack(grids, axis=0)) if visibility_grids else None,
+    )
+    return PartitionedScene(stacked=stacked, proxies=proxies,
+                            num_partitions=num_partitions)

@@ -110,6 +110,44 @@ def random_tri_soup(n: int, seed: int = 0, extent: float = 1.0, jitter: float = 
     return MeshGeometry(v0=base, v1=base + e1, v2=base + e2, name=f"soup{n}")
 
 
+def statue_mesh(res: int = 48, seed: int = 0, extent: float = 1.0):
+    """CHEVAL_MARLY-class demo OBJECT for proxy training: a closed, smoothly
+    displaced sphere (low-frequency lobes + mid-frequency ripple) whose
+    visibility/depth field is learnable by the reference's 5-input MLPs —
+    the procedural stand-in for the statue scan the reference trains on
+    (/root/reference/trainingcode/main.py:133 'CHEVAL_MARLY').  ~2*res^2*2
+    triangles; fits [0, extent]^3."""
+    rng = np.random.RandomState(seed)
+    th = np.linspace(0.0, np.pi, res + 1)
+    ph = np.linspace(0.0, 2 * np.pi, 2 * res + 1)
+    T, Pg = np.meshgrid(th, ph, indexing="ij")       # (res+1, 2res+1)
+    a, b, c = 0.22 + 0.06 * rng.rand(3)
+    r = (1.0
+         + a * np.sin(3.0 * T) * np.cos(2.0 * Pg)
+         + b * np.cos(2.0 * T) * np.sin(3.0 * Pg)
+         + c * 0.4 * np.sin(5.0 * T + 1.3) * np.sin(4.0 * Pg + 0.7))
+    x = r * np.sin(T) * np.cos(Pg)
+    y = r * np.cos(T)
+    z = r * np.sin(T) * np.sin(Pg)
+    v = np.stack([x, y, z], axis=-1)                  # (res+1, 2res+1, 3)
+    # normalize into [0, extent]^3
+    lo = v.reshape(-1, 3).min(0)
+    hi = v.reshape(-1, 3).max(0)
+    v = (v - lo) / max((hi - lo).max(), 1e-9) * extent
+    p00 = v[:-1, :-1].reshape(-1, 3)
+    p10 = v[1:, :-1].reshape(-1, 3)
+    p01 = v[:-1, 1:].reshape(-1, 3)
+    p11 = v[1:, 1:].reshape(-1, 3)
+    v0 = np.concatenate([p00, p00]).astype(np.float32)
+    v1 = np.concatenate([p10, p11]).astype(np.float32)
+    v2 = np.concatenate([p11, p01]).astype(np.float32)
+    # drop degenerate polar slivers
+    n = np.cross(v1 - v0, v2 - v0)
+    keep = np.linalg.norm(n, axis=-1) > 1e-12
+    return MeshGeometry(v0=v0[keep], v1=v1[keep], v2=v2[keep],
+                        base_color=(0.75, 0.72, 0.68), name=f"statue{res}")
+
+
 def city_scene(n: int, seed: int = 0, extent: float = 1.0):
     """~n-triangle architectural stand-in: a displaced terrain grid plus box
     "buildings" — the surface statistics of the reference's target scenes

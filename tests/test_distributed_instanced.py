@@ -1,0 +1,128 @@
+"""Distributed two-level instancing (VERDICT r4 item 1): instanced scenes
+must compose with mesh partitioning — each partition owns a SUBSET of the
+instances over one shared base triangle table
+(scene/partition.py::build_partitioned_scene_instanced), migrating rays
+route through partition-level proxy AABBs, and the N-partition exact render
+equals the 1-device instanced render.  Reference: per-rank AS tables carry
+instanced GAS handles + remote proxies in one structure
+(/root/reference/src/render/renderer.cpp:1812-1849,
+optix/distributed_traversal_kernel.cu:174) — its production scenes (Moana,
+Bistro) are instance-heavy AND distributed at once."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pytest
+
+from pg2024_dprt_tpu.core import Camera
+from pg2024_dprt_tpu.models import random_proxy_models
+from pg2024_dprt_tpu.parallel import make_mesh, render_image_distributed
+from pg2024_dprt_tpu.render import RenderConfig, render_image
+from pg2024_dprt_tpu.scene import (
+    build_partitioned_scene_instanced,
+    partition_instances,
+    random_tri_soup,
+)
+from pg2024_dprt_tpu.scene.geometry import device_scene_from_instances
+from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
+
+
+def _instanced_setup(ni=6, tris=240):
+    """A row of rotated/scaled instances of one base soup + an area light
+    hovering over the arrangement."""
+    base = random_tri_soup(tris, seed=4)
+    rng = np.random.RandomState(11)
+    M = np.zeros((ni, 3, 4), np.float32)
+    for i in range(ni):
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        s = np.diag(0.6 + rng.rand(3) * 0.9)
+        M[i, :, :3] = (q @ s).astype(np.float32)
+        M[i, :, 3] = [2.0 * i, 0.0, 0.0]
+    # world AABB of all instances (corner transform)
+    lo0, hi0 = base.aabb()
+    corners = np.stack([np.where(np.asarray(sel), hi0, lo0)
+                        for sel in np.ndindex(2, 2, 2)])
+    wc = (np.einsum("iab,cb->ica", M[:, :, :3], corners) + M[:, None, :, 3])
+    lo = wc.reshape(-1, 3).min(0)
+    hi = wc.reshape(-1, 3).max(0)
+
+    cx, cz = 0.5 * (lo[0] + hi[0]), 0.5 * (lo[2] + hi[2])
+    y = hi[1] + 0.5
+    quad = np.asarray(
+        [[[cx - 1, y, cz - 1], [cx + 1, y, cz - 1], [cx + 1, y, cz + 1]],
+         [[cx - 1, y, cz - 1], [cx + 1, y, cz + 1], [cx - 1, y, cz + 1]]],
+        np.float32)
+    lights = LightTable.from_arrays(quad, np.full((2, 3), 14.0, np.float32))
+    env = EnvironmentMap.constant((0.25, 0.28, 0.35))
+    center = 0.5 * (lo + hi)
+    eye = center + np.asarray([0.0, 1.2, 1.6]) * max(hi[0] - lo[0], 2.0) * 0.6
+    camera = Camera.look_at(list(eye), list(center), [0, 1, 0], 55.0, 24, 24)
+    return base, M, lights, env, camera
+
+
+@pytest.mark.parametrize("parts", [2, 8])
+def test_distributed_instanced_matches_single_device(parts):
+    """N-partition instanced render == 1-device instanced render (exact
+    mode).  parts=8 over 6 instances also exercises empty partitions."""
+    base, M, lights, env, camera = _instanced_setup()
+    cfg = RenderConfig(width=24, height=24, spp=1, bounces=2)
+
+    single = device_scene_from_instances([base], M)
+    want = np.asarray(render_image(single, lights, env, camera, cfg))
+
+    part = build_partitioned_scene_instanced([base], M, parts)
+    assert part.stacked.instanced
+    assert part.stacked.cl_xf.shape[0] == parts
+    mesh = make_mesh(parts)
+    models = random_proxy_models(jax.random.PRNGKey(0), parts)
+    got = np.asarray(
+        render_image_distributed(part, models, lights, env, camera, cfg, mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_partition_instances_covers_all():
+    base, M, *_ = _instanced_setup(ni=7)
+    assign = partition_instances([base], M, 4)
+    assert sorted(i for p in assign for i in p) == list(range(7))
+    # spatial median over a row: contiguous runs
+    for p in assign:
+        if p:
+            assert max(p) - min(p) == len(p) - 1
+
+
+def test_instanced_partition_shares_base_tables():
+    """The stacked scene's base triangle tables must be the SAME rows on
+    every partition (shared base), while instance-level tables differ."""
+    base, M, *_ = _instanced_setup()
+    part = build_partitioned_scene_instanced([base], M, 2)
+    s = part.stacked
+    np.testing.assert_array_equal(np.asarray(s.cl_mt_table[0]),
+                                  np.asarray(s.cl_mt_table[1]))
+    # different instance ownership -> different world cluster boxes
+    assert not np.array_equal(np.asarray(s.cl_boxes[0]),
+                              np.asarray(s.cl_boxes[1]))
+
+
+def test_distributed_instanced_with_visibility_grids():
+    """Grids on == grids off on an instanced partitioned scene (conservative
+    culling from instance-cluster boxes is exact) with a nonzero cull
+    count."""
+    base, M, lights, env, camera = _instanced_setup()
+    cfg_off = RenderConfig(width=24, height=24, spp=1, bounces=2)
+    cfg_on = RenderConfig(width=24, height=24, spp=1, bounces=2,
+                          use_visibility_grids=True)
+    part_off = build_partitioned_scene_instanced([base], M, 4)
+    part_on = build_partitioned_scene_instanced([base], M, 4,
+                                                visibility_grids=True)
+    assert part_on.proxies.vis_grid is not None
+    mesh = make_mesh(4)
+    models = random_proxy_models(jax.random.PRNGKey(0), 4)
+    img_off, st_off = render_image_distributed(
+        part_off, models, lights, env, camera, cfg_off, mesh,
+        return_stats=True)
+    img_on, st_on = render_image_distributed(
+        part_on, models, lights, env, camera, cfg_on, mesh,
+        return_stats=True)
+    assert st_on["grid_culled"] > 0
+    np.testing.assert_allclose(np.asarray(img_on), np.asarray(img_off),
+                               rtol=1e-5, atol=1e-6)
