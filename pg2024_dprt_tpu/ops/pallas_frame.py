@@ -236,16 +236,16 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
                   width: int, height: int, tiny: bool = False, ct: int = 8,
                   textured: bool = False, tr: int = 8, twm: int = 8,
                   ntp: int = 8, ssub: int = 1, csub: int = 1,
-                  ris: bool = False):
+                  ris: bool = False, rr_start: int = 0):
     """One (ray tile, sample) grid step, all bounces.  The grid is
     (tiles, spp) with spp innermost: consecutive sample steps revisit the
     same out block, accumulating in place (the matmul-k reduction pattern)
     — a whole multi-spp frame is ONE kernel launch.
 
     pix (1, TM) i32: tiled pixel ids (-1 = padding lane); camera rays are
-    generated IN-KERNEL (pathgen.py math) from meta_f.  meta_i (SPP, 24)
+    generated IN-KERNEL (pathgen.py math) from meta_f.  meta_i (SPP, 32)
     i32: cols 0..7 per-bounce TEA salts, col 8 the sample id, cols 16..23
-    per-bounce RIS u-draw salts.  meta_f
+    per-bounce RIS u-draw salts, cols 24..31 RR survival-draw salts.  meta_f
     (1, 24) f32: [scene_lo(3), scene_hi(3), env_rotation, pad, cam_origin
     (3), forward(3), right(3), up(3), tan_half_fov, tan_half_fov*aspect,
     pad2].  out ROWS (8, TM): [direct(3), env(3), 0, 0] summed over spp.
@@ -818,6 +818,19 @@ def _frame_kernel(pix_ref, boxes_ref, gboxes_ref, mboxes_ref, table_ref,
         o = point
         d = wi_world
         act = hit
+        if rr_start and rr_start <= b + 1 < bounces:
+            # Russian roulette on paths entering bounce b+1 — bit-identical
+            # to the composed form (render/shade.py RR_SALT stream): one
+            # survival draw, p = clip(max throughput channel, RR_FLOOR, 1),
+            # survivors compensate by 1/p
+            rr_salt = meta_i_ref[s_idx, 24 + b]
+            rseed = _tea_i32(pix, jnp.full((1, tm), rr_salt, jnp.int32))
+            rseed, u_rr = _rnd_i32(rseed)
+            p_rr = jnp.clip(jnp.maximum(tp[0], jnp.maximum(tp[1], tp[2])),
+                            jnp.float32(0.05), jnp.float32(1.0))
+            survive = u_rr < p_rr
+            act = hit & survive
+            tp = tuple(jnp.where(survive, q / p_rr, 0.0) for q in tp)
 
     # spp accumulation: the innermost grid dim revisits this out block
     @pl.when(s_idx == 0)
@@ -909,9 +922,10 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
 
     # per-(sample, bounce) TEA salts (render/shade.py bounce_salt) + the
     # sample id for in-kernel camera jitter + per-bounce RIS u-draw salts
-    # (render/shade.py RIS_SALT stream): (SPP, 24) i32,
-    # cols 0-7 bounce salts, 8 sample id, 16-23 RIS salts
-    from ..render.shade import RIS_SALT
+    # (render/shade.py RIS_SALT stream) + RR survival-draw salts (RR_SALT
+    # stream): (SPP, 32) i32, cols 0-7 bounce salts, 8 sample id,
+    # 16-23 RIS salts, 24-31 RR salts
+    from ..render.shade import RIS_SALT, RR_SALT
 
     sample_ids = jnp.asarray(base_sample, jnp.int32) + jnp.arange(
         spp, dtype=jnp.int32)
@@ -923,7 +937,9 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
         + [sample_ids]
         + [jnp.zeros((spp,), jnp.int32)] * 7
         + [tea(bs, jnp.uint32(RIS_SALT)).astype(jnp.int32) for bs in b_salts]
-        + [jnp.zeros((spp,), jnp.int32)] * (8 - bounces), axis=1)  # (SPP, 24)
+        + [jnp.zeros((spp,), jnp.int32)] * (8 - bounces)
+        + [tea(bs, jnp.uint32(RR_SALT)).astype(jnp.int32) for bs in b_salts]
+        + [jnp.zeros((spp,), jnp.int32)] * (8 - bounces), axis=1)  # (SPP, 32)
 
     aspect = jnp.float32(cfg.width / cfg.height)
     meta_f = jnp.concatenate(
@@ -1075,7 +1091,7 @@ def render_frame_fused(scene, lights, env, camera, base_sample, cfg,
                 eps=cfg.t_epsilon, hbm=hbm, recull=recull, orecull=orecull,
                 width=cfg.width, height=cfg.height, tiny=tiny, ct=ct,
                 textured=textured, tr=tr, twm=twm, ntp=ntp, ssub=ssub,
-                csub=csub, ris=ris),
+                csub=csub, ris=ris, rr_start=cfg.russian_roulette),
         grid=(mp // tm, spp),
         in_specs=[pix_spec, vmem, vmem, vmem, table_spec, shade_spec,
                   vmem, vmem, vmem, vmem, vmem, vmem, smem, smem],

@@ -243,9 +243,11 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
                 u=paths.hit_u, v=paths.hit_v,
                 is_hit=settled_here,
             )
+        rr = bool(cfg.russian_roulette) and \
+            cfg.russian_roulette <= bounce + 1 < cfg.bounces
         next_paths, shadow_paths, env_add = shade(
             scene, lights, env, paths, hits, sample_count, bounce,
-            cfg.shadow_path_count, npix, nee_mode=cfg.nee_mode,
+            cfg.shadow_path_count, npix, nee_mode=cfg.nee_mode, rr=rr,
         )
         env_img = env_img + env_add
 

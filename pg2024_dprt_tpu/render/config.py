@@ -48,6 +48,13 @@ class RenderConfig:
     # is the reference's estimator (frame_buffer_update.cu / kernel.cu:444)
     # with S occlusion rays per shading point.
     nee_mode: str = "ris"
+    # Russian roulette: paths ENTERING bounce >= this index are survival-
+    # tested on clip(max next-throughput channel, RR_FLOOR, 1) with 1/p
+    # compensation (render/shade.py; in-kernel in ops/pallas_frame.py with
+    # bit-identical draws).  0 = off (reference parity: kernel.cu:424-439
+    # has no RR).  Unbiased — expectation gated by tests/test_rr.py; shrinks
+    # the dominant bounce-closest wavefronts on deep-bounce frames.
+    russian_roulette: int = 0
     # Exact-mode cross-partition culling via conservative per-partition
     # visibility grids (ProxyTable.vis_grid, built with
     # build_partitioned_scene(visibility_grids=True)): pre-filters migration

@@ -67,7 +67,7 @@ def render_sample(
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
 
-    def bounce_body(bounce, carry, sort_rays):
+    def bounce_body(bounce, carry, sort_rays, rr=False):
         paths, direct, env_img, diag = carry
         live = paths.is_valid
 
@@ -87,6 +87,7 @@ def render_sample(
             cfg.shadow_path_count,
             npix,
             nee_mode=cfg.nee_mode,
+            rr=rr,
         )
         env_img = env_img + env_add
 
@@ -125,7 +126,9 @@ def render_sample(
     # arrivals in the distributed loop (parallel/distributed.py).
     carry = (paths, direct, env_img, jnp.int32(0))
     for bounce in range(cfg.bounces):
-        carry = bounce_body(jnp.int32(bounce), carry, sort_rays=False)
+        rr = bool(cfg.russian_roulette) and \
+            cfg.russian_roulette <= bounce + 1 < cfg.bounces
+        carry = bounce_body(jnp.int32(bounce), carry, sort_rays=False, rr=rr)
     paths, direct, env_img, diag = carry
     return direct, env_img, diag
 

@@ -31,6 +31,12 @@ _F32_MAX = jnp.float32(3.402823466e38)
 # TEA stream id for the RIS reservoir u draw ("RIS1") — shared with the
 # in-kernel form (ops/pallas_frame.py) so both paths select identically
 RIS_SALT = 0x52495331
+# TEA stream id for the Russian-roulette survival draw ("RR01"); shared with
+# the in-kernel form for bit-identical composed-vs-fused roulette decisions
+RR_SALT = 0x52523031
+# survival-probability floor: bounds the 1/p compensation (variance) and
+# guarantees bright paths are never rouletted (p = 1 when throughput >= 1)
+RR_FLOOR = 0.05
 
 
 class SurfaceAttributes(NamedTuple):
@@ -172,8 +178,17 @@ def shade(
     shadow_path_count: int,
     frame_buffer_size: int,
     nee_mode: str = "sum",
+    rr: bool = False,
 ):
     """One shade pass. Returns (next_paths, shadow_paths, env_image_add).
+
+    rr=True applies Russian roulette to the paths this call emits for the
+    NEXT bounce (caller gates it by RenderConfig.russian_roulette): survival
+    probability p = clip(max channel of the next throughput, RR_FLOOR, 1);
+    survivors divide by p, so the estimator expectation is unchanged while
+    dim paths stop feeding the (dominant) bounce-closest traces.  The
+    reference has no RR (optix/kernel.cu:424-439) — this is a deliberate
+    beyond-parity estimator lever.
 
     nee_mode="ris" emits ONE reservoir-selected shadow path per shading
     point instead of shadow_path_count (RenderConfig.nee_mode docs);
@@ -210,19 +225,32 @@ def shade(
     cos_theta = jnp.abs(wi_local[..., 2])
 
     next_throughput = paths.throughput * (weight * cos_theta)[:, None] * attrs.albedo
+    next_live = hit
+    if rr:
+        rseed = tea(paths.pixel_index.astype(jnp.uint32),
+                    tea(bounce_salt, jnp.uint32(RR_SALT)))
+        _, u_rr = rnd(rseed)
+        p = jnp.clip(
+            jnp.maximum(next_throughput[:, 0],
+                        jnp.maximum(next_throughput[:, 1],
+                                    next_throughput[:, 2])),
+            jnp.float32(RR_FLOOR), jnp.float32(1.0))
+        survive = u_rr < p
+        next_live = hit & survive
+        next_throughput = next_throughput / p[:, None]
     next_paths = PathState(
         origin=attrs.point,
         direction=wi_world,
         tmax=jnp.full((n,), _F32_MAX),
-        throughput=jnp.where(hit[:, None], next_throughput, 0.0),
+        throughput=jnp.where(next_live[:, None], next_throughput, 0.0),
         pixel_index=paths.pixel_index,
         shadow_path_id=jnp.full((n,), -1, jnp.int32),
         visited_mask=jnp.zeros((n,), jnp.uint32),
         current_node=jnp.full((n,), -1, jnp.int32),
         target_node=jnp.full((n,), -1, jnp.int32),
         is_shadow=jnp.zeros((n,), bool),
-        is_delta=is_delta & hit,
-        is_valid=hit,
+        is_delta=is_delta & next_live,
+        is_valid=next_live,
         is_hit=jnp.zeros((n,), bool),
         hit_tri=jnp.full((n,), -1, jnp.int32),
         hit_u=jnp.zeros((n,), jnp.float32),

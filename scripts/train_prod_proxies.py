@@ -44,23 +44,56 @@ FAST = "--fast" in sys.argv
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 
 
+def _datagen(path: str):
+    """Child phase (CPU platform forced): cast rays with the production
+    traversal and save the train + eval datasets as one npz."""
+    mesh = statue_mesh(48, seed=0)
+    scene = device_scene_from_meshes([mesh])
+    lo, hi = mesh.aabb()
+    n_train = 100_000 if FAST else 2_000_000
+    feats, labels = generate_proxy_dataset(scene, lo, hi, n_train, seed=1)
+    feats_eval, labels_eval = generate_proxy_dataset(
+        scene, lo, hi, n_train // 8, seed=777)
+    np.savez(path, feats=feats, labels=labels,
+             feats_eval=feats_eval, labels_eval=labels_eval,
+             num_tris=mesh.num_triangles)
+
+
+def _datagen_via_subprocess(path: str):
+    """Run _datagen in a CPU-forced child (the axon tunnel platform makes
+    per-ray BVH stepping pathological, and env JAX_PLATFORMS alone is
+    ignored once sitecustomize registered the backend)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_PG2024_TRAIN_DATAGEN"] = path
+    pyp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+           if p and "axon" not in p]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(pyp + [repo])
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                       + (["--fast"] if FAST else []), env=env)
+    assert r.returncode == 0, "datagen child failed"
+
+
 def main():
     t_start = time.time()
     mesh = statue_mesh(48, seed=0)
     print(f"statue: {mesh.num_triangles} tris", flush=True)
 
-    # --- datagen on the CPU backend (production traversal) ---
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        scene = device_scene_from_meshes([mesh])
-        lo, hi = mesh.aabb()
-        n_train = 100_000 if FAST else 2_000_000
-        feats, labels = generate_proxy_dataset(scene, lo, hi, n_train, seed=1)
-        feats_eval, labels_eval = generate_proxy_dataset(
-            scene, lo, hi, n_train // 8, seed=777)
+    os.makedirs(os.path.join(OUT_DIR, "proxies"), exist_ok=True)
+    ds_path = os.path.join(OUT_DIR, "proxies", "statue_dataset.npz")
+    n_want = 100_000 if FAST else 2_000_000
+    if (not os.path.exists(ds_path)
+            or np.load(ds_path)["feats"].shape[0] != n_want):
+        _datagen_via_subprocess(ds_path)
+    ds = np.load(ds_path)
+    feats, labels = ds["feats"], ds["labels"]
+    feats_eval, labels_eval = ds["feats_eval"], ds["labels_eval"]
     print(f"dataset: {feats.shape[0]} rows, hit fraction "
-          f"{(labels != 1.0).mean():.3f} ({time.time() - t_start:.0f}s)",
-          flush=True)
+          f"{(labels != 1.0).mean():.3f} ({time.time() - t_start:.0f}s), "
+          f"training on {jax.default_backend()}", flush=True)
 
     epochs = 5 if FAST else 120
     vis_cfg = MLPConfig(width=64, depth=2) if FAST else PROD_VIS
@@ -175,4 +208,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    child_path = os.environ.get("_PG2024_TRAIN_DATAGEN")
+    if child_path:
+        jax.config.update("jax_platforms", "cpu")
+        _datagen(child_path)
+    else:
+        main()
