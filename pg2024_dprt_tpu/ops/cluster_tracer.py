@@ -34,12 +34,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import HitRecord
 from ..scene.geometry import DeviceScene
 
-_F32_MAX = jnp.float32(3.402823466e38)
-_INT_MISS = jnp.uint32(0xFFFFFFFF)
+_F32_MAX = np.float32(3.402823466e38)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
+_INT_MISS = np.uint32(0xFFFFFFFF)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 
 GROUP_BLOCKS = 32  # blocks intersected per loop step (bounds peak memory)
 

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SENTINEL = jnp.int32(0x7FFFFFFF)
+SENTINEL = np.int32(0x7FFFFFFF)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 
 
 def compact_by_key(key: jnp.ndarray, valid: jnp.ndarray):

@@ -18,10 +18,11 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.curves import CurveSet
 
-_F32_MAX = jnp.float32(3.402823466e38)
+_F32_MAX = np.float32(3.402823466e38)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 
 
 class CurveHit(NamedTuple):

@@ -22,12 +22,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import NNQuery
 
-_F32_MAX = jnp.float32(3.402823466e38)
+_F32_MAX = np.float32(3.402823466e38)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 _PI = 3.14159265358979
 
 

@@ -37,6 +37,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,7 +45,7 @@ from ..core.types import HitRecord
 from ..scene.geometry import DeviceScene
 from .pallas_tracer import _morton_key
 
-_F32_MAX = jnp.float32(3.402823466e38)
+_F32_MAX = np.float32(3.402823466e38)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 
 TILE_RAYS = 128  # best on-chip with the HONEST chained fold (sweep_resident:
                  # camera 4.63 ms @128 vs 6.50 @256; incoherent 52 vs 94)

@@ -36,13 +36,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import HitRecord
 from ..scene.geometry import DeviceScene
 
-_F32_MAX = jnp.float32(3.402823466e38)
+_F32_MAX = np.float32(3.402823466e38)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 
 TILE_RAYS = 512     # rays per tile (TM)
 REGION = 32         # pair slots per tile (S), multiple of PP; slot 0 = init

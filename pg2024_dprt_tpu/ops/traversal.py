@@ -25,12 +25,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import HitRecord
 from ..scene.bvh import MAX_LEAF
 from ..scene.geometry import DeviceScene
 
-_F32_MAX = jnp.float32(3.402823466e38)
+_F32_MAX = np.float32(3.402823466e38)  # np scalar: module-level jax Arrays become hoisted jaxpr consts
 
 
 def _moller_trumbore(o, d, p0, p1, p2, t_min, t_max):

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -39,7 +40,10 @@ from ..scene.geometry import DeviceScene, ProxyTable
 from .exchange import exchange_paths, ring_shadow_occlusion
 from .mesh import NODES_AXIS
 
-_F32_MAX = jnp.float32(3.402823466e38)
+# np scalar, not jnp: a module-level jax Array becomes a hoisted
+# jaxpr CONSTANT of every traced program that closes over it (extra
+# hidden executable params; breaks AOT Compiled calls)
+_F32_MAX = np.float32(3.402823466e38)
 
 
 def _trace_and_route(scene, proxies, env, paths, my_id, eps, npix, tracer="auto",
@@ -287,8 +291,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     return direct, env_img, stats
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"))
-def render_sample_distributed(
+def _render_sample_distributed_impl(
     stacked_scene: DeviceScene,
     proxies: ProxyTable,
     models: ProxyModels,
@@ -299,8 +302,6 @@ def render_sample_distributed(
     cfg: RenderConfig,
     mesh,
 ):
-    """One spp over the mesh. `stacked_scene` leaves have leading dim P
-    (sharded over the nodes axis); everything else is replicated."""
     fn = shard_map(
         partial(_sample_program, cfg=cfg),
         mesh=mesh,
@@ -320,6 +321,68 @@ def render_sample_distributed(
               jnp.asarray(sample_count, jnp.int32))
 
 
+_DISTRIBUTED_JIT_CACHE = {}
+
+
+def render_sample_distributed(
+    stacked_scene: DeviceScene,
+    proxies: ProxyTable,
+    models: ProxyModels,
+    lights,
+    env,
+    camera,
+    sample_count,
+    cfg: RenderConfig,
+    mesh,
+):
+    """One spp over the mesh. `stacked_scene` leaves have leading dim P
+    (sharded over the nodes axis); everything else is replicated.
+
+    The call deliberately BYPASSES jax.jit's cpp fast path: on this jax
+    (0.9, 8-device CPU mesh) the fast path's per-position records were
+    observed mis-associating a cached executable with a fresh but
+    structurally identical arg pytree — 'Execution supplied 61 buffers but
+    compiled program expected 66' and rank-mismatched recorded shardings
+    ('assert len(partitions) == len(global_shape)'); repro: fresh builds of
+    a curve scene after a single-device render of the same assets.  Instead
+    we (a) explicitly place every input with its intended NamedSharding
+    (device_put is a no-op when already placed — `place_distributed_inputs`
+    hoists this per frame), and (b) AOT-lower+compile ONE executable per
+    (structure, shapes, cfg, mesh) signature and call it directly: the
+    Compiled path has no sticky per-call records to corrupt."""
+    args = place_distributed_inputs(stacked_scene, proxies, models, lights,
+                                    env, camera, mesh)
+    sample = jnp.asarray(sample_count, jnp.int32)
+    leaves, treedef = jax.tree.flatten(args)
+    key = (treedef,
+           tuple((l.shape, str(l.dtype)) for l in leaves),
+           cfg,
+           tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    fn = _DISTRIBUTED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(_render_sample_distributed_impl,
+                     static_argnames=("cfg", "mesh")) \
+            .lower(*args, sample, cfg, mesh).compile()
+        _DISTRIBUTED_JIT_CACHE[key] = fn
+    return fn(*args, sample)
+
+
+def place_distributed_inputs(stacked_scene, proxies, models, lights, env,
+                             camera, mesh):
+    """device_put every input with its intended sharding (scene sharded
+    over the nodes axis, everything else replicated).  Idempotent — placing
+    an already-placed tree is free, so drivers hoist this out of their
+    spp/frame loops and per-sample calls cost nothing extra."""
+    from jax.sharding import NamedSharding
+
+    sharded = NamedSharding(mesh, P(NODES_AXIS))
+    replicated = NamedSharding(mesh, P())
+    put = lambda tree, s: jax.tree.map(lambda a: jax.device_put(a, s), tree)
+    return (put(stacked_scene, sharded), put(proxies, replicated),
+            put(models, replicated), put(lights, replicated),
+            put(env, replicated), put(camera, replicated))
+
+
 def render_image_distributed(
     partitioned, models, lights, env, camera, cfg: RenderConfig, mesh,
     base_sample: int = 0, return_stats: bool = False,
@@ -331,9 +394,14 @@ def render_image_distributed(
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
     stats = jnp.zeros((4,), jnp.int32)
+    # place once; per-sample placement inside render_sample_distributed is
+    # then a no-op
+    stacked, proxies, models, lights, env, camera = place_distributed_inputs(
+        partitioned.stacked, partitioned.proxies, models, lights, env,
+        camera, mesh)
     for s in range(cfg.spp):
         d, e, st = render_sample_distributed(
-            partitioned.stacked, partitioned.proxies, models, lights, env,
+            stacked, proxies, models, lights, env,
             camera, base_sample + s, cfg, mesh,
         )
         direct = direct + d

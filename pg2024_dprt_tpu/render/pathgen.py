@@ -29,7 +29,19 @@ def tiled_pixel_order_np(width: int, height: int, block: int = 16):
 
 
 def tiled_pixel_order(width: int, height: int, block: int = 16) -> jnp.ndarray:
-    return jnp.asarray(tiled_pixel_order_np(width, height, block))
+    """Traced form of `tiled_pixel_order_np`: pure jnp integer arithmetic,
+    so programs that embed the order carry NO hoisted (W*H,) constant —
+    hidden executable const-params break AOT Compiled calls and were
+    implicated in jit fast-path buffer-count corruption
+    (parallel/distributed.py docstring)."""
+    if width % block or height % block:
+        return jnp.arange(width * height, dtype=jnp.int32)
+    ids = jnp.arange(width * height, dtype=jnp.int32)
+    by, bx = ids // (width * block), ids % (width * block)
+    blk, inner = bx // (block * block), bx % (block * block)
+    rows = by * block + inner // block
+    cols = blk * block + inner % block
+    return rows * width + cols
 
 
 def generate_camera_paths(camera: Camera, sample_count, tile_block: int = 16) -> PathState:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as cmath
 from ..core.types import NNQuery, PathState
@@ -27,7 +28,10 @@ from ..models.proxy import ProxyModels, apply_grouped
 from ..ops.trace_api import trace_closest_cutout as trace_closest, trace_occlusion_cutout as trace_occlusion
 from ..scene.geometry import DeviceScene, ProxyTable
 
-_F32_MAX = jnp.float32(3.402823466e38)
+# np scalar, not jnp: a module-level jax Array becomes a hoisted
+# jaxpr CONSTANT of every traced program that closes over it (extra
+# hidden executable params; breaks AOT Compiled calls)
+_F32_MAX = np.float32(3.402823466e38)
 
 
 def march_proxies_xla(

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as cmath
 from ..core.rng import rnd, rnd2, rnd3, tea
@@ -27,7 +28,10 @@ from ..core.types import BSDF_DIFFUSE, BSDF_WATER, PathState
 from ..scene.geometry import DeviceScene
 from ..scene.lights import EnvironmentMap, LightTable
 
-_F32_MAX = jnp.float32(3.402823466e38)
+# np scalar, not jnp: a module-level jax Array becomes a hoisted
+# jaxpr CONSTANT of every traced program that closes over it (extra
+# hidden executable params; breaks AOT Compiled calls)
+_F32_MAX = np.float32(3.402823466e38)
 # TEA stream id for the RIS reservoir u draw ("RIS1") — shared with the
 # in-kernel form (ops/pallas_frame.py) so both paths select identically
 RIS_SALT = 0x52495331

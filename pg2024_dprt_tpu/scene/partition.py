@@ -77,6 +77,64 @@ def partition_instances(meshes: Sequence[MeshGeometry], transforms,
     return _median_split(centroids, num_partitions)
 
 
+def _split_curves(curves, aabb_min: np.ndarray, aabb_max: np.ndarray):
+    """Assign curve PIECES to partitions (nearest partition triangle-AABB by
+    piece midpoint) and pad each partition's piece set to a common capacity
+    so the stacked pytree is rectangular.  Padding pieces carry NaN
+    endpoints — every comparison in the branch-free round-cone intersector
+    is False on NaN, so they can never hit (ops/curve_intersect.py).
+
+    Returns (per-partition CurveSet list, (P,3) curve-box lo, (P,3) hi) —
+    the boxes are all +inf/-inf for partitions that own no pieces."""
+    from .curves import CurveSet
+
+    p0 = np.asarray(curves.p0, np.float64)
+    p1 = np.asarray(curves.p1, np.float64)
+    r0 = np.asarray(curves.r0, np.float64)
+    r1 = np.asarray(curves.r1, np.float64)
+    seg = np.asarray(curves.seg_id)
+    P = aabb_min.shape[0]
+    mid = 0.5 * (p0 + p1)                                   # (M,3)
+    # distance from piece midpoint to each partition box (0 inside)
+    lo_ok = np.where(np.isfinite(aabb_min), aabb_min, np.inf)
+    hi_ok = np.where(np.isfinite(aabb_max), aabb_max, -np.inf)
+    clamped = np.clip(mid[:, None, :], lo_ok[None], hi_ok[None])  # (M,P,3)
+    dist = np.linalg.norm(np.where(np.isfinite(clamped),
+                                   clamped - mid[:, None, :], np.inf), axis=-1)
+    owner = np.argmin(dist, axis=1)                         # (M,)
+    cap = max(1, max((int((owner == p).sum()) for p in range(P)), default=1))
+
+    sets, clo, chi = [], [], []
+    for p in range(P):
+        idx = np.where(owner == p)[0]
+        m = idx.shape[0]
+        pp0 = np.full((cap, 3), np.nan, np.float32)
+        pp1 = np.full((cap, 3), np.nan, np.float32)
+        rr0 = np.zeros((cap,), np.float32)
+        rr1 = np.zeros((cap,), np.float32)
+        sg = np.full((cap,), -1, np.int32)
+        if m:
+            pp0[:m] = p0[idx]
+            pp1[:m] = p1[idx]
+            rr0[:m] = r0[idx]
+            rr1[:m] = r1[idx]
+            sg[:m] = seg[idx]
+            lo = np.minimum(p0[idx] - r0[idx, None],
+                            p1[idx] - r1[idx, None]).min(0)
+            hi = np.maximum(p0[idx] + r0[idx, None],
+                            p1[idx] + r1[idx, None]).max(0)
+        else:
+            lo = np.full(3, np.inf)
+            hi = np.full(3, -np.inf)
+        sets.append(CurveSet(
+            p0=jnp.asarray(pp0), p1=jnp.asarray(pp1),
+            r0=jnp.asarray(rr0), r1=jnp.asarray(rr1),
+            seg_id=jnp.asarray(sg), color=jnp.asarray(curves.color)))
+        clo.append(lo)
+        chi.append(hi)
+    return sets, np.asarray(clo, np.float32), np.asarray(chi, np.float32)
+
+
 def build_partitioned_scene(
     meshes: Sequence[MeshGeometry],
     num_partitions: int,
@@ -84,12 +142,20 @@ def build_partitioned_scene(
     textures: Optional[list] = None,
     visibility_grids: bool = False,
     grid_res: tuple = (16, 16, 16),
+    curves=None,
 ) -> PartitionedScene:
     """Build the stacked per-partition scenes + proxy table.
 
     visibility_grids=True attaches a conservative per-partition visibility
     grid (ProxyTable.vis_grid) built from triangle AABBs — the exact-mode
-    cross-partition culling fallback (RenderConfig.use_visibility_grids)."""
+    cross-partition culling fallback (RenderConfig.use_visibility_grids).
+
+    curves: optional CurveSet covering the whole scene; pieces are assigned
+    to partitions spatially (`_split_curves`) and composite with each
+    partition's local closest/occlusion traces exactly as on a single
+    device — the reference compiles its cubic-B-spline IS into every
+    pipeline on every rank (pipeline_helper.cpp:36-297), so hair works in
+    all ray stages of the distributed render."""
     if assignment is None:
         assignment = partition_meshes(meshes, num_partitions)
     assert len(assignment) == num_partitions
@@ -161,9 +227,17 @@ def build_partitioned_scene(
                     t, ((0, ct_max - t.shape[0]), (0, 0)))})
                 for s, t in zip(scenes, tts)
             ]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)
+    curve_sets = [None] * num_partitions
+    if curves is not None:
+        curve_sets, clo, chi = _split_curves(curves, aabb_min, aabb_max)
+        scenes = [s._replace(curves=cs) for s, cs in zip(scenes, curve_sets)]
+        # proxy AABBs must COVER the partition's curves or migrating rays
+        # never route to the rank that owns the hit
+        aabb_min = np.minimum(aabb_min, clo)
+        aabb_max = np.maximum(aabb_max, chi)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *scenes)
     diag = np.linalg.norm(np.maximum(aabb_max - aabb_min, 0.0), axis=-1).astype(np.float32)
     vis_grid = None
     if visibility_grids:
@@ -171,12 +245,27 @@ def build_partitioned_scene(
 
         W, H, A = grid_res
         grids = []
-        for host, lo, hi in zip(per_part_host, aabb_min, aabb_max):
-            if host["v0"].shape[0] == 0 or not np.all(np.isfinite(lo)):
+        for p, (host, lo, hi) in enumerate(zip(per_part_host, aabb_min, aabb_max)):
+            cs = curve_sets[p]
+            n_curve = 0 if cs is None else int(
+                np.isfinite(np.asarray(cs.p0)).all(axis=1).sum())
+            if (host["v0"].shape[0] == 0 and n_curve == 0) \
+                    or not np.all(np.isfinite(lo)):
                 grids.append(np.zeros((6, H, W, A), bool))
                 continue
             tmin = np.minimum(np.minimum(host["v0"], host["v1"]), host["v2"])
             tmax = np.maximum(np.maximum(host["v0"], host["v1"]), host["v2"])
+            if n_curve:
+                # curve pieces are content too — their swept-sphere boxes
+                # keep the grid conservative w.r.t. hair hits
+                cp0 = np.asarray(cs.p0)[:n_curve]
+                cp1 = np.asarray(cs.p1)[:n_curve]
+                cr0 = np.asarray(cs.r0)[:n_curve, None]
+                cr1 = np.asarray(cs.r1)[:n_curve, None]
+                tmin = np.concatenate(
+                    [tmin, np.minimum(cp0 - cr0, cp1 - cr1)], axis=0)
+                tmax = np.concatenate(
+                    [tmax, np.maximum(cp0 + cr0, cp1 + cr1)], axis=0)
             grids.append(build_conservative_grid(tmin, tmax, lo, hi, W, H, A))
         vis_grid = jnp.asarray(np.stack(grids, axis=0))
     proxies = ProxyTable(

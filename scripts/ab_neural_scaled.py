@@ -1,0 +1,229 @@
+"""SCALED neural A-B artifact (VERDICT r4 #7): P=8 rooms, w128·d4 nets,
+64x64 eval, all three model families (separate vis+depth, combined
+SEPARATEDNN=0, multi-geo shared net) through the SAME distributed A-B.
+
+Three phases, because backends disagree: datagen needs the CPU stackless
+traversal, training wants the accelerator's device-resident loop, and the
+P=8 distributed render needs the virtual CPU mesh.  The script re-execs
+itself per phase and hands off through artifacts/ab_scaled/:
+
+    datasets.npz  (phase 1, CPU)    per-partition features/depths
+    weights.npz   (phase 2, accel)  all trained nets, flat key namespace
+    ab_report.json(phase 3, CPU mesh) measured A-B errors per family
+
+tests/test_neural_end_to_end.py::test_scaled_ab_with_committed_weights
+consumes weights.npz + ab_report.json — its tolerances are the measured
+errors with headroom, justified by this artifact instead of guessed.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ab_neural_scaled.py
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+PARTS = 8
+SIDE = 64
+RAYS = 200_000
+EPOCHS = 240
+W, D = 128, 4
+OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts", "ab_scaled")
+
+
+def _scene():
+    from pg2024_dprt_tpu.core import Camera
+    from pg2024_dprt_tpu.scene import build_partitioned_scene, two_room_scene
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap
+
+    meshes, lights = two_room_scene(num_rooms=PARTS, tris_per_room=160, seed=1)
+    part = build_partitioned_scene(meshes, PARTS)
+    env = EnvironmentMap.constant((0.25, 0.25, 0.3))
+    cx = PARTS * 0.625
+    camera = Camera.look_at([cx, 1.4, 6.0], [cx, 0.8, 0.5], [0, 1, 0],
+                            60.0, SIDE, SIDE)
+    return meshes, lights, part, env, camera
+
+
+def phase_datagen():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pg2024_dprt_tpu.scene.geometry import device_scene_from_meshes
+    from pg2024_dprt_tpu.scene.partition import partition_meshes
+    from pg2024_dprt_tpu.train import generate_proxy_dataset
+
+    meshes, _, part, _, _ = _scene()
+    assignment = partition_meshes(meshes, PARTS)
+    out = {}
+    for p, idxs in enumerate(assignment):
+        sub = device_scene_from_meshes([meshes[i] for i in idxs])
+        lo = np.asarray(part.proxies.aabb_min[p])
+        hi = np.asarray(part.proxies.aabb_max[p])
+        feats, dpt = generate_proxy_dataset(sub, lo, hi, RAYS, seed=100 + p)
+        out[f"feats{p}"] = feats
+        out[f"depth{p}"] = dpt
+        print(f"datagen p{p}: hit {(dpt != 1.0).mean():.3f}", flush=True)
+    np.savez(os.path.join(OUT, "datasets.npz"), **out)
+
+
+def phase_train():
+    import jax
+
+    from pg2024_dprt_tpu.models.mlp import MLPConfig
+    from pg2024_dprt_tpu.train import TrainConfig, balance_vis, depth_only, fit
+    from pg2024_dprt_tpu.train.datasets import combined_labels, multi_geo_features
+
+    ds = np.load(os.path.join(OUT, "datasets.npz"))
+    vis_cfg = MLPConfig(width=W, depth=D)
+    comb_cfg = MLPConfig(width=W, depth=D, out_features=2,
+                         final_activation="sigmoid")
+    mg_cfg = MLPConfig(width=W, depth=D, in_features=6, multi_geo=True)
+    t0 = time.time()
+    weights = {}
+    losses = {}
+
+    def tc(nn_type, n_rows):
+        return TrainConfig(nn_type=nn_type, epochs=EPOCHS,
+                           batch=min(12800, max(1024, n_rows)),
+                           learn_rate=5e-4)
+
+    mg_f, mg_d = [], []
+    for p in range(PARTS):
+        feats, dpt = ds[f"feats{p}"], ds[f"depth{p}"]
+        mg_f.append(feats)
+        mg_d.append(dpt)
+        xv, yv = balance_vis(feats, dpt)
+        vp, hv = fit(xv, yv, vis_cfg, tc("vis", xv.shape[0]),
+                     device_loop=True)
+        xd, yd = depth_only(feats, dpt)
+        if xd.shape[0] < 256:
+            xd, yd = feats, dpt
+        dp, hd = fit(xd, yd, vis_cfg, tc("depth", xd.shape[0]),
+                     device_loop=True)
+        xc, yc = combined_labels(feats, dpt)
+        cp, hc = fit(xc, yc, comb_cfg, tc("combined", xc.shape[0]),
+                     device_loop=True)
+        losses[f"p{p}"] = dict(vis=hv["test_loss"][-1],
+                               depth=hd["test_loss"][-1],
+                               combined=hc["test_loss"][-1])
+        print(f"p{p}: {losses[f'p{p}']} ({time.time()-t0:.0f}s)", flush=True)
+        for name, params in (("vis", vp), ("depth", dp), ("comb", cp)):
+            for k, v in params.items():
+                weights[f"{name}{p}/{k}"] = np.asarray(v)
+
+    mgf, mgd = multi_geo_features(mg_f, mg_d)
+    xv, yv = balance_vis(mgf, mgd)
+    mvp, hmv = fit(xv, yv, mg_cfg, tc("vis", xv.shape[0]), device_loop=True)
+    hit = mgd != 1.0
+    mdp, hmd = fit(mgf[hit], mgd[hit].astype(np.float32), mg_cfg,
+                   tc("depth", int(hit.sum())), device_loop=True)
+    losses["multigeo"] = dict(vis=hmv["test_loss"][-1],
+                              depth=hmd["test_loss"][-1])
+    print("multigeo:", losses["multigeo"], flush=True)
+    for name, params in (("mgvis", mvp), ("mgdepth", mdp)):
+        for k, v in params.items():
+            weights[f"{name}/{k}"] = np.asarray(v)
+    np.savez(os.path.join(OUT, "weights.npz"), **weights)
+    with open(os.path.join(OUT, "train_losses.json"), "w") as f:
+        json.dump(losses, f, indent=1)
+
+
+def load_models(path=None):
+    """Reassemble the three ProxyModels families from weights.npz (shared
+    with the test)."""
+    from pg2024_dprt_tpu.models import stack_params
+    from pg2024_dprt_tpu.models.mlp import MLPConfig
+    from pg2024_dprt_tpu.models.proxy import (
+        ProxyModels, combined_proxy_models, multigeo_proxy_models)
+
+    w = np.load(path or os.path.join(OUT, "weights.npz"))
+    vis_cfg = MLPConfig(width=W, depth=D)
+    comb_cfg = MLPConfig(width=W, depth=D, out_features=2,
+                         final_activation="sigmoid")
+    mg_cfg = MLPConfig(width=W, depth=D, in_features=6, multi_geo=True)
+
+    def net(prefix):
+        pre = prefix + "/"
+        return {k[len(pre):]: w[k] for k in w.files if k.startswith(pre)}
+
+    vis = stack_params([net(f"vis{p}") for p in range(PARTS)])
+    dep = stack_params([net(f"depth{p}") for p in range(PARTS)])
+    comb = stack_params([net(f"comb{p}") for p in range(PARTS)])
+    models_sep = ProxyModels(vis, dep, PARTS, vis_cfg, vis_cfg)
+    models_comb = combined_proxy_models(comb, PARTS, comb_cfg)
+    models_mg = multigeo_proxy_models(net("mgvis"), net("mgdepth"), PARTS,
+                                      mg_cfg, mg_cfg)
+    return models_sep, models_comb, models_mg
+
+
+def phase_eval():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pg2024_dprt_tpu.parallel import make_mesh, render_image_distributed
+    from pg2024_dprt_tpu.render import RenderConfig
+
+    _, lights, part, env, camera = _scene()
+    mesh = make_mesh(PARTS)
+    models_sep, models_comb, models_mg = load_models()
+    cfg_exact = RenderConfig(width=SIDE, height=SIDE, spp=2, bounces=2)
+    cfg_nn = RenderConfig(width=SIDE, height=SIDE, spp=2, bounces=2,
+                          use_neural_proxies=True)
+    exact = np.asarray(render_image_distributed(
+        part, models_sep, lights, env, camera, cfg_exact, mesh))
+    tm = lambda x: x / (1.0 + x)
+    report = {"parts": PARTS, "side": SIDE, "width": W, "depth": D,
+              "epochs": EPOCHS, "rays": RAYS, "families": {}}
+    for name, models in (("separate", models_sep), ("combined", models_comb),
+                         ("multigeo", models_mg)):
+        nn = np.asarray(render_image_distributed(
+            part, models, lights, env, camera, cfg_nn, mesh))
+        err = np.abs(tm(nn) - tm(exact))
+        row = dict(mean_err=float(err.mean()),
+                   p90_err=float(np.percentile(err, 90)),
+                   ratio=float(nn.mean() / exact.mean()))
+        report["families"][name] = row
+        print(name, row, flush=True)
+    with open(os.path.join(OUT, "ab_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+
+def _reexec(phase, cpu):
+    env = dict(os.environ)
+    env["_AB_SCALED_PHASE"] = phase
+    if cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        env["PYTHONPATH"] = os.pathsep.join(
+            [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+            + [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))])
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+    assert r.returncode == 0, f"phase {phase} failed"
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    if not os.path.exists(os.path.join(OUT, "datasets.npz")):
+        _reexec("datagen", cpu=True)
+    if not os.path.exists(os.path.join(OUT, "weights.npz")):
+        _reexec("train", cpu=False)
+    _reexec("eval", cpu=True)
+
+
+if __name__ == "__main__":
+    phase = os.environ.get("_AB_SCALED_PHASE")
+    if phase == "datagen":
+        phase_datagen()
+    elif phase == "train":
+        phase_train()
+    elif phase == "eval":
+        phase_eval()
+    else:
+        main()

@@ -50,7 +50,7 @@ def _datagen(path: str):
     mesh = statue_mesh(48, seed=0)
     scene = device_scene_from_meshes([mesh])
     lo, hi = mesh.aabb()
-    n_train = 100_000 if FAST else 2_000_000
+    n_train = 100_000 if FAST else 4_000_000
     feats, labels = generate_proxy_dataset(scene, lo, hi, n_train, seed=1)
     feats_eval, labels_eval = generate_proxy_dataset(
         scene, lo, hi, n_train // 8, seed=777)
@@ -84,7 +84,7 @@ def main():
 
     os.makedirs(os.path.join(OUT_DIR, "proxies"), exist_ok=True)
     ds_path = os.path.join(OUT_DIR, "proxies", "statue_dataset.npz")
-    n_want = 100_000 if FAST else 2_000_000
+    n_want = 100_000 if FAST else 4_000_000
     if (not os.path.exists(ds_path)
             or np.load(ds_path)["feats"].shape[0] != n_want):
         _datagen_via_subprocess(ds_path)
@@ -105,11 +105,13 @@ def main():
     ckpt_dir = os.path.join(OUT_DIR, "proxies")
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    # --- vis net (balanced dataset, MSE; reference main.py recipe) ---
+    # --- vis net (balanced dataset, MSE; reference main.py recipe; the
+    # binary decision boundary needs more epochs than the smooth depth
+    # field: 120 -> 0.0095, 360 with device-loop training is still <6 min) ---
     fx, fy = balance_vis(feats, labels)
     t0 = time.time()
     vis_params, vis_hist = fit(
-        fx, fy, vis_cfg, TrainConfig(nn_type="vis", epochs=epochs),
+        fx, fy, vis_cfg, TrainConfig(nn_type="vis", epochs=3 * epochs),
         verbose=True)
     vis_train_s = time.time() - t0
     # eval on FRESH balanced rows (same distribution as the reference's
