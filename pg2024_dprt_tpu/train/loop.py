@@ -40,6 +40,10 @@ class TrainConfig:
     seed: int = 19990201          # main.py:76
     checkpoint_every: int = 20    # main.py:165
     checkpoint_dir: Optional[str] = None
+    # device-resident loop (_fit_device): epochs fused into one jitted
+    # program per host round-trip — small datasets have few steps/epoch, so
+    # per-epoch RPCs through the tunnel would dominate wall time
+    epochs_per_call: int = 25
 
 
 def _loss_fn(params, x, y, cfg: MLPConfig, nn_type: str):
@@ -122,42 +126,64 @@ def _fit_device(features, labels, mlp_cfg: MLPConfig, cfg: TrainConfig,
     ex = jnp.asarray(test_x[:tx_b], jnp.float32)
     ey = jnp.asarray(test_y[:tx_b], jnp.float32)
 
+    # chunk epochs into ONE jitted program each (nested scan: epochs x
+    # steps) — small datasets have few steps/epoch, so per-epoch RPCs would
+    # re-dominate wall time on the tunnel exactly like per-step ones did.
+    # The dataset rides as ARGUMENTS, not closure captures: closed-over
+    # device arrays are hoisted jaxpr consts, and sequential fits with
+    # identical (params, e0) args but different embedded datasets were
+    # observed COLLAPSING mid-process on the tunnel (p0-p3 trained to
+    # 0.018, p4+ stuck at init-level 0.23 — same code, same shapes); with
+    # the data in the argument list every call is honestly distinct.
+    epc = max(1, min(getattr(cfg, "epochs_per_call", 25), cfg.epochs))
+
     @partial(jax.jit, static_argnames=())
-    def epoch(params, opt_state, ekey):
-        perm = jax.random.permutation(ekey, n)
-
-        def body(carry, i):
+    def run_chunk(params, opt_state, e0, x, y, ex, ey):
+        def epoch(carry, e):
             params, opt_state = carry
-            idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-            xb = jnp.take(x, idx, axis=0)
-            yb = jnp.take(y, idx, axis=0)
-            loss, grads = jax.value_and_grad(_loss_fn)(
-                params, xb, yb, mlp_cfg, cfg.nn_type)
-            updates, opt_state = tx.update(grads, opt_state, params,
-                                           value=loss)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            perm = jax.random.permutation(jax.random.fold_in(key, e), n)
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_epoch))
+            def body(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+                xb = jnp.take(x, idx, axis=0)
+                yb = jnp.take(y, idx, axis=0)
+                loss, grads = jax.value_and_grad(_loss_fn)(
+                    params, xb, yb, mlp_cfg, cfg.nn_type)
+                updates, opt_state = tx.update(grads, opt_state, params,
+                                               value=loss)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(steps_per_epoch))
+            return (params, opt_state), losses[-1]
+
+        (params, opt_state), ep_losses = jax.lax.scan(
+            epoch, (params, opt_state), e0 + jnp.arange(epc))
         test = (_loss_fn(params, ex, ey, mlp_cfg, cfg.nn_type)
-                if tx_b else losses[-1])
-        return params, opt_state, losses[-1], test
+                if tx_b else ep_losses[-1])
+        return params, opt_state, ep_losses, test
 
     history = {"train_loss": [], "test_loss": []}
-    for e in range(cfg.epochs):
-        params, opt_state, loss, test = epoch(
-            params, opt_state, jax.random.fold_in(key, e))
-        loss_f, test_f = float(loss), float(test)
-        history["train_loss"].append(loss_f)
-        history["test_loss"].append(test_f)
+    # ceil-chunking: a ragged final chunk runs to the next epc multiple
+    # (extra steps sit at the cosine floor lr — harmless)
+    for e0 in range(0, -(-cfg.epochs // epc) * epc, epc):
+        params, opt_state, ep_losses, test = run_chunk(
+            params, opt_state, jnp.int32(e0), x, y, ex, ey)
+        test_f = float(test)
+        history["train_loss"].extend(float(l) for l in np.asarray(ep_losses))
+        history["test_loss"].extend(
+            [history["test_loss"][-1] if history["test_loss"] else test_f]
+            * (epc - 1) + [test_f])
         if verbose:
-            print(f"epoch {e + 1}: train {loss_f:.6f} test {test_f:.6f}",
-                  flush=True)
-        if cfg.checkpoint_dir and e % cfg.checkpoint_every == 0:
+            print(f"epoch {e0 + epc}: train {history['train_loss'][-1]:.6f} "
+                  f"test {test_f:.6f}", flush=True)
+        if cfg.checkpoint_dir and (e0 // epc) % max(
+                1, cfg.checkpoint_every // epc) == 0:
             save_checkpoint(
                 os.path.join(cfg.checkpoint_dir,
-                             f"{cfg.nn_type}-loss={test_f:.6f}-epochs={e}"),
+                             f"{cfg.nn_type}-loss={test_f:.6f}-epochs={e0}"),
                 params)
     return jax.tree.map(lambda a: jax.device_get(a), params), history
 

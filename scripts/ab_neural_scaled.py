@@ -28,21 +28,48 @@ import numpy as np
 PARTS = 8
 SIDE = 64
 RAYS = 200_000
-EPOCHS = 240
+EPOCHS = 240          # report label; actual epochs derive from TARGET_STEPS
+TARGET_STEPS = 30_000
 W, D = 128, 4
 OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts", "ab_scaled")
 
 
 def _scene():
+    """A row of 8 statue objects, one per partition — COMPACT per-partition
+    geometry, the regime the reference's proxies are built for (each MPI
+    rank owns a statue-class object, renderer.cpp:1726-1796).  Sparse
+    thin-triangle rooms measured UNLEARNABLE for the 5-input nets (vis MSE
+    stuck at ~0.23 balanced = coin flipping); statue-class objects train to
+    reference-class loss (artifacts/proxy_quality.json)."""
     from pg2024_dprt_tpu.core import Camera
-    from pg2024_dprt_tpu.scene import build_partitioned_scene, two_room_scene
-    from pg2024_dprt_tpu.scene.lights import EnvironmentMap
+    from pg2024_dprt_tpu.scene import build_partitioned_scene
+    from pg2024_dprt_tpu.scene.geometry import MeshGeometry
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap, LightTable
+    from pg2024_dprt_tpu.scene.procedural import statue_mesh
 
-    meshes, lights = two_room_scene(num_rooms=PARTS, tris_per_room=160, seed=1)
+    # statues nearly touching + a small END-OF-ROW light low to the ground:
+    # every statue shadows its neighbors (the NN occlusion path must answer
+    # REMOTE visibility) and bounce rays routinely enter adjacent statues'
+    # AABBs (the NN routing path decides real migrations) — p90 err was
+    # EXACTLY 0 with a top light and wide spacing (proxies never consulted
+    # on anything that mattered)
+    meshes = []
+    for i in range(PARTS):
+        m = statue_mesh(32, seed=i)
+        off = np.asarray([1.1 * i, 0.0, 0.0], np.float32)
+        meshes.append(MeshGeometry(
+            v0=m.v0 + off, v1=m.v1 + off, v2=m.v2 + off,
+            base_color=(0.75, 0.70, 0.62), name=f"statue{i}"))
     part = build_partitioned_scene(meshes, PARTS)
+    cx = 1.1 * (PARTS - 1) * 0.5 + 0.5
+    xe = 1.1 * (PARTS - 1) + 2.2     # beyond the row's end, low height
+    quad = np.asarray(
+        [[[xe, 1.0, -0.6], [xe + 0.8, 1.4, -0.6], [xe + 0.8, 1.4, 0.6]],
+         [[xe, 1.0, -0.6], [xe + 0.8, 1.4, 0.6], [xe, 1.0, 0.6]]],
+        np.float32)
+    lights = LightTable.from_arrays(quad, np.full((2, 3), 40.0, np.float32))
     env = EnvironmentMap.constant((0.25, 0.25, 0.3))
-    cx = PARTS * 0.625
-    camera = Camera.look_at([cx, 1.4, 6.0], [cx, 0.8, 0.5], [0, 1, 0],
+    camera = Camera.look_at([cx, 1.5, 4.6], [cx, 0.5, 0.5], [0, 1, 0],
                             60.0, SIDE, SIDE)
     return meshes, lights, part, env, camera
 
@@ -86,9 +113,26 @@ def phase_train():
     losses = {}
 
     def tc(nn_type, n_rows):
-        return TrainConfig(nn_type=nn_type, epochs=EPOCHS,
-                           batch=min(12800, max(1024, n_rows)),
-                           learn_rate=5e-4)
+        # fixed STEP budget, not epoch count: these per-room datasets are
+        # 25-65k rows (vs the statue's 3.1M), so a fixed epoch count
+        # undertrains by 100x (measured: vis stuck at 0.23 MSE after 240
+        # epochs = 720 steps; the statue's 0.0046 took ~90k steps)
+        batch = min(4096, max(1024, n_rows))
+        steps_per_epoch = max(1, (n_rows * 4) // (5 * batch))  # 80% train
+        epochs = max(1, TARGET_STEPS // steps_per_epoch)
+        return TrainConfig(nn_type=nn_type, epochs=epochs, batch=batch,
+                           learn_rate=5e-4, epochs_per_call=100)
+
+    def fit_checked(xx, yy, mcfg, tcfg, gate):
+        """Tunnel robustness: a fit that lands above `gate` (collapse-level
+        loss) is re-run once — mid-process training collapse was observed
+        on the relay (see _fit_device notes) and is transient."""
+        p_, h_ = fit(xx, yy, mcfg, tcfg, device_loop=True)
+        if h_["test_loss"][-1] > gate:
+            print(f"  RETRY: {tcfg.nn_type} loss "
+                  f"{h_['test_loss'][-1]:.4f} > {gate}", flush=True)
+            p_, h_ = fit(xx, yy, mcfg, tcfg, device_loop=True)
+        return p_, h_
 
     mg_f, mg_d = [], []
     for p in range(PARTS):
@@ -96,16 +140,14 @@ def phase_train():
         mg_f.append(feats)
         mg_d.append(dpt)
         xv, yv = balance_vis(feats, dpt)
-        vp, hv = fit(xv, yv, vis_cfg, tc("vis", xv.shape[0]),
-                     device_loop=True)
+        vp, hv = fit_checked(xv, yv, vis_cfg, tc("vis", xv.shape[0]), 0.1)
         xd, yd = depth_only(feats, dpt)
         if xd.shape[0] < 256:
             xd, yd = feats, dpt
-        dp, hd = fit(xd, yd, vis_cfg, tc("depth", xd.shape[0]),
-                     device_loop=True)
+        dp, hd = fit_checked(xd, yd, vis_cfg, tc("depth", xd.shape[0]), 0.05)
         xc, yc = combined_labels(feats, dpt)
-        cp, hc = fit(xc, yc, comb_cfg, tc("combined", xc.shape[0]),
-                     device_loop=True)
+        cp, hc = fit_checked(xc, yc, comb_cfg, tc("combined", xc.shape[0]),
+                             0.15)
         losses[f"p{p}"] = dict(vis=hv["test_loss"][-1],
                                depth=hd["test_loss"][-1],
                                combined=hc["test_loss"][-1])

@@ -52,6 +52,21 @@ def row(name, value, unit, detail=""):
     print(json.dumps(r), flush=True)
 
 
+def row_stats(name, unit, detail, measure, passes: int = 3):
+    """High-variance rows (VERDICT r4 #9): run `measure()` (-> value in
+    `unit`) several times and record BOTH min and median, so
+    round-over-round deltas are decidable against the ~2x tunnel noise."""
+    vals = sorted(measure() for _ in range(passes))
+    med = vals[len(vals) // 2]
+    # throughput rows: best = max; time rows (ms): best = min
+    best = vals[0] if unit == "ms" else vals[-1]
+    r = {"name": name, "value": round(best, 3), "unit": unit,
+         "median": round(med, 3), "passes": passes,
+         "detail": detail + f" (best of {passes}, median {med:.3g})"}
+    ROWS.append(r)
+    print(json.dumps(r), flush=True)
+
+
 def camera_rays(n, side):
     cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0], 45.0, side, side)
     bs = 16
@@ -94,8 +109,8 @@ def main():
     row("incoherent_64k", n / per / 1e6, "Mrays/s",
         f"{per*1e3:.2f} ms/wavefront, cluster-schedule sorted")
 
-    per = chained_time(t_occl, co, cd, tmx, act, scene)
-    row("anyhit_64k", n / per / 1e6, "Mrays/s", f"{per*1e3:.2f} ms/wavefront")
+    row_stats("anyhit_64k", "Mrays/s", "occlusion wavefront",
+              lambda: n / chained_time(t_occl, co, cd, tmx, act, scene) / 1e6)
 
     # 1M-triangle scene -> resident tracer auto-selects the HBM-streaming
     # kernel (89 MiB cluster table, double-buffered in-kernel DMA)
@@ -165,12 +180,30 @@ def main():
     pixi = jnp.arange(n, dtype=jnp.int32)
     oi, di = cam_i.generate_rays(pixi // 256, pixi % 256,
                                  jnp.zeros(n), jnp.zeros(n))
-    per = chained_time(t_res, oi, di, tmx, act, scene_inst,
-                       short=1, long=4, reps=2)
-    row("camera_4m_instanced", n / per / 1e6, "Mrays/s",
-        f"{per*1e3:.2f} ms/wavefront, {eff_tris/1e6:.1f}M effective tris "
+    row_stats(
+        "camera_4m_instanced", "Mrays/s",
+        f"GRAZING view, {eff_tris/1e6:.1f}M effective tris "
         "(8 instances x 512k base, one shared HBM-streamed table, in-kernel "
-        "per-cluster object-space transform)")
+        "per-cluster object-space transform)",
+        lambda: n / chained_time(t_res, oi, di, tmx, act, scene_inst,
+                                 short=1, long=4, reps=2) / 1e6)
+
+    # second pinned view (VERDICT r4 #9: the row is view-dependent by ~2.2x
+    # — grazing sweeps many surface clusters, centered terminates fast;
+    # regressions in EITHER regime must be visible round-over-round)
+    lo_i, hi_i = np.asarray(scene_inst.scene_aabb)
+    ci = 0.5 * (lo_i + hi_i)
+    ext_i = float(np.max(hi_i - lo_i))
+    cam_ic = Camera.look_at(
+        [ci[0], ci[1] + 0.5 * ext_i, ci[2] + 2.2 * ext_i], list(ci),
+        [0, 1, 0], 55.0, 256, 256)
+    oic, dic = cam_ic.generate_rays(pixi // 256, pixi % 256,
+                                    jnp.zeros(n), jnp.zeros(n))
+    row_stats(
+        "camera_4m_instanced_centered", "Mrays/s",
+        f"CENTERED view, {eff_tris/1e6:.1f}M effective tris (same scene)",
+        lambda: n / chained_time(t_res, oic, dic, tmx, act, scene_inst,
+                                 short=1, long=4, reps=2) / 1e6)
 
     # full exact frame — packed at the frame megakernel's tuned cluster
     # size (tpc=512 -> K=128: fewer, larger front-to-back visits; the
@@ -222,6 +255,26 @@ def main():
     rays = 256 * 256 * cfg.bounces * (1 + cfg.shadow_path_count)
     row("frame_exact", per * 1e3, "ms",
         f"256x256 1spp 4 bounces incl NEE ({rays/per/1e6:.1f} Mrays/s eq)")
+
+    # Russian-roulette frames (RenderConfig.russian_roulette; unbiased —
+    # expectation gated in tests/test_rr.py): paths entering bounce >= rr
+    # are survival-tested, shrinking the dominant deep-bounce closest
+    # wavefronts.  Both thresholds recorded; equal-quality budget evidence
+    # in artifacts/rr_budget.json (scripts/bench_estimators.py).
+    import dataclasses as _dc
+
+    for rr in (1, 2):
+        cfg_rr = _dc.replace(cfg, russian_roulette=rr)
+
+        def frame_rr(seed_f, cfg_rr=cfg_rr):
+            direct, env_img, _diag = render_sample(
+                scene_f, lights, env, camera, seed_f[0].astype(jnp.int32),
+                cfg_rr)
+            return jnp.sum(direct + env_img).reshape(1)
+
+        per = frame_slope(frame_rr, 2, 7)
+        row(f"frame_exact_rr{rr}", per * 1e3, "ms",
+            f"256x256 1spp 4 bounces, russian_roulette={rr}")
 
     # the same full frame at the massive-scene scale the reference targets
     # (frame megakernel with HBM-streamed cluster tables).  The 1M scene
