@@ -62,12 +62,18 @@ def _scene():
             base_color=(0.75, 0.70, 0.62), name=f"statue{i}"))
     part = build_partitioned_scene(meshes, PARTS)
     cx = 1.1 * (PARTS - 1) * 0.5 + 0.5
-    xe = 1.1 * (PARTS - 1) + 2.2     # beyond the row's end, low height
+    # SIDE-GRAZING light past the row's end at statue height: NEE rays from
+    # every camera-visible front sweep laterally through the neighbors'
+    # AABBs, so the NN occlusion path answers consequential remote
+    # visibility on visible pixels (measured: an all-miss predictor — what
+    # an untrained net collapses to — shifts the image ~50x more than the
+    # trained nets do; the eval's random-weight CONTROL pins that)
+    xe = 1.1 * (PARTS - 1) + 2.5
     quad = np.asarray(
-        [[[xe, 1.0, -0.6], [xe + 0.8, 1.4, -0.6], [xe + 0.8, 1.4, 0.6]],
-         [[xe, 1.0, -0.6], [xe + 0.8, 1.4, 0.6], [xe, 1.0, 0.6]]],
+        [[[xe - 0.4, 0.2, 0.1], [xe + 0.4, 0.2, 0.1], [xe + 0.4, 1.0, 0.9]],
+         [[xe - 0.4, 0.2, 0.1], [xe + 0.4, 1.0, 0.9], [xe - 0.4, 1.0, 0.9]]],
         np.float32)
-    lights = LightTable.from_arrays(quad, np.full((2, 3), 40.0, np.float32))
+    lights = LightTable.from_arrays(quad, np.full((2, 3), 60.0, np.float32))
     env = EnvironmentMap.constant((0.25, 0.25, 0.3))
     camera = Camera.look_at([cx, 1.5, 4.6], [cx, 0.5, 0.5], [0, 1, 0],
                             60.0, SIDE, SIDE)
@@ -219,7 +225,18 @@ def phase_eval():
     tm = lambda x: x / (1.0 + x)
     report = {"parts": PARTS, "side": SIDE, "width": W, "depth": D,
               "epochs": EPOCHS, "rays": RAYS, "families": {}}
-    for name, models in (("separate", models_sep), ("combined", models_comb),
+    # RANDOM-weight control: an untrained leaky-relu net is a near-constant
+    # all-miss predictor, so this measures how much a WRONG proxy can move
+    # THIS image — the trained families must beat it by a wide margin or
+    # the A-B is vacuous (closed-room scenes measured bit-identical under
+    # any weights: zero consequential cross-partition queries)
+    from pg2024_dprt_tpu.models.mlp import MLPConfig as _MC
+    from pg2024_dprt_tpu.models.proxy import random_proxy_models as _rpm
+
+    rnd_models = _rpm(__import__("jax").random.PRNGKey(3), PARTS,
+                      _MC(width=W, depth=D), _MC(width=W, depth=D))
+    for name, models in (("random_control", rnd_models),
+                         ("separate", models_sep), ("combined", models_comb),
                          ("multigeo", models_mg)):
         nn = np.asarray(render_image_distributed(
             part, models, lights, env, camera, cfg_nn, mesh))

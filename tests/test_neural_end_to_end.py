@@ -21,6 +21,62 @@ from pg2024_dprt_tpu.train import TrainConfig, balance_vis, depth_only, fit, gen
 
 
 @pytest.mark.slow
+def test_scaled_ab_with_committed_weights():
+    """SCALED A-B (VERDICT r4 #7): P=8 statue partitions, w128·d4 nets
+    trained by scripts/ab_neural_scaled.py (committed weights), 64x64 eval,
+    ALL THREE model families (separate vis+depth, combined SEPARATEDNN=0,
+    multi-geo shared net) through the SAME distributed A-B — plus a
+    RANDOM-weight CONTROL that must degrade the image by a wide margin
+    (an A-B whose scene the proxies cannot influence is vacuous; the
+    side-grazing light makes every visible NEE ray cross neighbor AABBs).
+    Tolerances derive from artifacts/ab_scaled/ab_report.json: trained
+    families measured at 5e-6..6e-5 mean tone-mapped err (gate 3e-4 = 5x
+    headroom), the all-miss random control at 1.1e-3 (gate >5e-4)."""
+    import os
+    import sys
+
+    weights = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                           "ab_scaled", "weights.npz")
+    if not os.path.exists(weights):
+        pytest.skip("run scripts/ab_neural_scaled.py to produce weights")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import ab_neural_scaled as ab
+
+    from pg2024_dprt_tpu.models.proxy import random_proxy_models
+    from pg2024_dprt_tpu.scene.lights import EnvironmentMap  # noqa: F401
+
+    meshes, lights, part, env, camera = ab._scene()
+    mesh = make_mesh(ab.PARTS)
+    models_sep, models_comb, models_mg = ab.load_models(weights)
+    cfg_exact = RenderConfig(width=ab.SIDE, height=ab.SIDE, spp=2, bounces=2)
+    cfg_nn = RenderConfig(width=ab.SIDE, height=ab.SIDE, spp=2, bounces=2,
+                          use_neural_proxies=True)
+    exact = np.asarray(render_image_distributed(
+        part, models_sep, lights, env, camera, cfg_exact, mesh))
+    tm = lambda x: x / (1.0 + x)
+
+    for name, models in (("separate", models_sep),
+                         ("combined", models_comb),
+                         ("multigeo", models_mg)):
+        nn = np.asarray(render_image_distributed(
+            part, models, lights, env, camera, cfg_nn, mesh))
+        err = np.abs(tm(nn) - tm(exact))
+        assert err.mean() < 3e-4, f"{name}: mean err {err.mean()}"
+        ratio = nn.mean() / exact.mean()
+        assert 0.99 < ratio < 1.01, f"{name}: ratio {ratio}"
+
+    # engagement control: untrained nets must measurably break the image
+    rnd = random_proxy_models(jax.random.PRNGKey(3), ab.PARTS,
+                              models_sep.vis_cfg, models_sep.depth_cfg)
+    nn_r = np.asarray(render_image_distributed(
+        part, rnd, lights, env, camera, cfg_nn, mesh))
+    err_r = np.abs(tm(nn_r) - tm(exact))
+    assert err_r.mean() > 5e-4, \
+        f"control too weak ({err_r.mean()}): A-B not exercising proxies"
+
+
+@pytest.mark.slow
 def test_trained_proxies_approximate_exact_render():
     meshes, lights = two_room_scene(num_rooms=2, tris_per_room=160)
     parts = 2
