@@ -338,18 +338,21 @@ def render_sample_distributed(
     """One spp over the mesh. `stacked_scene` leaves have leading dim P
     (sharded over the nodes axis); everything else is replicated.
 
-    The call deliberately BYPASSES jax.jit's cpp fast path: on this jax
-    (0.9, 8-device CPU mesh) the fast path's per-position records were
-    observed mis-associating a cached executable with a fresh but
-    structurally identical arg pytree — 'Execution supplied 61 buffers but
-    compiled program expected 66' and rank-mismatched recorded shardings
-    ('assert len(partitions) == len(global_shape)'); repro: fresh builds of
-    a curve scene after a single-device render of the same assets.  Instead
-    we (a) explicitly place every input with its intended NamedSharding
-    (device_put is a no-op when already placed — `place_distributed_inputs`
-    hoists this per frame), and (b) AOT-lower+compile ONE executable per
-    (structure, shapes, cfg, mesh) signature and call it directly: the
-    Compiled path has no sticky per-call records to corrupt."""
+    jax-0.9 fast-path corruption guard: with hoisted jaxpr CONSTS in the
+    program, the jit fast path was observed mis-associating a cached
+    executable's records with a fresh but structurally identical arg pytree
+    ('Execution supplied 61 buffers but compiled program expected 66',
+    rank-mismatched recorded shardings — the 5-buffer delta was exactly the
+    hidden const params; repro: fresh builds of a curve scene after a
+    single-device render of the same assets).  Defense in depth: (a) the
+    traced program is CONST-FREE (no module-level jnp constants, traced
+    pixel-order arithmetic — keep `make_jaxpr(...).consts == []`!), (b)
+    every input is explicitly placed with its intended NamedSharding
+    (no-op when already placed; `place_distributed_inputs` hoists this per
+    frame), and (c) one jit wrapper per (structure, shapes, cfg, mesh)
+    signature, each wrapping a FRESH closure so no pjit-level cache state
+    is shared across signatures.  A full AOT .lower().compile() bypass was
+    measured ~20 ms/call slower (python arg processing) and is not used."""
     args = place_distributed_inputs(stacked_scene, proxies, models, lights,
                                     env, camera, mesh)
     sample = jnp.asarray(sample_count, jnp.int32)
@@ -360,27 +363,44 @@ def render_sample_distributed(
            tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
     fn = _DISTRIBUTED_JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(_render_sample_distributed_impl,
-                     static_argnames=("cfg", "mesh")) \
-            .lower(*args, sample, cfg, mesh).compile()
+        def _impl(stacked_scene, proxies, models, lights, env, camera,
+                  sample_count, cfg, mesh):
+            return _render_sample_distributed_impl(
+                stacked_scene, proxies, models, lights, env, camera,
+                sample_count, cfg, mesh)
+
+        fn = jax.jit(_impl, static_argnames=("cfg", "mesh"))
         _DISTRIBUTED_JIT_CACHE[key] = fn
-    return fn(*args, sample)
+    return fn(*args, sample, cfg, mesh)
+
+
+_PLACE_MEMO = {}
 
 
 def place_distributed_inputs(stacked_scene, proxies, models, lights, env,
                              camera, mesh):
     """device_put every input with its intended sharding (scene sharded
-    over the nodes axis, everything else replicated).  Idempotent — placing
-    an already-placed tree is free, so drivers hoist this out of their
-    spp/frame loops and per-sample calls cost nothing extra."""
+    over the nodes axis, everything else replicated).  Idempotent — and a
+    one-slot identity memo skips even the ~4 ms of python device_put
+    no-op calls when the same objects are passed per sample (the
+    production frame loop's shape).  The memo holds strong refs to the
+    keyed objects, so the ids it compares cannot be recycled."""
     from jax.sharding import NamedSharding
 
+    srcs = (stacked_scene, proxies, models, lights, env, camera, mesh)
+    key = tuple(map(id, srcs))
+    hit = _PLACE_MEMO.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[0], srcs)):
+        return hit[1]
     sharded = NamedSharding(mesh, P(NODES_AXIS))
     replicated = NamedSharding(mesh, P())
     put = lambda tree, s: jax.tree.map(lambda a: jax.device_put(a, s), tree)
-    return (put(stacked_scene, sharded), put(proxies, replicated),
-            put(models, replicated), put(lights, replicated),
-            put(env, replicated), put(camera, replicated))
+    placed = (put(stacked_scene, sharded), put(proxies, replicated),
+              put(models, replicated), put(lights, replicated),
+              put(env, replicated), put(camera, replicated))
+    _PLACE_MEMO.clear()
+    _PLACE_MEMO[key] = (srcs, placed)
+    return placed
 
 
 def render_image_distributed(
