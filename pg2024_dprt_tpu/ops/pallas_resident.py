@@ -1997,6 +1997,14 @@ def trace_resident(
 
     if hbm_table is None:
         hbm_table = resident_table_bytes(scene) > VMEM_TABLE_LIMIT
+        # NOTE the K ~ 80k compile wall (round-4's 'K~100k Mosaic limit')
+        # is NOT a table/VMEM budget: probe_k100k.py measured the scoped-
+        # VMEM stack OOM at 40.97M with the table streamed from HBM and an
+        # interval (1, K) cull — compiler spill/temporary stack growth in
+        # the selection machinery, quantized (kg 9752 compiles at <16M,
+        # kg 10396 blows to 41M in every table/cull mode).  Streaming the
+        # table earlier does not move it; the split-scene driver
+        # workaround (probe_k100k.py) does.
     if will_transpose:
         # the transposed kernel reads ONLY the (CT8, 16) transposed table
         # (<= 32 KB at the 512-tri cap) — never the (K, 16, C) cluster
