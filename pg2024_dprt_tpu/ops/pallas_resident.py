@@ -1144,7 +1144,10 @@ def _kernel_tiny(rays_ref, boxes_ref, table_ref, out_ref, *, c: int,
         return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
-    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
 
 
 def _occl_kernel_tiny(rays_ref, boxes_ref, table_ref, out_ref, *, c: int,
@@ -1412,7 +1415,10 @@ def _kernel(rays_ref, boxes_ref, table_ref, *rest, c: int, tm: int,
         lane_mask = jnp.int32((1 << lb) - 1)
         out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
             s_kb & ~lane_mask, jnp.float32)
-        out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+        out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
         return
 
     en0 = _cluster_enters(rays, boxes_ref[:], k, tm, exact=exact)
@@ -1480,7 +1486,10 @@ def _kernel(rays_ref, boxes_ref, table_ref, *rest, c: int, tm: int,
         return
     t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 0:1] = t_approx
-    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
 
 
 def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
@@ -1529,7 +1538,10 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
         lane_mask = jnp.int32((1 << lb) - 1)
         out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
             s_kb & ~lane_mask, jnp.float32)
-        out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+        out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
         return
 
     lb = _lane_bits(c)
@@ -1605,7 +1617,10 @@ def _kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
         return
     t_approx = jax.lax.bitcast_convert_type(s_kb & ~lane_mask, jnp.float32)
     out_ref[:, 0:1] = t_approx
-    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
 
 
 def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, *rest,
@@ -1633,7 +1648,10 @@ def _kernel_grouped(rays_ref, gboxes_ref, mboxes_ref, table_ref, *rest,
         return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
-    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
 
 
 def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, *rest,
@@ -1671,7 +1689,10 @@ def _kernel_grouped_hbm(rays_ref, gboxes_ref, mboxes_ref, table_hbm, *rest,
         return
     out_ref[:, 0:1] = jax.lax.bitcast_convert_type(
         s_kb & ~lane_mask, jnp.float32)
-    out_ref[:, 1:2] = s_slot.astype(jnp.float32)
+    out_ref[:, 1:2] = jax.lax.bitcast_convert_type(
+        s_slot, jnp.float32)  # BITCAST, not astype: slots (cluster<<lb)|lane
+    # exceed 2^24 at K*c > 16M and f32 rounding then decodes the WRONG
+    # winner (measured: false closer hits at 64x512k instanced, c=2048)
 
 
 def _occl_kernel_hbm(rays_ref, boxes_ref, table_hbm, *rest,
@@ -2293,7 +2314,8 @@ def trace_resident(
         )
         return hits, dropped
 
-    slot_packed = unsel(jnp.round(packed_out[:, 1]).astype(jnp.int32))
+    slot_packed = unsel(jax.lax.bitcast_convert_type(packed_out[:, 1],
+                                                     jnp.int32))
     # decode the packed (cluster << lane_bits) | lane winner slot into the
     # canonical cluster-major index (padding lanes never win: zero normal
     # -> det 0 -> rejected)
@@ -2348,6 +2370,12 @@ def trace_resident(
     v = jnp.sum(dn * qv, axis=-1) * inv_det
     t = jnp.sum(e2 * qv, axis=-1) * inv_det
     is_hit = is_hit & ok
+    # re-validate the recomputed hit against the barycentric/interval
+    # bounds (small slack for row-major-vs-kernel fp drift): a corrupted
+    # winner decode must resolve to a MISS, never a phantom closer hit
+    slack = jnp.float32(1e-5)
+    is_hit = is_hit & (u >= -slack) & (v >= -slack) & (u + v <= 1 + 2 * slack) \
+        & (t > 0.0)
 
     hits = HitRecord(
         t=jnp.where(is_hit, t, _F32_MAX),
