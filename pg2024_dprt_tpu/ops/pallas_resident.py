@@ -1850,11 +1850,80 @@ def resident_table_bytes(scene: DeviceScene) -> int:
 VMEM_TABLE_LIMIT = 8 * 2**20
 
 
+_TRACE_STATICS = ("tile_rays", "sort_rays", "any_hit", "hbm_table",
+                  "exact_cull", "recull", "grouped", "rich", "interpret",
+                  "sort_mode", "ssub")
+# signatures that hit the Mosaic scoped-VMEM ceiling under the default
+# 16 MiB carve-out (probe_k100k.py: quantized compiler-spill growth at
+# K ~ 80k, or the c=2048 giant-cluster regime) -> AOT-compiled with a
+# raised limit; None = failed once, compile in progress
+_SCOPED_FALLBACK = {}
+_SCOPED_VMEM_KIB = 24576
+
+
+def trace_resident(scene, origin, direction, t_min, t_max, active, **kw):
+    """Public entry: the jitted kernel below, with a self-healing AOT
+    fallback — when a signature's Mosaic compile dies with a scoped-VMEM
+    stack OOM (giant-K / c=2048 scenes; see probe_k100k.py), the same
+    program is lowered once with `xla_tpu_scoped_vmem_limit_kib` raised
+    and the Compiled is cached, so e.g. 33.5M-effective-tri frames render
+    out of the box.  Only reachable when called OUTSIDE an enclosing jit
+    (the composed engine path); traced callers compile their own programs
+    and gate these regimes themselves."""
+    import jax.core as _core
+
+    if any(isinstance(x, _core.Tracer)
+           for x in jax.tree.leaves((scene, origin, direction, t_min,
+                                     t_max, active))):
+        return _trace_resident_jit(scene, origin, direction, t_min, t_max,
+                                   active, **kw)
+    key = (scene.num_clusters, scene.tris_per_cluster,
+           getattr(scene, "cl_xf", None) is not None,
+           int(origin.shape[0]), tuple(sorted(kw.items())))
+    fb = _SCOPED_FALLBACK.get(key)
+    if fb is not None:
+        try:
+            return fb(scene, origin, direction, t_min, t_max, active)
+        except TypeError:
+            pass  # aval mismatch vs the recorded lowering — recompile
+    try:
+        return _trace_resident_jit(scene, origin, direction, t_min, t_max,
+                                   active, **kw)
+    except Exception as e:  # pragma: no cover (chip-compiler path)
+        msg = str(e)
+        # the scoped-OOM often surfaces masked as a bare compile-helper
+        # crash ('HTTP 500: tpu_compile_helper subprocess exit code 1'),
+        # so any remote-compile failure earns ONE raised-limit retry; a
+        # genuinely broken program just fails again and we re-raise the
+        # original error
+        if not ("Scoped allocation" in msg or "scoped vmem" in msg
+                or ("remote_compile" in msg and "500" in msg)):
+            raise
+        # the relay rotates over several compile-helper endpoints and the
+        # borderline programs compile nondeterministically across them —
+        # retry the raised-limit AOT a few times before giving up
+        import time as _time
+
+        lowered = _trace_resident_jit.lower(
+            scene, origin, direction, t_min, t_max, active, **kw)
+        for attempt in range(3):
+            try:
+                compiled = lowered.compile(compiler_options={
+                    "xla_tpu_scoped_vmem_limit_kib": _SCOPED_VMEM_KIB})
+                break
+            except Exception:
+                if attempt == 2:
+                    raise e
+                _time.sleep(2.0)
+        _SCOPED_FALLBACK[key] = compiled
+        return compiled(scene, origin, direction, t_min, t_max, active)
+
+
 @partial(
     jax.jit,
-    static_argnames=("tile_rays", "sort_rays", "any_hit", "hbm_table", "exact_cull", "recull", "grouped", "rich", "interpret", "sort_mode", "ssub"),
+    static_argnames=_TRACE_STATICS,
 )
-def trace_resident(
+def _trace_resident_jit(
     scene: DeviceScene,
     origin, direction, t_min, t_max, active,
     tile_rays: int = None,

@@ -45,8 +45,57 @@ def _fused_active(scene, lights, env, cfg: RenderConfig) -> bool:
     )
 
 
+_SCOPED_FALLBACK = {}
+
+
+def render_sample(scene, lights, env, camera, sample_count,
+                  cfg: RenderConfig):
+    """Public entry: the jitted sample program below, with the same
+    self-healing scoped-VMEM AOT fallback as ops/pallas_resident.py —
+    giant-cluster scenes (c=2048, e.g. 33.5M effective instanced
+    triangles) push the trace kernel's Mosaic compiler stack past the
+    default 16 MiB carve-out INSIDE the whole-sample program, so on that
+    failure the program is lowered once with the limit raised and cached
+    per (scene shape, cfg) signature."""
+    if any(isinstance(x, jax.core.Tracer)
+           for x in jax.tree.leaves((scene, lights, env, camera))):
+        return _render_sample_jit(scene, lights, env, camera, sample_count,
+                                  cfg)
+    key = (scene.num_clusters, scene.tris_per_cluster,
+           getattr(scene, "cl_xf", None) is not None, cfg)
+    fb = _SCOPED_FALLBACK.get(key)
+    sc = jnp.asarray(sample_count, jnp.int32)
+    if fb is not None:
+        try:
+            return fb(scene, lights, env, camera, sc)
+        except TypeError:
+            pass
+    try:
+        return _render_sample_jit(scene, lights, env, camera, sc, cfg)
+    except Exception as e:  # pragma: no cover (chip-compiler path)
+        msg = str(e)
+        if not ("Scoped allocation" in msg or "scoped vmem" in msg
+                or ("remote_compile" in msg and "500" in msg)):
+            raise
+        import time as _time
+
+        lowered = _render_sample_jit.lower(scene, lights, env, camera, sc,
+                                           cfg)
+        for attempt in range(3):
+            try:
+                compiled = lowered.compile(compiler_options={
+                    "xla_tpu_scoped_vmem_limit_kib": 24576})
+                break
+            except Exception:
+                if attempt == 2:
+                    raise e
+                _time.sleep(2.0)
+        _SCOPED_FALLBACK[key] = compiled
+        return compiled(scene, lights, env, camera, sc)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def render_sample(
+def _render_sample_jit(
     scene: DeviceScene,
     lights: LightTable,
     env: EnvironmentMap,
