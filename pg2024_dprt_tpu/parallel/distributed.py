@@ -180,7 +180,8 @@ def _migration_loop(scene, proxies, env, paths, env_img, my_id, cfg: RenderConfi
     return paths, env_img, diag, truncated, overflow, culled
 
 
-def _sample_program(scene_block, proxies, models, lights, env, camera, sample_count, cfg: RenderConfig):
+def _sample_program(scene_block, proxies, nn_proxies, models, lights, env,
+                    camera, sample_count, cfg: RenderConfig):
     """Per-device body (inside shard_map) for one spp."""
     scene = jax.tree.map(lambda a: a[0], scene_block)  # (1, ...) block -> local
     my_id = jax.lax.axis_index(NODES_AXIS).astype(jnp.int32)
@@ -188,6 +189,10 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
 
     paths = generate_camera_paths(camera, sample_count)
     paths = paths._replace(is_valid=paths.is_valid & (my_id == 0))
+    # neural stages consult INSTANCE-level proxy rows when the scene is
+    # instance-partitioned (nets selected by obj_id, routed to node_id);
+    # the migration loop below always uses the partition-level table
+    nn_prox = nn_proxies if nn_proxies is not None else proxies
 
     direct = jnp.zeros((npix, 3), jnp.float32)
     env_img = jnp.zeros((npix, 3), jnp.float32)
@@ -199,7 +204,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
     for bounce in range(cfg.bounces):
         if bounce > 0 and cfg.use_neural_proxies:
             paths, env_add, d = secondary_route(
-                scene, proxies, models, env, paths, my_id,
+                scene, nn_prox, models, env, paths, my_id,
                 cfg.max_proxy_hits, cfg.t_epsilon, npix, tracer=cfg.tracer,
             )
             env_img = env_img + env_add
@@ -257,7 +262,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
 
         if cfg.use_neural_proxies:
             direct_add, d = shadow_direct_light_nn(
-                scene, proxies, models, shadow_paths, my_id,
+                scene, nn_prox, models, shadow_paths, my_id,
                 cfg.max_proxy_hits, cfg.t_epsilon, cfg.shadow_path_count, npix,
                 tracer=cfg.tracer,
             )
@@ -294,6 +299,7 @@ def _sample_program(scene_block, proxies, models, lights, env, camera, sample_co
 def _render_sample_distributed_impl(
     stacked_scene: DeviceScene,
     proxies: ProxyTable,
+    nn_proxies,
     models: ProxyModels,
     lights,
     env,
@@ -308,6 +314,7 @@ def _render_sample_distributed_impl(
         in_specs=(
             jax.tree.map(lambda _: P(NODES_AXIS), stacked_scene),
             jax.tree.map(lambda _: P(), proxies),
+            jax.tree.map(lambda _: P(), nn_proxies),
             jax.tree.map(lambda _: P(), models),
             jax.tree.map(lambda _: P(), lights),
             jax.tree.map(lambda _: P(), env),
@@ -317,8 +324,8 @@ def _render_sample_distributed_impl(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(stacked_scene, proxies, models, lights, env, camera,
-              jnp.asarray(sample_count, jnp.int32))
+    return fn(stacked_scene, proxies, nn_proxies, models, lights, env,
+              camera, jnp.asarray(sample_count, jnp.int32))
 
 
 _DISTRIBUTED_JIT_CACHE = {}
@@ -334,6 +341,7 @@ def render_sample_distributed(
     sample_count,
     cfg: RenderConfig,
     mesh,
+    nn_proxies: ProxyTable = None,
 ):
     """One spp over the mesh. `stacked_scene` leaves have leading dim P
     (sharded over the nodes axis); everything else is replicated.
@@ -354,7 +362,7 @@ def render_sample_distributed(
     is shared across signatures.  A full AOT .lower().compile() bypass was
     measured ~20 ms/call slower (python arg processing) and is not used."""
     args = place_distributed_inputs(stacked_scene, proxies, models, lights,
-                                    env, camera, mesh)
+                                    env, camera, mesh, nn_proxies)
     sample = jnp.asarray(sample_count, jnp.int32)
     leaves, treedef = jax.tree.flatten(args)
     key = (treedef,
@@ -364,10 +372,10 @@ def render_sample_distributed(
     fn = _DISTRIBUTED_JIT_CACHE.get(key)
     if fn is None:
         def _impl(stacked_scene, proxies, models, lights, env, camera,
-                  sample_count, cfg, mesh):
+                  nn_proxies, sample_count, cfg, mesh):
             return _render_sample_distributed_impl(
-                stacked_scene, proxies, models, lights, env, camera,
-                sample_count, cfg, mesh)
+                stacked_scene, proxies, nn_proxies, models, lights, env,
+                camera, sample_count, cfg, mesh)
 
         fn = jax.jit(_impl, static_argnames=("cfg", "mesh"))
         _DISTRIBUTED_JIT_CACHE[key] = fn
@@ -378,7 +386,7 @@ _PLACE_MEMO = {}
 
 
 def place_distributed_inputs(stacked_scene, proxies, models, lights, env,
-                             camera, mesh):
+                             camera, mesh, nn_proxies=None):
     """device_put every input with its intended sharding (scene sharded
     over the nodes axis, everything else replicated).  Idempotent — and a
     one-slot identity memo skips even the ~4 ms of python device_put
@@ -387,7 +395,8 @@ def place_distributed_inputs(stacked_scene, proxies, models, lights, env,
     keyed objects, so the ids it compares cannot be recycled."""
     from jax.sharding import NamedSharding
 
-    srcs = (stacked_scene, proxies, models, lights, env, camera, mesh)
+    srcs = (stacked_scene, proxies, models, lights, env, camera, mesh,
+            nn_proxies)
     key = tuple(map(id, srcs))
     hit = _PLACE_MEMO.get(key)
     if hit is not None and all(a is b for a, b in zip(hit[0], srcs)):
@@ -397,7 +406,8 @@ def place_distributed_inputs(stacked_scene, proxies, models, lights, env,
     put = lambda tree, s: jax.tree.map(lambda a: jax.device_put(a, s), tree)
     placed = (put(stacked_scene, sharded), put(proxies, replicated),
               put(models, replicated), put(lights, replicated),
-              put(env, replicated), put(camera, replicated))
+              put(env, replicated), put(camera, replicated),
+              put(nn_proxies, replicated))
     _PLACE_MEMO.clear()
     _PLACE_MEMO[key] = (srcs, placed)
     return placed
@@ -416,13 +426,14 @@ def render_image_distributed(
     stats = jnp.zeros((4,), jnp.int32)
     # place once; per-sample placement inside render_sample_distributed is
     # then a no-op
-    stacked, proxies, models, lights, env, camera = place_distributed_inputs(
-        partitioned.stacked, partitioned.proxies, models, lights, env,
-        camera, mesh)
+    stacked, proxies, models, lights, env, camera, nn_prox = \
+        place_distributed_inputs(
+            partitioned.stacked, partitioned.proxies, models, lights, env,
+            camera, mesh, getattr(partitioned, "nn_proxies", None))
     for s in range(cfg.spp):
         d, e, st = render_sample_distributed(
             stacked, proxies, models, lights, env,
-            camera, base_sample + s, cfg, mesh,
+            camera, base_sample + s, cfg, mesh, nn_proxies=nn_prox,
         )
         direct = direct + d
         env_img = env_img + e

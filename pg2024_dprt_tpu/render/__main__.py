@@ -290,9 +290,6 @@ def main(argv=None):
         if instanced_spec:
             # distributed two-level instancing: partitions own instance
             # subsets over one shared base table (scene/partition.py)
-            if args.neural:
-                raise SystemExit("--neural with the instanced builtin is "
-                                 "not supported; use exact mode")
             part = build_partitioned_scene_instanced(
                 base_meshes, transforms, args.partitions,
                 visibility_grids=args.visibility_grids)
@@ -301,7 +298,38 @@ def main(argv=None):
                 meshes, args.partitions, textures=textures,
                 visibility_grids=args.visibility_grids)
         mesh = make_mesh(args.partitions)
-        if args.neural:
+        if args.neural and instanced_spec:
+            # neural instanced: ONE net pair trained on the shared BASE
+            # object serves every instance via the instance-level proxy
+            # rows (PartitionedScene.nn_proxies)
+            from ..models import stack_params
+            from ..models.mlp import MLPConfig
+            from ..models.proxy import ProxyModels
+            from ..scene import device_scene_from_meshes as _dsm
+            from ..scene.partition import _meshes_aabb
+            from ..train.loop import TrainConfig, train_proxy_for_partition
+
+            blo, bhi = _meshes_aabb(base_meshes)
+            base_scene = _dsm(base_meshes)
+            mcfg = MLPConfig(width=64, depth=2)
+            vp, hv = train_proxy_for_partition(
+                base_scene, blo, bhi, "vis", mlp_cfg=mcfg,
+                train_cfg=TrainConfig(nn_type="vis",
+                                      epochs=args.proxy_epochs,
+                                      batch=4096, learn_rate=5e-3),
+                num_samples=args.proxy_samples)
+            dp, hd = train_proxy_for_partition(
+                base_scene, blo, bhi, "depth", mlp_cfg=mcfg,
+                train_cfg=TrainConfig(nn_type="depth",
+                                      epochs=args.proxy_epochs,
+                                      batch=4096, learn_rate=5e-3),
+                num_samples=args.proxy_samples)
+            print(f"base-object nets: vis {hv['test_loss'][-1]:.4f} "
+                  f"depth {hd['test_loss'][-1]:.4f}", flush=True)
+            models = ProxyModels(stack_params([vp]), stack_params([dp]), 1,
+                                 mcfg, mcfg)
+            cfg = dataclasses.replace(cfg, use_neural_proxies=True)
+        elif args.neural:
             models = train_partition_proxies(
                 meshes, part, args.partitions, args.proxy_samples,
                 args.proxy_epochs)

@@ -29,8 +29,14 @@ from .geometry import DeviceScene, MeshGeometry, ProxyTable, _pack_device_scene,
 
 class PartitionedScene(NamedTuple):
     stacked: DeviceScene       # every leaf has leading dim P
-    proxies: ProxyTable        # (P, ...) replicated
+    proxies: ProxyTable        # (P, ...) replicated — partition-level rows
     num_partitions: int
+    # instance-partitioned scenes only: INSTANCE-level proxy rows for the
+    # NEURAL routing/shadow stages (world_to_obj + obj_id selects the net,
+    # node_id routes to the owning partition — the reference's per-rank AS
+    # table with instanced proxy handles, renderer.cpp:1812-1849).  The
+    # migration loop keeps using the partition-level `proxies` above.
+    nn_proxies: ProxyTable = None
 
 
 def _median_split(centroids: np.ndarray, num_partitions: int) -> List[List[int]]:
@@ -359,5 +365,44 @@ def build_partitioned_scene_instanced(
         max_length=jnp.asarray(diag),
         vis_grid=jnp.asarray(np.stack(grids, axis=0)) if visibility_grids else None,
     )
+
+    # INSTANCE-level neural proxy rows: one row per instance, net selected
+    # by obj_id (one shared base object -> 0), routed to the owning
+    # partition, featurized in OBJECT space via world_to_obj (reference
+    # instanceID semantics, optix/secondary_ray_kernel.cu:289-316).
+    blo, bhi = _meshes_aabb(meshes)
+    corners = np.stack([np.where(np.asarray(sel), bhi, blo)
+                        for sel in np.ndindex(2, 2, 2)])      # (8, 3)
+    wc = (np.einsum("iab,cb->ica", M[:, :, :3], corners)
+          + M[:, None, :, 3])                                 # (I, 8, 3)
+    inst_lo = wc.min(axis=1)
+    inst_hi = wc.max(axis=1)
+    inv_lin = np.linalg.inv(M[:, :, :3].astype(np.float64)).astype(np.float32)
+    inv_tr = -np.einsum("iab,ib->ia", inv_lin, M[:, :, 3])
+    w2o = np.concatenate([inv_lin, inv_tr[:, :, None]], axis=2)  # (I, 3, 4)
+    owner = np.full(M.shape[0], 0, np.int32)
+    for p, part in enumerate(assignment):
+        for i in part:
+            owner[i] = p
+    nn_proxies = ProxyTable(
+        aabb_min=jnp.asarray(inst_lo.astype(np.float32)),
+        aabb_max=jnp.asarray(inst_hi.astype(np.float32)),
+        # depth denormalizer = OBJECT-space diagonal (ProxyTable docstring)
+        max_length=jnp.asarray(
+            np.full(M.shape[0], np.linalg.norm(bhi - blo), np.float32)),
+        obj_id=jnp.zeros((M.shape[0],), jnp.int32),
+        node_id=jnp.asarray(owner),
+        world_to_obj=jnp.asarray(w2o.astype(np.float32)),
+        obj_min=jnp.asarray(np.broadcast_to(blo, (M.shape[0], 3)).copy()),
+        obj_span=jnp.asarray(
+            np.broadcast_to(bhi - blo, (M.shape[0], 3)).copy()),
+    )
     return PartitionedScene(stacked=stacked, proxies=proxies,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            nn_proxies=nn_proxies)
+
+
+def _meshes_aabb(meshes):
+    los = np.array([m.aabb()[0] for m in meshes])
+    his = np.array([m.aabb()[1] for m in meshes])
+    return los.min(0).astype(np.float32), his.max(0).astype(np.float32)
