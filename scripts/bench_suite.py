@@ -276,6 +276,22 @@ def main():
         row(f"frame_exact_rr{rr}", per * 1e3, "ms",
             f"256x256 1spp 4 bounces, russian_roulette={rr}")
 
+    # spp-batched frame: ALL spp ride ONE megakernel launch (grid inner
+    # dim, render_frame_fused(spp=)) — pins the measured 13-17% launch
+    # amortization vs spp sequential calls (round-4 sweep_fused note)
+    from pg2024_dprt_tpu.render.engine import render_image
+
+    cfg_s4 = _dc.replace(cfg, spp=4)
+
+    def frame_s4(seed_f):
+        img = render_image(scene_f, lights, env, camera, cfg_s4,
+                           base_sample=seed_f[0].astype(jnp.int32))
+        return jnp.sum(img).reshape(1)
+
+    per = frame_slope(frame_s4, 1, 4)
+    row("frame_exact_spp4", per * 1e3, "ms",
+        "256x256 4spp 4 bounces, all spp fused in one launch")
+
     # the same full frame at the massive-scene scale the reference targets
     # (frame megakernel with HBM-streamed cluster tables).  The 1M scene
     # rides as a jit ARG: embedded at 89 MiB it blows the relay's

@@ -46,8 +46,11 @@ def main():
         ss = int(ss) if ss is not None else None
         cs = kv.get("cs")
         cs = int(cs) if cs is not None else None
+        rr = int(kv.get("rr", 0))
+        nee = kv.get("nee", "ris")
         cfg = RenderConfig(width=size, height=size, spp=spp, bounces=b,
-                           shadow_path_count=s)
+                           shadow_path_count=s, russian_roulette=rr,
+                           nee_mode=nee)
         fn = jax.jit(lambda sc, smp, cfg=cfg, tm=tm, rc=rc, oc=oc, spp=spp,
                      ss=ss, cs=cs:
                      render_frame_fused(sc, lights, env, camera, smp, cfg,

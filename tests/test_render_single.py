@@ -183,3 +183,59 @@ def test_frame_sequence_with_animation(tmp_path):
     assert (tmp_path / "frame0.exr").exists() and (tmp_path / "frame1.exr").exists()
     # motion changes the image
     assert np.abs(imgs[0] - imgs[1]).max() > 1e-5
+
+
+def test_scoped_vmem_fallback_plumbing(monkeypatch):
+    """The self-healing scoped-VMEM fallback (render/engine.py::render_sample):
+    on a Mosaic 'Scoped allocation' compile failure the sample program is
+    re-lowered ONCE with xla_tpu_scoped_vmem_limit_kib raised, cached per
+    (scene shape, cfg) signature, and reused on later calls.  The chip
+    failure itself can't reproduce on CPU, so this pins the retry/cache
+    plumbing with a stubbed jit."""
+    from pg2024_dprt_tpu.render import engine
+
+    scene, lights, env, camera, cfg = _setup()
+    calls = {"ran": 0, "lowered": 0, "opts": None, "jit": 0}
+
+    class FakeCompiled:
+        def __call__(self, *a):
+            calls["ran"] += 1
+            return "IMG"
+
+    class FakeLowered:
+        def compile(self, compiler_options=None):
+            calls["opts"] = compiler_options
+            return FakeCompiled()
+
+    class FakeJit:
+        def __call__(self, *a, **k):
+            calls["jit"] += 1
+            raise RuntimeError("Mosaic: Scoped allocation overflow")
+
+        def lower(self, *a, **k):
+            calls["lowered"] += 1
+            return FakeLowered()
+
+    monkeypatch.setattr(engine, "_render_sample_jit", FakeJit())
+    engine._SCOPED_FALLBACK.clear()
+    try:
+        out = engine.render_sample(scene, lights, env, camera, 0, cfg)
+        assert out == "IMG"
+        assert calls["opts"] == {"xla_tpu_scoped_vmem_limit_kib": 24576}
+        # second call rides the cached Compiled: no re-lower, no jit retry
+        out2 = engine.render_sample(scene, lights, env, camera, 1, cfg)
+        assert out2 == "IMG"
+        assert calls["lowered"] == 1 and calls["ran"] == 2
+
+        # a DIFFERENT failure must re-raise untouched (no silent fallback)
+        class FakeJitOther:
+            def __call__(self, *a, **k):
+                raise RuntimeError("some unrelated compile failure")
+
+        monkeypatch.setattr(engine, "_render_sample_jit", FakeJitOther())
+        engine._SCOPED_FALLBACK.clear()
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="unrelated"):
+            engine.render_sample(scene, lights, env, camera, 0, cfg)
+    finally:
+        engine._SCOPED_FALLBACK.clear()
