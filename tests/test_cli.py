@@ -52,3 +52,24 @@ def test_cli_scene_specs_and_bounds():
     assert cam.width == 32
     meshes, lights, _ = load_scene("cornell")
     assert lights is not None and lights.count == 2
+
+
+def test_cli_instanced_builtin(tmp_path):
+    # instanced:I,T — the two-level builtin (I instances over one shared
+    # base table); single-device path
+    out = str(tmp_path / "r")
+    images = main(["instanced:4,512", "--size", "20", "--spp", "1",
+                   "--bounces", "2", "--out", out])
+    assert images[0].shape == (20, 20, 3)
+    assert np.all(np.isfinite(images[0]))
+    assert float(np.mean(images[0])) > 1e-4
+
+
+def test_cli_instanced_distributed(tmp_path):
+    # the round-5 composition: instances partitioned over the mesh
+    # (build_partitioned_scene_instanced), P=2
+    out = str(tmp_path / "r")
+    images = main(["instanced:4,512", "--size", "20", "--spp", "1",
+                   "--bounces", "2", "--partitions", "2", "--out", out])
+    assert images[0].shape == (20, 20, 3)
+    assert np.all(np.isfinite(images[0]))
